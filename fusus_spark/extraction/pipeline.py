@@ -1,0 +1,246 @@
+"""Spark wiring: the fused extraction stage as one ``mapInPandas`` pass.
+
+Physical design (SURVEY.md §2.10, §4.3):
+
+* ONE Arrow round-trip per document batch — decode/parse/strip/segment
+  are fused so the per-document DOM never serializes (the reference's
+  per-page stage dict stays inside ``_doPage``; ours stays inside one
+  UDF call);
+* no per-row Python at the Spark level — batches arrive as pandas
+  DataFrames via Arrow (input_hint compliance);
+* skew defense is explicit: ``repartition_salted`` hashes url+salt so
+  one host's pages spread over all tasks; oversized payloads can be
+  routed to a dedicated pass (``size_route``);
+* empty/error/capped urls still emit exactly one accounting row
+  (word_seq = -1), unlike the reference which writes nothing for empty
+  pages (fusus/page.py:640-647) — at 10^12 documents silent drops are
+  unacceptable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fusus_spark.extraction.extract import (
+    DEFAULT_MAX_HTML_BYTES,
+    STATUS_EXTRACTED,
+    extract_document,
+)
+from fusus_spark.schema import (
+    EXTRACTION_STAGE_SCHEMA,
+    REMOVALS_SCHEMA,
+)
+
+_STAGE_COLS = [f.name for f in EXTRACTION_STAGE_SCHEMA.fields]
+
+
+def _extract_batch(pdf: pd.DataFrame, max_html_bytes: int) -> pd.DataFrame:
+    """One Arrow batch of documents -> word+envelope rows (pure pandas)."""
+    out: dict[str, list[Any]] = {c: [] for c in _STAGE_COLS}
+
+    urls = pdf["url"].tolist()
+    htmls = pdf["html"].tolist()
+    langs = pdf["lang"].tolist() if "lang" in pdf.columns else [None] * len(urls)
+
+    for url, html, lang in zip(urls, htmls, langs):
+        res = extract_document(html, max_html_bytes=max_html_bytes)
+        envelope = (
+            res["n_blocks"],
+            res["n_lines"],
+            res["n_words"],
+            res["n_removed"],
+            res["extracted_text"] if res["words"] else None,
+            res["error"],
+        )
+        if res["words"]:
+            first = True
+            for block_id, line_id, word_seq, word, punc, cs, ce in res["words"]:
+                out["url"].append(url)
+                out["lang"].append(lang)
+                out["status"].append(res["status"])
+                out["block_id"].append(block_id)
+                out["line_id"].append(line_id)
+                out["word_seq"].append(word_seq)
+                out["word"].append(word)
+                out["punc"].append(punc)
+                out["char_start"].append(cs)
+                out["char_end"].append(ce)
+                # envelope columns only on the first row per url to keep
+                # the Arrow batch small; per-url tables re-derive via
+                # filter on word_seq == 0 / first().
+                if first:
+                    for name, val in zip(
+                        ("n_blocks", "n_lines", "n_words", "n_removed",
+                         "extracted_text", "error"),
+                        envelope,
+                    ):
+                        out[name].append(val)
+                    first = False
+                else:
+                    for name in ("n_blocks", "n_lines", "n_words",
+                                 "n_removed", "extracted_text", "error"):
+                        out[name].append(None)
+        else:
+            out["url"].append(url)
+            out["lang"].append(lang)
+            out["status"].append(res["status"])
+            out["block_id"].append(None)
+            out["line_id"].append(None)
+            out["word_seq"].append(-1)
+            out["word"].append(None)
+            out["punc"].append(None)
+            out["char_start"].append(None)
+            out["char_end"].append(None)
+            out["n_blocks"].append(res["n_blocks"])
+            out["n_lines"].append(res["n_lines"])
+            out["n_words"].append(0)
+            out["n_removed"].append(res["n_removed"])
+            out["extracted_text"].append(None)
+            out["error"].append(res["error"])
+
+    return pd.DataFrame(out, columns=_STAGE_COLS)
+
+
+def extract_stage(
+    docs: DataFrame,
+    *,
+    max_html_bytes: int = DEFAULT_MAX_HTML_BYTES,
+) -> DataFrame:
+    """documents(url, warc_ts, html, text, lang) -> extraction stage rows.
+
+    Only (url, html, lang) are read — column pruning keeps warc_ts/text
+    out of the Arrow channel (the reference's minimal=True page handle
+    analog, fusus/page.py:98-99).
+    """
+    pruned = docs.select("url", "html", "lang")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _extract_batch(pdf, max_html_bytes)
+
+    return pruned.mapInPandas(run, schema=EXTRACTION_STAGE_SCHEMA)
+
+
+def words_from_stage(stage: DataFrame) -> DataFrame:
+    """Stage rows -> the words table (one row per word, WORDS_SCHEMA)."""
+    return stage.where(F.col("word_seq") >= 0).select(
+        "url", "block_id", "line_id", "word_seq", "word", "punc",
+        "char_start", "char_end",
+    )
+
+
+def extracted_from_stage(stage: DataFrame) -> DataFrame:
+    """Stage rows -> per-url envelope (EXTRACTED_SCHEMA order).
+
+    One row per url, including empty/error/capped urls.
+    """
+    env = stage.where(
+        (F.col("word_seq") == -1)
+        | ((F.col("word_seq") == 0) & (F.col("line_id") == 0) & (F.col("block_id") == 0))
+    )
+    return env.select(
+        "url",
+        "status",
+        "lang",
+        F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        "extracted_text",
+        "error",
+    )
+
+
+def extract_removals(docs: DataFrame, *, max_html_bytes: int = DEFAULT_MAX_HTML_BYTES) -> DataFrame:
+    """documents -> removal diagnostics (markData analog, REMOVALS_SCHEMA)."""
+    pruned = docs.select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list[Any]] = {
+                "url": [], "rule_id": [], "node_path": [],
+                "kept": [], "score": [], "guard_ratio": [],
+            }
+            for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                res = extract_document(html, max_html_bytes=max_html_bytes)
+                for rule_id, node_path, kept, score, guard in res["removals"]:
+                    rows["url"].append(url)
+                    rows["rule_id"].append(rule_id)
+                    rows["node_path"].append(node_path)
+                    rows["kept"].append(kept)
+                    rows["score"].append(score)
+                    rows["guard_ratio"].append(guard)
+            yield pd.DataFrame(rows, columns=[f.name for f in REMOVALS_SCHEMA.fields])
+
+    return pruned.mapInPandas(run, schema=REMOVALS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Skew defense (SURVEY.md §4.2 item 1)
+
+
+def repartition_salted(docs: DataFrame, num_partitions: int, salt: int = 42) -> DataFrame:
+    """Spread url-keyed rows uniformly: hash(url, salt) % N.
+
+    Host-level skew (one host contributing millions of pages that sort
+    together in the input files) is defused because the salted hash
+    ignores input order entirely. AQE only fixes join/agg skew; a heavy
+    UDF stage needs explicit redistribution.
+    """
+    return docs.repartition(
+        num_partitions, F.pmod(F.xxhash64(F.col("url"), F.lit(salt)), F.lit(num_partitions))
+    )
+
+
+def size_route(
+    docs: DataFrame,
+    *,
+    big_bytes: int = 1 * 1024 * 1024,
+    big_partitions: int = 8,
+    small_partitions: int = 64,
+    max_html_bytes: int = DEFAULT_MAX_HTML_BYTES,
+) -> DataFrame:
+    """Two-lane extraction: oversized payloads get their own partitions.
+
+    A 50 MB page in a batch of 1 KB pages serializes that task; routing
+    giants to a dedicated narrow lane keeps the common lane's Arrow
+    batches small and uniform (maxHits-guard philosophy: bound the
+    pathological case explicitly).
+    """
+    size = F.octet_length(F.col("html"))
+    small = repartition_salted(docs.where(size < F.lit(big_bytes)), small_partitions)
+    big = repartition_salted(docs.where(size >= F.lit(big_bytes)), big_partitions, salt=7)
+    return extract_stage(small, max_html_bytes=max_html_bytes).unionByName(
+        extract_stage(big, max_html_bytes=max_html_bytes)
+    )
+
+
+def extract_all(
+    docs: DataFrame,
+    *,
+    num_partitions: int | None = None,
+    max_html_bytes: int = DEFAULT_MAX_HTML_BYTES,
+) -> DataFrame:
+    """End-to-end: documents -> extraction stage, with salted repartition."""
+    if num_partitions:
+        docs = repartition_salted(docs, num_partitions)
+    return extract_stage(docs, max_html_bytes=max_html_bytes)
+
+
+def count_extracted(stage: DataFrame) -> dict[str, int]:
+    """Driver-side accounting (A4/A5 metrics analog): status counts."""
+    rows = (
+        stage.where(F.col("word_seq").isin(-1, 0))
+        .groupBy("status")
+        .agg(F.countDistinct("url").alias("n"))
+        .collect()
+    )
+    out = {r["status"]: r["n"] for r in rows}
+    out.setdefault(STATUS_EXTRACTED, 0)
+    return out

@@ -1,0 +1,197 @@
+"""Block / line / word segmentation with character-span offsets.
+
+Reference semantics carried over:
+
+* **blocks** — reading-order block tree from the stripped DOM
+  (stripes/blocks analog, fusus/layout.py:309-518 getStripes/getBlocks):
+  block-level elements in document order, each maximal run of inline
+  content = one block;
+* **lines** — within a block, ``<br>`` boundaries, ``<tr>`` rows and
+  ``<pre>`` newlines split lines (ink-histogram line segmentation
+  analog, fusus/lines.py:232-507 getInkY); table cells within a row are
+  the em-space "column" analog (lakhnawi.py:2701-2777) and join with a
+  single space;
+* **words** — split on whitespace AND punctuation class exactly as the
+  OCR word segmenter (fusus/ocr.py:340-371): ``punc`` carries the
+  trailing non-alphanumeric run, a word may be empty-letters with only
+  punc, and a letter following punc inside one whitespace token starts
+  a new word;
+* **normalization** — per line: collapse ``\\s+`` to single spaces,
+  strip, Unicode NFC (T27 analog, lakhnawi.py:2624-2660); empty lines
+  are dropped (F8);
+* **extracted_text** — all lines in reading order joined with ``\\n``;
+  word ``char_start/char_end`` index into it and
+  ``extracted_text[char_start:char_end] == word + punc`` always holds
+  (the byte-identical golden target).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+from fusus_spark.extraction.domparse import Node
+
+# Elements that open/close a block (stripe/block analog).
+BLOCK_TAGS = frozenset(
+    "address article blockquote body caption center dd details dialog div dl "
+    "dt fieldset figcaption figure h1 h2 h3 h4 h5 h6 hr html li main menu ol "
+    "p pre section summary table tbody tfoot thead ul".split()
+)
+
+# Elements that break a line but not a block.
+LINE_TAGS = frozenset(["tr"])
+
+# Table cells: column separator within a row (em-space/hemistic analog).
+CELL_TAGS = frozenset(["td", "th"])
+
+_BLOCK_BREAK = 2
+_LINE_BREAK = 1
+
+
+def walk_segments(root: Node) -> list[tuple[int, str]]:
+    """Flatten the DOM into ``(kind, payload)`` events in document order.
+
+    kind: 0 = text, 1 = line break, 2 = block break. Deterministic
+    recursive walk (document order == reading order for web documents;
+    the reference must *recover* reading order from pixel geometry —
+    T25 — while the DOM already encodes it).
+    """
+    events: list[tuple[int, str]] = []
+
+    def emit_break(level: int) -> None:
+        # Coalesce: keep only the strongest pending break.
+        if events and events[-1][0] > 0:
+            if level > events[-1][0]:
+                events[-1] = (level, "")
+        else:
+            events.append((level, ""))
+
+    def walk(node: Node, in_pre: bool) -> None:
+        for child in node.children:
+            if isinstance(child, str):
+                if in_pre:
+                    # <pre>: explicit newlines are line breaks.
+                    parts = child.split("\n")
+                    for i, part in enumerate(parts):
+                        if i:
+                            emit_break(_LINE_BREAK)
+                        if part:
+                            events.append((0, part))
+                elif child:
+                    events.append((0, child))
+                continue
+            tag = child.tag
+            if tag == "br":
+                emit_break(_LINE_BREAK)
+                continue
+            if tag in BLOCK_TAGS:
+                emit_break(_BLOCK_BREAK)
+                walk(child, in_pre or tag == "pre")
+                emit_break(_BLOCK_BREAK)
+            elif tag in LINE_TAGS:
+                emit_break(_LINE_BREAK)
+                walk(child, in_pre)
+                emit_break(_LINE_BREAK)
+            elif tag in CELL_TAGS:
+                # Column separator: a single space between cells.
+                events.append((0, " "))
+                walk(child, in_pre)
+                events.append((0, " "))
+            else:
+                walk(child, in_pre)  # inline: no break
+
+    walk(root, False)
+    return events
+
+
+def segment_blocks(root: Node) -> list[list[str]]:
+    """DOM -> list of blocks; block = list of normalized non-empty lines."""
+    events = walk_segments(root)
+    blocks: list[list[str]] = []
+    cur_block: list[str] = []
+    cur_line: list[str] = []
+
+    def flush_line() -> None:
+        raw = "".join(cur_line)
+        cur_line.clear()
+        line = unicodedata.normalize("NFC", " ".join(raw.split()))
+        if line:
+            cur_block.append(line)
+
+    def flush_block() -> None:
+        flush_line()
+        if cur_block:
+            blocks.append(list(cur_block))
+            cur_block.clear()
+
+    for kind, payload in events:
+        if kind == 0:
+            cur_line.append(payload)
+        elif kind == _LINE_BREAK:
+            flush_line()
+        else:
+            flush_block()
+    flush_block()
+    return blocks
+
+
+def split_words(line: str, offset: int) -> list[tuple[str, str, int, int]]:
+    """OCR-style word/punc segmentation of one normalized line (T22/T31).
+
+    Returns ``(word, punc, char_start, char_end)`` with offsets relative
+    to ``offset`` (the line's start in extracted_text). Semantics
+    (fusus/ocr.py:340-371): whitespace separates tokens; within a token,
+    a run of alphanumerics is a word, the following run of
+    non-alphanumerics is its punc; a token starting with punctuation
+    yields an empty-letters word; alphanumerics after punc start a new
+    word. ``line[s-offset:e-offset] == word + punc`` for every row.
+    """
+    out: list[tuple[str, str, int, int]] = []
+    i = 0
+    n = len(line)
+    while i < n:
+        if line[i] == " ":
+            i += 1
+            continue
+        start = i
+        # word: run of alphanumerics (unicode-aware)
+        while i < n and line[i] != " " and line[i].isalnum():
+            i += 1
+        word_end = i
+        # punc: run of non-alphanumerics, non-space
+        while i < n and line[i] != " " and not line[i].isalnum():
+            i += 1
+        out.append(
+            (
+                line[start:word_end],
+                line[word_end:i],
+                offset + start,
+                offset + i,
+            )
+        )
+    return out
+
+
+def assemble(
+    blocks: list[list[str]],
+) -> tuple[str, list[tuple[int, int, int, str, str, int, int]]]:
+    """Blocks -> (extracted_text, word rows).
+
+    Word rows: (block_id, line_id, word_seq, word, punc, char_start,
+    char_end). extracted_text = all lines joined with "\\n"; deterministic
+    slot ordering (W7: stable sequence numbering for byte-identical
+    goldens).
+    """
+    text_parts: list[str] = []
+    rows: list[tuple[int, int, int, str, str, int, int]] = []
+    offset = 0
+    for block_id, lines in enumerate(blocks):
+        for line_id, line in enumerate(lines):
+            if text_parts:
+                text_parts.append("\n")
+                offset += 1
+            text_parts.append(line)
+            for word_seq, (word, punc, s, e) in enumerate(split_words(line, offset)):
+                rows.append((block_id, line_id, word_seq, word, punc, s, e))
+            offset += len(line)
+    return "".join(text_parts), rows

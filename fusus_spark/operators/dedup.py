@@ -1,0 +1,257 @@
+"""Deduplication operators over a documents table.
+
+All variants are declarative DataFrame plans (shuffle-conscious):
+
+* exact        — one groupBy on a content hash (map-side combine free);
+* n-gram Jaccard — shingle explode + self-equi-join on shingle, then one
+                 aggregation per candidate pair (the classic
+                 inverted-index plan: only docs sharing >=1 shingle ever
+                 meet, so no O(n^2) cross join);
+* MinHash+LSH  — per-(doc, band) min-hash signature via min(md5(band||shingle)),
+                 candidates = equi-join on (band, signature): band
+                 collisions are the ONLY join fan-in, which is the whole
+                 point of LSH at 10^12 rows;
+* SimHash      — 64-bit signature in a vectorized pandas UDF (bit-level
+                 math is not expressible without a 64x row blowup);
+                 near-dups = band join on 4 x 16-bit chunks + Hamming check;
+* embedding    — cosine >= threshold pairs; brute force at small scale,
+                 LSH/IVF route in operators/similarity.py at large scale.
+
+Hash choice: md5 (not xxhash64) wherever a DuckDB oracle must reproduce
+the value — md5 is bit-identical across both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from fusus_spark.functions.text import cosine, norm_ws, shingles, tokens
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized text hash.
+
+    Returns (doc_id, rep_id, content_hash, group_size); rep_id = min id
+    of the group; is_dup derivable as doc_id != rep_id. One shuffle.
+    """
+    h = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(norm_ws(text_col)).alias("content_hash")
+    )
+    groups = h.groupBy("content_hash").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("group_size")
+    )
+    return (
+        h.join(groups, "content_hash")
+        .select("doc_id", "rep_id", "content_hash", "group_size")
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs with n-gram Jaccard >= threshold.
+
+    Plan: inverted index join on shingle (only co-occurring docs meet),
+    one agg for intersection size, broadcast-joined per-doc set sizes.
+    Returns (doc_a, doc_b, inter, size_a, size_b, jaccard), doc_a < doc_b.
+    """
+    sh = doc_shingles(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    out = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, band) MinHash signature: min(md5(band || ':' || shingle)).
+
+    One shuffle (groupBy doc_id+band with map-side partial min). The md5
+    string-min is a valid min-hash family member per band and is exactly
+    reproducible in the DuckDB oracle.
+    """
+    sh = doc_shingles(docs, n, id_col, text_col)
+    banded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "shingle",
+    )
+    return banded.groupBy("doc_id", "band").agg(
+        F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("shingle")))).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    bands: int = 8,
+    n: int = 3,
+    min_band_matches: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs: docs colliding on >= k of the LSH bands.
+
+    Join key = (band, sig) — the LSH bucket — so join fan-in is only real
+    collisions. Returns (doc_a, doc_b, band_matches).
+    """
+    sigs = minhash_signatures(docs, bands, n, id_col, text_col)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("band_matches"))
+        .where(F.col("band_matches") >= min_band_matches)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pandas-UDF signature; bit math is the genuine non-SQL case)
+
+_SIMHASH_SCHEMA = "doc_id long, simhash long"
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document via a vectorized Arrow batch UDF.
+
+    Token hash = first 8 bytes of md5 (stable everywhere); signature bit
+    i = sign of sum over tokens of (bit_i ? +1 : -1). Returned as signed
+    int64 (two's complement).
+    """
+    pruned = docs.select(F.col(id_col).alias("doc_id"), norm_ws(text_col).alias("t"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            sigs: list[int] = []
+            for t in pdf["t"].tolist():
+                toks = t.split(" ") if t else []
+                if not toks:
+                    sigs.append(0)
+                    continue
+                acc = np.zeros(64, dtype=np.int64)
+                for tok in toks:
+                    h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                    bits = (h >> np.arange(64)) & 1
+                    acc += 2 * bits.astype(np.int64) - 1
+                sig = 0
+                for i in range(64):
+                    if acc[i] > 0:
+                        sig |= 1 << i
+                # two's complement into signed int64
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    return pruned.mapInPandas(run, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash: band join on 4 x 16-bit chunks, then
+    exact Hamming distance filter (bit_count is JVM-side).
+
+    Pigeonhole: hamming <= 3 over 64 bits => at least one of the 4
+    16-bit chunks is identical, so the chunk equi-join finds all pairs
+    without a cross join.
+    """
+    sigs = simhash_signatures(docs, id_col, text_col)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
+    ).withColumn(
+        "chunk_val",
+        F.shiftright(F.col("simhash"), F.col("chunk") * F.lit(16)).bitwiseAND(F.lit(0xFFFF)),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ).where(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force; fine <= ~10^5 rows —
+    the LSH/IVF scale path lives in operators/similarity.py)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine(
+        F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round(sim, 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,134 @@
+"""Text analysis operators: language-ID, quality scoring, token stats,
+fingerprints. 100% JVM built-ins (whole-stage codegen; zero Python).
+
+Role analogs: measureQuality per-page/per-char stats
+(fusus/book.py:498-637, A3), word frequency top-k (tfFromTsv.py:736-746,
+A8/O5), transliteration-style scalar maps (T32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from fusus_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    norm_ws,
+    stopword_hits,
+    token_count,
+    tokens,
+)
+
+
+def doc_token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token stats: n_tokens, n_chars_norm, n_uniq, avg_token_len."""
+    t = tokens(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).alias("n_tokens"),
+        F.length(norm_ws(text_col)).alias("n_chars_norm"),
+        F.size(F.array_distinct(t)).alias("n_uniq"),
+        F.round(
+            F.when(F.size(t) > 0,
+                   F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x))
+                   / F.size(t)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score per doc (length / diversity / stopwords).
+
+    score = 0.4*min(1, n_tokens/100) + 0.3*uniq_ratio + 0.3*min(1, 5*stop_ratio)
+    — each component a built-in expression; rounded for oracle parity.
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    uniq_ratio = F.when(n > 0, F.size(F.array_distinct(t)) / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n > 0, stopword_hits(t, "en") / n).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(100.0))
+        + F.lit(0.3) * uniq_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(5.0) * stop_ratio)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_guess(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language-ID heuristic.
+
+    Scores each candidate language by stopword hits; argmax with
+    deterministic tie-break (higher hits, then language code asc),
+    'und' when nothing matches. Pure built-ins: one pass, no shuffle.
+    """
+    t = tokens(text_col)
+    scores = F.array(
+        *[
+            F.struct(
+                stopword_hits(t, lang).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(LANG_STOPWORDS)
+        ]
+    )
+    # argmax with asc tie-break: winners = entries at max hits, pick min lang
+    max_hits = F.array_max(F.transform(scores, lambda s: s["hits"]))
+    winners = F.filter(scores, lambda s: s["hits"] == max_hits)
+    win_lang = F.array_min(F.transform(winners, lambda s: s["lang"]))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("lang").alias("declared_lang"),
+        F.when(max_hits > 0, win_lang).otherwise(F.lit("und")).alias("guessed_lang"),
+        max_hits.alias("best_hits"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp")
+    )
+
+
+def top_words(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Global top-k word frequencies (A8/O5 analog) with deterministic
+    tie-break (count desc, word asc) so the result set is unique."""
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def word_freq_by_lang(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Top-k words per language (grouped top-k via window, O4 analog)."""
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return (
+        docs.select("lang", F.explode(tokens(text_col)).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def lang_distribution(docs: DataFrame) -> DataFrame:
+    """Corpus accounting per lang/source (measureQuality grand-total analog)."""
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
