@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction end-to-end on sf0.001;
+``queries()`` exposes every implemented operator (SURVEY.md §2 + the
+training-data-pipeline surface); ``oracle_sql()`` gives the DuckDB
+equivalent for each SQL-expressible query (rows-only for the genuinely
+non-SQL ops: dedup_simhash, knn_ivf, align_editions).
 """
 
 from __future__ import annotations
@@ -15,24 +15,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full HTML extraction pipeline over sf0.001 documents.
+
+    Wraps each document's text in deterministic boilerplate-laden HTML
+    chrome (in-plan, JVM-side), then runs decode -> DOM parse ->
+    boilerplate strip -> block/line/word segmentation inside one fused
+    Arrow mapInPandas stage and returns the word-level table.
+    """
+    from fusus_spark.plans.web_queries import q_extract_words
+
+    return q_extract_words(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from fusus_spark.plans.registry import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fusus_spark.plans.registry import ORACLES
+
+    return dict(ORACLES)

@@ -180,13 +180,12 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
                     continue
                 acc = np.zeros(64, dtype=np.int64)
                 for tok in toks:
-                    h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                    bits = (h >> np.arange(64)) & 1
+                    digest = hashlib.md5(tok.encode()).digest()[:8]
+                    bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
                     acc += 2 * bits.astype(np.int64) - 1
-                sig = 0
-                for i in range(64):
-                    if acc[i] > 0:
-                        sig |= 1 << i
+                sig = int.from_bytes(
+                    np.packbits((acc > 0).astype(np.uint8)).tobytes(), "big"
+                )
                 # two's complement into signed int64
                 if sig >= 1 << 63:
                     sig -= 1 << 64
@@ -212,7 +211,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
     ).withColumn(
         "chunk_val",
-        F.shiftright(F.col("simhash"), F.col("chunk") * F.lit(16)).bitwiseAND(F.lit(0xFFFF)),
+        F.expr("shiftright(simhash, chunk * 16) & 65535"),
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -231,9 +230,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return cand.withColumn(
-        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    ).where(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def embedding_near_pairs(

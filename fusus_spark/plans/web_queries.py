@@ -1,0 +1,523 @@
+"""Web/extraction/training-data queries + DuckDB oracles.
+
+Naming/aliasing rule (driver contract): every computed column is aliased
+IDENTICALLY in the Spark plan and the oracle SQL. Float-valued outputs
+are emitted as scaled BIGINTs (suffix `_e4` / `_e6` = x10^4 / x10^6,
+rounded) so the value-hash comparison never trips on float formatting.
+
+The extraction queries are the flagship: the Spark side runs the FULL
+engine (HTML wrap -> DOM parse -> boilerplate strip -> segment -> words)
+while the oracle tokenizes the raw text directly — they must agree
+byte-for-byte, which proves the whole pipeline end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fusus_spark.extraction.pipeline import (
+    extract_all,
+    extract_removals,
+    extracted_from_stage,
+    words_from_stage,
+)
+from fusus_spark.functions.text import LANG_STOPWORDS, norm_ws, tokens
+from fusus_spark.operators import dedup, similarity, textstats
+from fusus_spark.sources.testdata import WRAP_REMOVED_RULES, docs_as_web, load
+
+# Portable token expression for oracles (text columns are [a-z ] but we
+# normalize defensively). DuckDB regexp_replace needs the 'g' flag.
+_ORC_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_ORC_TOKS = f"string_split({_ORC_NORM}, ' ')"
+
+
+def _doc_id(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "doc_id", F.regexp_extract("url", r"doc/(\d+)$", 1).cast("bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extraction flagship
+
+
+def q_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = extract_all(docs_as_web(spark, sf_dir), num_partitions=32)
+    words = _doc_id(words_from_stage(stage))
+    return words.select(
+        "doc_id",
+        F.col("block_id").cast("int").alias("block_id"),
+        F.col("line_id").cast("int").alias("line_id"),
+        F.col("word_seq").cast("int").alias("word_seq"),
+        "word",
+        "punc",
+        F.col("char_start").cast("int").alias("char_start"),
+        F.col("char_end").cast("int").alias("char_end"),
+    )
+
+
+ORACLE_EXTRACT_WORDS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest({_ORC_TOKS}) AS word,
+         generate_subscripts({_ORC_TOKS}, 1) AS seq
+  FROM documents
+  WHERE length({_ORC_NORM}) > 0
+)
+SELECT doc_id,
+       0::INT AS block_id,
+       0::INT AS line_id,
+       (seq - 1)::INT AS word_seq,
+       word,
+       '' AS punc,
+       COALESCE(SUM(length(word) + 1) OVER (
+         PARTITION BY doc_id ORDER BY seq
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS char_start,
+       (COALESCE(SUM(length(word) + 1) OVER (
+         PARTITION BY doc_id ORDER BY seq
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(word))::INT AS char_end
+FROM toks
+"""
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = extract_all(docs_as_web(spark, sf_dir), num_partitions=32)
+    env = _doc_id(extracted_from_stage(stage))
+    return env.where(F.col("status") == "extracted").select("doc_id", "extracted_text")
+
+
+ORACLE_EXTRACT_TEXT = f"""
+SELECT doc_id, {_ORC_NORM} AS extracted_text
+FROM documents WHERE length({_ORC_NORM}) > 0
+"""
+
+
+def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = extract_all(docs_as_web(spark, sf_dir), num_partitions=32)
+    env = _doc_id(extracted_from_stage(stage))
+    return env.select(
+        "doc_id",
+        "status",
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+    )
+
+
+ORACLE_EXTRACT_STATS = f"""
+SELECT doc_id,
+       CASE WHEN length({_ORC_NORM}) > 0 THEN 'extracted' ELSE 'empty' END AS status,
+       CASE WHEN length({_ORC_NORM}) > 0 THEN 1 ELSE 0 END::INT AS n_blocks,
+       CASE WHEN length({_ORC_NORM}) > 0 THEN 1 ELSE 0 END::INT AS n_lines,
+       len({_ORC_TOKS})::INT AS n_words,
+       {len(WRAP_REMOVED_RULES)}::INT AS n_removed
+FROM documents
+"""
+
+
+def q_extract_removals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rem = extract_removals(docs_as_web(spark, sf_dir))
+    return (
+        rem.where(~F.col("kept"))
+        .groupBy("rule_id")
+        .agg(F.count("*").cast("bigint").alias("n_removed"))
+    )
+
+
+ORACLE_EXTRACT_REMOVALS = f"""
+SELECT rule_id, (SELECT count(*) FROM documents)::BIGINT AS n_removed
+FROM (SELECT unnest({list(WRAP_REMOVED_RULES)!r}) AS rule_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = textstats.doc_token_stats(load(spark, sf_dir, "documents"))
+    return stats.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_chars_norm").cast("int").alias("n_chars_norm"),
+        F.col("n_uniq").cast("int").alias("n_uniq"),
+        F.round(F.col("avg_token_len") * 10000).cast("bigint").alias("avg_token_len_e4"),
+    )
+
+
+ORACLE_TOKEN_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ORC_TOKS}) AS tok FROM documents
+)
+SELECT d.doc_id,
+       len({_ORC_TOKS})::INT AS n_tokens,
+       length({_ORC_NORM})::INT AS n_chars_norm,
+       t.n_uniq::INT AS n_uniq,
+       round(t.avg_len * 10000)::BIGINT AS avg_token_len_e4
+FROM documents d
+JOIN (SELECT doc_id, count(DISTINCT tok) AS n_uniq,
+             round(avg(length(tok)), 6) AS avg_len
+      FROM toks GROUP BY doc_id) t USING (doc_id)
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = textstats.quality_score(load(spark, sf_dir, "documents"))
+    return qs.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round(F.col("uniq_ratio") * 1000000).cast("bigint").alias("uniq_ratio_e6"),
+        F.round(F.col("stop_ratio") * 1000000).cast("bigint").alias("stop_ratio_e6"),
+        F.round(F.col("quality") * 1000000).cast("bigint").alias("quality_e6"),
+    )
+
+
+_EN_STOPS_SQL = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
+
+ORACLE_QUALITY_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ORC_TOKS}) AS tok FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n,
+         count(DISTINCT tok) AS n_uniq,
+         count(*) FILTER (WHERE tok IN ({_EN_STOPS_SQL})) AS stops
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       n::INT AS n_tokens,
+       round(round(n_uniq / n, 6) * 1000000)::BIGINT AS uniq_ratio_e6,
+       round(round(stops / n, 6) * 1000000)::BIGINT AS stop_ratio_e6,
+       round(round(0.4 * least(1.0, n / 100.0)
+             + 0.3 * (n_uniq / n)
+             + 0.3 * least(1.0, 5.0 * (stops / n)), 6) * 1000000)::BIGINT AS quality_e6
+FROM agg
+"""
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_guess(load(spark, sf_dir, "documents")).select(
+        "doc_id", "declared_lang", "guessed_lang",
+        F.col("best_hits").cast("int").alias("best_hits"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+    return f"count(*) FILTER (WHERE tok IN ({stops}))"
+
+
+ORACLE_LANG_GUESS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ORC_TOKS}) AS tok FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         {_lang_hits_sql('de')} AS h_de,
+         {_lang_hits_sql('en')} AS h_en,
+         {_lang_hits_sql('es')} AS h_es,
+         {_lang_hits_sql('fr')} AS h_fr
+  FROM toks GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, greatest(h_de, h_en, h_es, h_fr) AS best,
+         CASE greatest(h_de, h_en, h_es, h_fr)
+           WHEN h_de THEN 'de' WHEN h_en THEN 'en'
+           WHEN h_es THEN 'es' ELSE 'fr' END AS win
+  FROM hits
+)
+SELECT d.doc_id, d.lang AS declared_lang,
+       CASE WHEN r.best > 0 THEN r.win ELSE 'und' END AS guessed_lang,
+       r.best::INT AS best_hits
+FROM documents d JOIN ranked r USING (doc_id)
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_fingerprints(load(spark, sf_dir, "documents"))
+
+
+ORACLE_DOC_FINGERPRINTS = f"SELECT doc_id, md5({_ORC_NORM}) AS fp FROM documents"
+
+
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.top_words(load(spark, sf_dir, "documents"), k=20).select(
+        "word", F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+ORACLE_TOP_WORDS = f"""
+WITH toks AS (SELECT unnest({_ORC_TOKS}) AS word FROM documents),
+counted AS (SELECT word, count(*)::BIGINT AS cnt FROM toks GROUP BY word)
+SELECT word, cnt, rank FROM (
+  SELECT word, cnt,
+         row_number() OVER (ORDER BY cnt DESC, word ASC)::INT AS rank
+  FROM counted) WHERE rank <= 20
+"""
+
+
+def q_word_freq_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.word_freq_by_lang(load(spark, sf_dir, "documents"), k=5).select(
+        "lang", "word", F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+ORACLE_WORD_FREQ_BY_LANG = f"""
+WITH toks AS (SELECT lang, unnest({_ORC_TOKS}) AS word FROM documents),
+counted AS (SELECT lang, word, count(*)::BIGINT AS cnt FROM toks GROUP BY lang, word)
+SELECT lang, word, cnt, rank FROM (
+  SELECT lang, word, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word ASC)::INT AS rank
+  FROM counted) WHERE rank <= 5
+"""
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = textstats.lang_distribution(load(spark, sf_dir, "documents"))
+    return d.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        F.round(F.col("avg_chars") * 10000).cast("bigint").alias("avg_chars_e4"),
+        F.col("min_chars").cast("bigint").alias("min_chars"),
+        F.col("max_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+ORACLE_LANG_DISTRIBUTION = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       round(round(avg(n_chars), 4) * 10000)::BIGINT AS avg_chars_e4,
+       min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dedup.exact_duplicates(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "rep_id", "content_hash",
+        F.col("group_size").cast("bigint").alias("group_size"),
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH h AS (SELECT doc_id, md5({_ORC_NORM}) AS content_hash FROM documents),
+g AS (SELECT content_hash, min(doc_id) AS rep_id, count(*)::BIGINT AS group_size
+      FROM h GROUP BY content_hash)
+SELECT h.doc_id, g.rep_id, h.content_hash, g.group_size FROM h JOIN g USING (content_hash)
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), n=1, threshold=0.9)
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        F.round(F.col("jaccard") * 1000000).cast("bigint").alias("jaccard_e6"),
+    )
+
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH sh AS (SELECT DISTINCT doc_id, unnest({_ORC_TOKS}) AS s FROM documents),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter, sa.n AS size_a, sb.n AS size_b,
+       round(round(inter / (sa.n + sb.n - inter), 6) * 1000000)::BIGINT AS jaccard_e6
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.9
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), bands=4, n=2, min_band_matches=2
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.col("band_matches").cast("bigint").alias("band_matches")
+    )
+
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH toks AS (SELECT doc_id, {_ORC_TOKS} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS shingle
+       FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+       WHERE len(t) >= 2),
+banded AS (SELECT doc_id, b.band, min(md5(band || ':' || shingle)) AS sig
+           FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b
+           GROUP BY doc_id, b.band)
+SELECT doc_a, doc_b, band_matches FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS band_matches
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2) WHERE band_matches >= 2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — bit-level op, no SQL oracle (rows-only)."""
+    return dedup.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=16)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.embedding_near_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+    return pairs.select("id_a", "id_b")
+
+
+ORACLE_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, similarity.make_queries(emb, 5), k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+ORACLE_KNN_BRUTEFORCE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS s
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC)::INT AS rank
+  FROM sims) WHERE rank <= 10
+"""
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN — approximate by design, no SQL oracle (rows-only);
+    recall vs brute force is asserted in tests/test_operators.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, similarity.make_queries(emb, 5), k=10,
+                              n_centroids=8, n_probes=2)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns; decode is a deterministic stub)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata pass: payload size + magic-byte prefix.
+
+    The 'payload' is the utf-8 encoding of text (a stand-in binary
+    column; the real pipeline would carry image/audio bytes — schema
+    and plumbing identical)."""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.upper(F.substring(F.hex(payload), 1, 8)).alias("magic_hex"),
+    )
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       upper(substr(hex(encode(text)), 1, 8)) AS magic_hex
+FROM documents
+"""
+
+
+def q_align_editions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-edition fuzzy alignment (J1, fusus/align.py doDiffs analog).
+
+    Edition A = the documents' token streams; edition B = a
+    deterministic perturbation (every 17th token dropped, every 23rd
+    mutated) — the OCR-noise analog. Aligned per doc via
+    cogroup+applyInPandas. Rows-only check (inherently sequential
+    algorithm, no SQL equivalent); invariants in tests/test_align.py.
+    """
+    from fusus_spark.operators.align import align_editions
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.posexplode(tokens("text")).alias("slot", "word"),
+    ).select("url", F.col("slot").cast("long").alias("slot"), "word")
+    ed_b = (
+        toks.where(F.pmod(F.col("slot"), F.lit(17)) != 3)
+        .withColumn(
+            "word",
+            F.when(F.pmod(F.col("slot"), F.lit(23)) == 5,
+                   F.concat(F.col("word"), F.lit("x"))).otherwise(F.col("word")),
+        )
+        .withColumn(
+            "slot",
+            (F.row_number().over(
+                Window.partitionBy("url").orderBy("slot")
+            ) - 1).cast("long"),
+        )
+    )
+    return align_editions(toks, ed_b)
+
+
+WEB_QUERIES: dict = {
+    "align_editions": q_align_editions,
+    "extract_words": q_extract_words,
+    "extract_text": q_extract_text,
+    "extract_stats": q_extract_stats,
+    "extract_removals": q_extract_removals,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_guess": q_lang_guess,
+    "doc_fingerprints": q_doc_fingerprints,
+    "top_words": q_top_words,
+    "word_freq_by_lang": q_word_freq_by_lang,
+    "lang_distribution": q_lang_distribution,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_ivf": q_knn_ivf,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+WEB_ORACLES: dict[str, str] = {
+    "extract_words": ORACLE_EXTRACT_WORDS,
+    "extract_text": ORACLE_EXTRACT_TEXT,
+    "extract_stats": ORACLE_EXTRACT_STATS,
+    "extract_removals": ORACLE_EXTRACT_REMOVALS,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "lang_guess": ORACLE_LANG_GUESS,
+    "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
+    "top_words": ORACLE_TOP_WORDS,
+    "word_freq_by_lang": ORACLE_WORD_FREQ_BY_LANG,
+    "lang_distribution": ORACLE_LANG_DISTRIBUTION,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
+    "multimodal_meta": ORACLE_MULTIMODAL_META,
+    # rows-only (deliberately no oracle): dedup_simhash, knn_ivf
+}

@@ -1,0 +1,166 @@
+"""Per-partition checkpoint ledger: resume-exactly job mechanics.
+
+North-rule requirement (BASELINE.json): a killed run resumes exactly,
+with per-partition lineage + rows/bytes metrics. The reference's unit
+of restart is the page file (fusus/book.py:463-485: outputs keyed by
+page, re-run only selected pages); ours is the **url-hash bucket**:
+
+* input is laid out partitioned by ``bucket = pmod(xxhash64(url, salt), N)``
+  (at real scale: Iceberg ``days(warc_ts) + bucket(N, url)`` — reading
+  one bucket prunes to one partition directory, never a full scan);
+* each bucket is processed independently and committed atomically:
+  output parquet written to ``out/bucket=k`` with dynamic partition
+  overwrite, THEN the ledger row is written via tmp-file + rename
+  (POSIX-atomic). A crash between the two leaves the bucket un-marked
+  and it is simply redone — idempotent because the overwrite replaces
+  the whole bucket;
+* resume = skip buckets whose ledger row says done AND whose recorded
+  input lineage still matches.
+
+The ledger is a directory of one small JSON file per bucket — the same
+shape an Iceberg ``_progress`` table would have; files keep the sandbox
+dependency-free and the commit atomic without a table format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fusus_spark.extraction.pipeline import extract_stage, words_from_stage
+
+BUCKET_SALT = 42
+
+
+def with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
+    return docs.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col("url"), F.lit(BUCKET_SALT)), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def write_bucketed_input(docs: DataFrame, path: str, n_buckets: int) -> None:
+    """Lay out the input partitioned by bucket (partition-pruned reads)."""
+    with_bucket(docs, n_buckets).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def input_lineage(input_path: str, bucket: int) -> str:
+    """Lineage id for one input bucket: hash of (name, size) of its files."""
+    import hashlib
+
+    d = os.path.join(input_path, f"bucket={bucket}")
+    entries = []
+    if os.path.isdir(d):
+        for f in sorted(os.listdir(d)):
+            p = os.path.join(d, f)
+            if f.endswith(".parquet"):
+                entries.append(f"{f}:{os.path.getsize(p)}")
+    return hashlib.md5("|".join(entries).encode()).hexdigest()
+
+
+class Ledger:
+    """Directory-backed _progress table (FIXTURES.md §4 schema)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _file(self, bucket: int) -> str:
+        return os.path.join(self.path, f"bucket={bucket}.json")
+
+    def get(self, bucket: int) -> dict | None:
+        try:
+            with open(self._file(bucket)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def is_done(self, bucket: int, lineage: str | None = None) -> bool:
+        rec = self.get(bucket)
+        if rec is None or rec.get("status") != "done":
+            return False
+        return lineage is None or rec.get("input_snapshot_id") == lineage
+
+    def mark_done(self, bucket: int, **metrics) -> None:
+        rec = {
+            "partition_id": f"bucket={bucket}",
+            "status": "done",
+            "attempt": (self.get(bucket) or {}).get("attempt", 0) + 1,
+            **metrics,
+        }
+        tmp = self._file(bucket) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, self._file(bucket))  # atomic commit
+
+    def rows(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.path)):
+            if f.endswith(".json"):
+                with open(os.path.join(self.path, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    ledger_path: str,
+    n_buckets: int,
+    *,
+    fail_after: int | None = None,
+    max_html_bytes: int = 4 * 1024 * 1024,
+) -> dict:
+    """Resumable bucket-at-a-time extraction job.
+
+    ``fail_after=k`` injects a crash after k buckets (for the
+    kill/resume acceptance test). Returns summary metrics.
+    """
+    ledger = Ledger(ledger_path)
+    done_now = 0
+    skipped = 0
+    for bucket in range(n_buckets):
+        lineage = input_lineage(input_path, bucket)
+        if ledger.is_done(bucket, lineage):
+            skipped += 1
+            continue
+        if fail_after is not None and done_now >= fail_after:
+            raise RuntimeError(f"injected failure after {done_now} buckets")
+        t0 = time.time()
+        # Partition-pruned read: only this bucket's files are scanned.
+        docs = spark.read.parquet(input_path).where(F.col("bucket") == bucket)
+        stats = docs.agg(
+            F.count("*").alias("rows_in"),
+            F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).alias("bytes_in"),
+        ).first()
+        stage = extract_stage(docs, max_html_bytes=max_html_bytes)
+        words = words_from_stage(stage)
+        out_dir = os.path.join(output_path, f"bucket={bucket}")
+        words.write.mode("overwrite").parquet(out_dir)  # idempotent per-bucket
+        rows_out = spark.read.parquet(out_dir).count()
+        bytes_out = sum(
+            os.path.getsize(os.path.join(out_dir, f))
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+        ledger.mark_done(
+            bucket,
+            rows_in=stats["rows_in"],
+            rows_out=rows_out,
+            bytes_in=stats["bytes_in"],
+            bytes_out=bytes_out,
+            input_snapshot_id=lineage,
+            wall_ms=int((time.time() - t0) * 1000),
+        )
+        done_now += 1
+    return {
+        "buckets": n_buckets,
+        "processed": done_now,
+        "skipped": skipped,
+        "ledger_rows": len(ledger.rows()),
+    }

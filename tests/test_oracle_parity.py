@@ -1,0 +1,66 @@
+"""Pytest wrapper over the oracle-parity harness (driver-contract guard).
+
+Runs a representative subset at sf0.001 (fast) — the full sweep is
+``python tools/parity.py /root/testdata/sf0.01``.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from fusus_spark.sources.testdata import TABLES
+from tools.parity import value_hash
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FAST_SUBSET = [
+    "extract_words",
+    "extract_text",
+    "token_stats",
+    "top_words",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "pricing_summary",
+    "sessionize",
+    "events_daily",
+    "multimodal_meta",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", FAST_SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    sdf = qs[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    orc = duck.sql(oracles[name])
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows), f"{name}: row count"
+    assert sorted(sdf.columns) == sorted(orc.columns), f"{name}: schema"
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows), (
+        f"{name}: value hash"
+    )
+
+
+def test_entry_contract(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "word" in df.columns and "char_start" in df.columns
+
+
+def test_every_oracle_key_has_query():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30

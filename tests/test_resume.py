@@ -1,0 +1,111 @@
+"""Kill/resume acceptance test (north rule: resume-exactly).
+
+Run the bucketed extraction job, inject a crash after k buckets,
+resume, and assert the final output is byte-identical to a single
+uninterrupted run — plus ledger completeness and lineage invalidation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fusus_spark.schema import DOCUMENTS_SCHEMA
+from fusus_spark.sources.ledger import (
+    Ledger,
+    input_lineage,
+    run_extraction_job,
+    write_bucketed_input,
+)
+from tests.fixtures import fixture_documents
+
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def bucketed_input(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("job") / "input")
+    rows = [
+        (d["url"], d["warc_ts"], d["html"], d["text"], d["lang"])
+        for d in fixture_documents()
+    ]
+    docs = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+    write_bucketed_input(docs, path, N_BUCKETS)
+    return path
+
+
+def _corpus_hash(spark, out_path: str) -> str:
+    df = spark.read.parquet(out_path)
+    return (
+        df.orderBy("url", "block_id", "line_id", "word_seq")
+        .select(
+            F.md5(
+                F.concat_ws("\x1f", "url", "block_id", "line_id", "word_seq",
+                            "word", "punc", "char_start", "char_end")
+            ).alias("h")
+        )
+        .agg(F.md5(F.concat_ws("", F.collect_list("h"))).alias("ch"))
+        .first()["ch"]
+    )
+
+
+def test_kill_and_resume_identical(spark, bucketed_input, tmp_path):
+    # Reference run: uninterrupted.
+    ref_out = str(tmp_path / "ref_out")
+    ref_ledger = str(tmp_path / "ref_ledger")
+    summary = run_extraction_job(
+        spark, bucketed_input, ref_out, ref_ledger, N_BUCKETS
+    )
+    assert summary["processed"] == N_BUCKETS
+    ref_hash = _corpus_hash(spark, ref_out + "/bucket=*")
+
+    # Killed run: crash after 2 buckets.
+    out = str(tmp_path / "out")
+    ledger_path = str(tmp_path / "ledger")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction_job(
+            spark, bucketed_input, out, ledger_path, N_BUCKETS, fail_after=2
+        )
+    ledger = Ledger(ledger_path)
+    done_after_crash = [r["partition_id"] for r in ledger.rows()]
+    assert len(done_after_crash) == 2
+
+    # Resume: must process exactly the remaining buckets.
+    summary2 = run_extraction_job(spark, bucketed_input, out, ledger_path, N_BUCKETS)
+    assert summary2["skipped"] == 2
+    assert summary2["processed"] == N_BUCKETS - 2
+
+    # Final state identical to uninterrupted run.
+    assert _corpus_hash(spark, out + "/bucket=*") == ref_hash
+
+    # Ledger: one row per bucket with lineage + metrics.
+    rows = ledger.rows()
+    assert len(rows) == N_BUCKETS
+    for r in rows:
+        assert r["status"] == "done"
+        assert r["rows_in"] > 0
+        assert r["bytes_in"] > 0
+        assert r["input_snapshot_id"]
+        assert r["wall_ms"] >= 0
+
+    # Idempotence: immediate re-run skips everything.
+    summary3 = run_extraction_job(spark, bucketed_input, out, ledger_path, N_BUCKETS)
+    assert summary3["processed"] == 0
+    assert summary3["skipped"] == N_BUCKETS
+
+
+def test_lineage_invalidation(spark, bucketed_input, tmp_path):
+    out = str(tmp_path / "out2")
+    ledger_path = str(tmp_path / "ledger2")
+    run_extraction_job(spark, bucketed_input, out, ledger_path, N_BUCKETS)
+    ledger = Ledger(ledger_path)
+    lineage0 = input_lineage(bucketed_input, 0)
+    assert ledger.is_done(0, lineage0)
+    # If the input bucket changes, the bucket is no longer considered done.
+    assert not ledger.is_done(0, "different-lineage")
+    # Corrupt ledger file -> treated as not-done (safe redo, not crash).
+    with open(os.path.join(ledger_path, "bucket=1.json"), "w") as f:
+        f.write("{broken json")
+    assert not ledger.is_done(1, input_lineage(bucketed_input, 1))
