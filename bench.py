@@ -1,0 +1,162 @@
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and reports per-query
+wall seconds plus extraction throughput (docs/sec, GB/sec — the
+BASELINE.json metric).
+
+The extraction benchmark replicates each document REPLICATE times (with
+distinct urls, in-plan) so the html volume is large enough that compute
+dominates fixed overheads; docs/sec and GB/sec are computed against the
+replicated volume actually parsed.
+
+Modes:
+  python bench.py                 # full suite, one JSON line on stdout
+  python bench.py --extract-only  # just the extraction job (scaling runs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_docs(spark, sf_dir: str, replicate: int):
+    """sf documents -> replicated web-document table (url, html, lang)."""
+    from pyspark.sql import functions as F
+
+    from fusus_spark.sources.testdata import WRAP_HEAD, WRAP_TAIL
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = raw.select(
+        "doc_id", "text", "lang",
+        F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("rep"),
+    )
+    return rep.select(
+        F.concat(F.lit("https://ex.com/doc/"), "doc_id", F.lit("/r/"), "rep").alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.concat(F.lit(WRAP_HEAD), F.col("text"), F.lit(WRAP_TAIL)), "utf-8").alias("html"),
+        "text", "lang",
+    )
+
+
+BENCH_PARTITIONS = 64  # fixed across core counts: same task granularity
+
+
+def bench_extraction(spark, sf_dir: str, replicate: int, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from fusus_spark.extraction.pipeline import (
+        extract_stage,
+        repartition_salted,
+        words_from_stage,
+    )
+
+    # Pre-partition the input BEFORE the timed run: at the design scale
+    # the input arrives bucketed from Iceberg partitions; a single-file
+    # parquet read would otherwise serialize the shuffle map side and
+    # poison the scaling measurement.
+    docs = repartition_salted(build_docs(spark, sf_dir, replicate), BENCH_PARTITIONS)
+    n_docs, total_bytes = docs.agg(
+        F.count("*"), F.sum(F.octet_length("html"))
+    ).first()
+    # warm: materialize input once so the timed run measures extraction,
+    # and run a tiny extraction to spin up executor Python workers.
+    docs = docs.cache()
+    docs.count()
+    words_from_stage(extract_stage(docs.limit(256))).count()
+    t0 = time.time()
+    stage = extract_stage(docs)
+    n_words = words_from_stage(stage).count()
+    wall = time.time() - t0
+    docs.unpersist()
+    return {
+        "wall_s": round(wall, 3),
+        "n_docs": n_docs,
+        "n_words": n_words,
+        "bytes_in": int(total_bytes),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "gb_per_sec": round(total_bytes / wall / 1e9, 4),
+    }
+
+
+# NOTE: dedup_jaccard (inverted-index unigram join) is deliberately NOT a
+# headline query: on this synthetic corpus every doc shares the tiny
+# common vocabulary, so the shingle join degenerates toward all-pairs at
+# sf0.1 — the exact blowup MinHash-LSH (which IS benched) exists to avoid.
+HEADLINE = [
+    "extract_words",
+    "token_stats",
+    "top_words",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "pricing_summary",
+    "top_orders",
+    "nation_revenue",
+    "sessionize",
+    "running_value",
+    "events_daily",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("FUSUS_BENCH_REPLICATE", "20"))
+    extract_only = "--extract-only" in sys.argv
+
+    from fusus_spark.session import get_spark
+
+    spark = get_spark(
+        "fusus-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    ext = bench_extraction(spark, sf_dir, replicate, cpus)
+
+    if extract_only:
+        print(json.dumps({"mode": "extract-only", "cpus": cpus, "sf": sf, **ext}))
+        spark.stop()
+        return
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {"extraction_pipeline": ext["wall_s"]}
+    for name in HEADLINE:
+        if name == "extract_words":
+            continue  # covered by extraction_pipeline at replicated volume
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (extraction replicated x"
+                f"{replicate}; docs/sec and GB/sec in extras)",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "extras": {
+                    "cpus": cpus,
+                    "extraction_docs_per_sec": ext["docs_per_sec"],
+                    "extraction_gb_per_sec": ext["gb_per_sec"],
+                    "extraction_docs": ext["n_docs"],
+                    "extraction_bytes_in": ext["bytes_in"],
+                    "extraction_words_out": ext["n_words"],
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -66,8 +66,10 @@ class GuardConfig:
 DEFAULT_GUARD = GuardConfig()
 
 
-def _link_density(node: Node) -> float:
-    """chars inside <a> / total chars of the node (0.0 for empty)."""
+def _visible_stats(node: Node) -> tuple[int, int]:
+    """(total_chars, linked_chars) of RENDERED text — pruned subtrees
+    (script/style/head/...) are excluded so the guard measures what a
+    reader would see, not payload bytes."""
     total = 0
     linked = 0
     stack: list[tuple[Node | str, bool]] = [(node, False)]
@@ -79,10 +81,12 @@ def _link_density(node: Node) -> float:
             if in_a:
                 linked += k
         else:
+            if n.tag in PRUNE_TAGS:
+                continue
             child_in_a = in_a or n.tag == "a"
             for c in n.children:
                 stack.append((c, child_in_a))
-    return (linked / total) if total else 0.0
+    return total, linked
 
 
 def _match_rule(node: Node) -> tuple[str, float] | None:
@@ -136,8 +140,10 @@ def strip_boilerplate(
             rule = _match_rule(child)
             if rule is not None:
                 rule_id, score = rule
-                text_len = len(" ".join(child.iter_text().split()))
-                density = _link_density(child)
+                total, linked = _visible_stats(child)
+                # whitespace-insensitive char count of rendered text
+                text_len = total
+                density = (linked / total) if total else 0.0
                 keep = text_len >= guard.min_chars and density <= guard.max_link_density
                 removals.append((rule_id, cpath, keep, score, round(density, 6)))
                 if not keep:

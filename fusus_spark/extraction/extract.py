@@ -19,7 +19,7 @@ from fusus_spark.extraction.boilerplate import (
     GuardConfig,
     strip_boilerplate,
 )
-from fusus_spark.extraction.domparse import parse_html
+from fusus_spark.extraction.domparse_fast import parse_html_fast as parse_html
 from fusus_spark.extraction.segment import assemble, segment_blocks
 
 # Payload size cap (maxHits-guard analog, fusus/parameters.py:337-345 +

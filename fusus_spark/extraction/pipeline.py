@@ -40,70 +40,98 @@ _STAGE_COLS = [f.name for f in EXTRACTION_STAGE_SCHEMA.fields]
 
 
 def _extract_batch(pdf: pd.DataFrame, max_html_bytes: int) -> pd.DataFrame:
-    """One Arrow batch of documents -> word+envelope rows (pure pandas)."""
-    out: dict[str, list[Any]] = {c: [] for c in _STAGE_COLS}
+    """One Arrow batch of documents -> word rows + per-url envelope rows.
 
+    Layout: every url emits exactly ONE envelope row (word_seq = -1,
+    carrying status/counts/extracted_text) plus one row per word
+    (word_seq >= 0, envelope columns null). Columns are built with
+    C-speed ``zip(*rows)``/``extend`` and typed pandas arrays — the
+    Arrow conversion cost dominates this stage at scale, so no per-word
+    Python-level appends.
+    """
     urls = pdf["url"].tolist()
     htmls = pdf["html"].tolist()
     langs = pdf["lang"].tolist() if "lang" in pdf.columns else [None] * len(urls)
 
+    # word-row accumulators
+    w_url: list[str] = []
+    w_lang: list[Any] = []
+    w_status: list[str] = []
+    w_block: list[int] = []
+    w_line: list[int] = []
+    w_seq: list[int] = []
+    w_word: list[str] = []
+    w_punc: list[str] = []
+    w_cs: list[int] = []
+    w_ce: list[int] = []
+    # envelope-row accumulators (one per url)
+    e_url: list[str] = []
+    e_lang: list[Any] = []
+    e_status: list[str] = []
+    e_blocks: list[int] = []
+    e_lines: list[int] = []
+    e_words: list[int] = []
+    e_removed: list[int] = []
+    e_text: list[str | None] = []
+    e_err: list[str | None] = []
+
     for url, html, lang in zip(urls, htmls, langs):
         res = extract_document(html, max_html_bytes=max_html_bytes)
-        envelope = (
-            res["n_blocks"],
-            res["n_lines"],
-            res["n_words"],
-            res["n_removed"],
-            res["extracted_text"] if res["words"] else None,
-            res["error"],
-        )
-        if res["words"]:
-            first = True
-            for block_id, line_id, word_seq, word, punc, cs, ce in res["words"]:
-                out["url"].append(url)
-                out["lang"].append(lang)
-                out["status"].append(res["status"])
-                out["block_id"].append(block_id)
-                out["line_id"].append(line_id)
-                out["word_seq"].append(word_seq)
-                out["word"].append(word)
-                out["punc"].append(punc)
-                out["char_start"].append(cs)
-                out["char_end"].append(ce)
-                # envelope columns only on the first row per url to keep
-                # the Arrow batch small; per-url tables re-derive via
-                # filter on word_seq == 0 / first().
-                if first:
-                    for name, val in zip(
-                        ("n_blocks", "n_lines", "n_words", "n_removed",
-                         "extracted_text", "error"),
-                        envelope,
-                    ):
-                        out[name].append(val)
-                    first = False
-                else:
-                    for name in ("n_blocks", "n_lines", "n_words",
-                                 "n_removed", "extracted_text", "error"):
-                        out[name].append(None)
-        else:
-            out["url"].append(url)
-            out["lang"].append(lang)
-            out["status"].append(res["status"])
-            out["block_id"].append(None)
-            out["line_id"].append(None)
-            out["word_seq"].append(-1)
-            out["word"].append(None)
-            out["punc"].append(None)
-            out["char_start"].append(None)
-            out["char_end"].append(None)
-            out["n_blocks"].append(res["n_blocks"])
-            out["n_lines"].append(res["n_lines"])
-            out["n_words"].append(0)
-            out["n_removed"].append(res["n_removed"])
-            out["extracted_text"].append(None)
-            out["error"].append(res["error"])
+        rows = res["words"]
+        if rows:
+            bl, ln, sq, wd, pc, cs, ce = zip(*rows)
+            n = len(rows)
+            w_url.extend([url] * n)
+            # lang/status live on the envelope row only: repeating them
+            # per word costs 2 string cells x rows in the Arrow channel.
+            w_lang.extend([None] * n)
+            w_status.extend([None] * n)
+            w_block.extend(bl)
+            w_line.extend(ln)
+            w_seq.extend(sq)
+            w_word.extend(wd)
+            w_punc.extend(pc)
+            w_cs.extend(cs)
+            w_ce.extend(ce)
+        e_url.append(url)
+        e_lang.append(lang)
+        e_status.append(res["status"])
+        e_blocks.append(res["n_blocks"])
+        e_lines.append(res["n_lines"])
+        e_words.append(res["n_words"])
+        e_removed.append(res["n_removed"])
+        e_text.append(res["extracted_text"] if rows else None)
+        e_err.append(res["error"])
 
-    return pd.DataFrame(out, columns=_STAGE_COLS)
+    nw, ne = len(w_url), len(e_url)
+    # Build columns explicitly (typed; nullable ints via pandas arrays).
+    out = pd.DataFrame(
+        {
+            "url": w_url + e_url,
+            "lang": w_lang + e_lang,
+            "status": w_status + e_status,
+            "block_id": _i32(w_block, [None] * ne),
+            "line_id": _i32(w_line, [None] * ne),
+            "word_seq": _i32(w_seq, [-1] * ne),
+            "word": w_word + [None] * ne,
+            "punc": w_punc + [None] * ne,
+            "char_start": _i32(w_cs, [None] * ne),
+            "char_end": _i32(w_ce, [None] * ne),
+            "n_blocks": _i32([None] * nw, e_blocks),
+            "n_lines": _i32([None] * nw, e_lines),
+            "n_words": _i32([None] * nw, e_words),
+            "n_removed": _i32([None] * nw, e_removed),
+            "extracted_text": [None] * nw + e_text,
+            "error": [None] * nw + e_err,
+        },
+        columns=_STAGE_COLS,
+    )
+    return out
+
+
+def _i32(a: list, b: list) -> pd.arrays.IntegerArray:
+    """Concatenate two lists into a nullable Int32 pandas array (fast path)."""
+    return pd.array(a + b, dtype="Int32")
 
 
 def extract_stage(
@@ -138,12 +166,10 @@ def words_from_stage(stage: DataFrame) -> DataFrame:
 def extracted_from_stage(stage: DataFrame) -> DataFrame:
     """Stage rows -> per-url envelope (EXTRACTED_SCHEMA order).
 
-    One row per url, including empty/error/capped urls.
+    Exactly one row per url (the word_seq = -1 envelope row), including
+    empty/error/capped urls.
     """
-    env = stage.where(
-        (F.col("word_seq") == -1)
-        | ((F.col("word_seq") == 0) & (F.col("line_id") == 0) & (F.col("block_id") == 0))
-    )
+    env = stage.where(F.col("word_seq") == -1)
     return env.select(
         "url",
         "status",
@@ -236,9 +262,9 @@ def extract_all(
 def count_extracted(stage: DataFrame) -> dict[str, int]:
     """Driver-side accounting (A4/A5 metrics analog): status counts."""
     rows = (
-        stage.where(F.col("word_seq").isin(-1, 0))
+        stage.where(F.col("word_seq") == -1)
         .groupBy("status")
-        .agg(F.countDistinct("url").alias("n"))
+        .agg(F.count("*").alias("n"))
         .collect()
     )
     out = {r["status"]: r["n"] for r in rows}

@@ -65,8 +65,8 @@ EXTRACTED_SCHEMA = T.StructType(
 EXTRACTION_STAGE_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
-        T.StructField("lang", T.StringType(), True),
-        T.StructField("status", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),  # envelope rows only
+        T.StructField("status", T.StringType(), True),  # envelope rows only
         T.StructField("block_id", T.IntegerType(), True),
         T.StructField("line_id", T.IntegerType(), True),
         T.StructField("word_seq", T.IntegerType(), True),
