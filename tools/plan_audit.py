@@ -1,0 +1,72 @@
+"""Physical-plan audit: .explain('formatted') for the headline queries.
+
+Checks the plans Catalyst actually builds:
+  * parquet scans show PushedFilters / pruned ReadSchema,
+  * small dims are broadcast (BroadcastHashJoin, not SortMergeJoin),
+  * aggregations are partial+final (no single-stage agg),
+  * WholeStageCodegen spans cover the relational tail,
+  * the extraction stage has exactly one ArrowEvalPython / MapInPandas.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHECKS = {
+    "extract_words": [("MapInPandas", True), ("Exchange", None)],
+    "top_orders": [("BroadcastHashJoin", True)],
+    "nation_revenue": [("BroadcastHashJoin", True), ("HashAggregate", True)],
+    "pricing_summary": [("HashAggregate", True), ("PushedFilters", None)],
+    "token_stats": [("codegen id", True)],  # whole-stage codegen spans
+    "knn_bruteforce": [("BroadcastNestedLoopJoin", None), ("Window", True)],
+    "dedup_minhash_lsh": [("HashAggregate", True)],
+    "sessionize": [("Window", True)],
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or list(CHECKS)
+
+    import __spark_entry__ as entrymod
+    from fusus_spark.session import get_spark
+
+    spark = get_spark("plan-audit", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    failures = []
+    import contextlib
+    import io
+
+    for name in only:
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        print(f"\n{'='*70}\n{name}\n{'='*70}")
+        # condensed: operator lines only
+        for line in plan.splitlines():
+            if re.match(r"^[\s*(+-]*[A-Z]", line) and "==" not in line:
+                print(line[:120])
+        for needle, required in CHECKS.get(name, []):
+            present = needle in plan
+            marker = "OK " if (present or not required) else "MISS"
+            if required and not present:
+                failures.append((name, needle))
+            print(f"  [{marker}] {needle}: {'present' if present else 'absent'}")
+    spark.stop()
+    if failures:
+        print("\nFAILED checks:", failures)
+        sys.exit(1)
+    print("\nall required plan features present")
+
+
+if __name__ == "__main__":
+    main()
