@@ -445,6 +445,34 @@ FROM documents
 """
 
 
+def q_translit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transliteration (T32 analog): per-word scalar character mapping.
+
+    The reference maps Arabic -> ascii/latin schemes per word
+    (fusus/tfFromTsv.py:633-636); here a fixed char table applied to the
+    token stream — JVM `translate`, no UDF needed (faster than the
+    reference's per-word Python)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(tokens("text")).alias("word_seq", "word"),
+    ).select(
+        "doc_id",
+        F.col("word_seq").cast("int").alias("word_seq"),
+        "word",
+        F.translate("word", "aeiou", "43105").alias("translit"),
+    )
+
+
+ORACLE_TRANSLIT = f"""
+SELECT doc_id, (generate_subscripts(t, 1) - 1)::INT AS word_seq,
+       unnest(t) AS word,
+       translate(unnest(t), 'aeiou', '43105') AS translit
+FROM (SELECT doc_id, {_ORC_TOKS} AS t FROM documents)
+WHERE len(t) > 0
+"""
+
+
 def q_align_editions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-edition fuzzy alignment (J1, fusus/align.py doDiffs analog).
 
@@ -491,6 +519,7 @@ WEB_QUERIES: dict = {
     "top_words": q_top_words,
     "word_freq_by_lang": q_word_freq_by_lang,
     "lang_distribution": q_lang_distribution,
+    "translit_vowels": q_translit,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -513,6 +542,7 @@ WEB_ORACLES: dict[str, str] = {
     "top_words": ORACLE_TOP_WORDS,
     "word_freq_by_lang": ORACLE_WORD_FREQ_BY_LANG,
     "lang_distribution": ORACLE_LANG_DISTRIBUTION,
+    "translit_vowels": ORACLE_TRANSLIT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
