@@ -218,10 +218,12 @@ def repartition_salted(docs: DataFrame, num_partitions: int, salt: int = 42) -> 
     together in the input files) is defused because the salted hash
     ignores input order entirely. AQE only fixes join/agg skew; a heavy
     UDF stage needs explicit redistribution.
+
+    Partitioning key is the raw 64-bit hash (NOT pre-modded to N): a
+    pre-modded key gets re-hashed by the partitioner and the N distinct
+    values collide birthday-style, leaving partitions empty/doubled.
     """
-    return docs.repartition(
-        num_partitions, F.pmod(F.xxhash64(F.col("url"), F.lit(salt)), F.lit(num_partitions))
-    )
+    return docs.repartition(num_partitions, F.xxhash64(F.col("url"), F.lit(salt)))
 
 
 def size_route(

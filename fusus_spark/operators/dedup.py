@@ -237,6 +237,56 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: cluster_id = min doc_id
+    reachable from each node (the canonical representative).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; loop until fixpoint
+    (checked with one count per round), lineage cut via localCheckpoint
+    so the plan doesn't grow unboundedly. Rounds needed = graph
+    diameter — small for dup clusters; ``max_iter`` bounds pathology.
+
+    Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id) for every
+    node that appears in at least one pair.
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a").agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def embedding_near_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

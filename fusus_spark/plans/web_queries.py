@@ -365,6 +365,41 @@ SELECT doc_a, doc_b, band_matches FROM (
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs -> connected components
+    (iterative min-label propagation vs the oracle's recursive CTE)."""
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), bands=4, n=2, min_band_matches=2
+    )
+    return dedup.dup_clusters(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {_ORC_TOKS} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS shingle
+       FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+       WHERE len(t) >= 2),
+banded AS (SELECT doc_id, b.band, min(md5(band || ':' || shingle)) AS sig
+           FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b
+           GROUP BY doc_id, b.band),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS bm
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2) WHERE bm >= 2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+)
+SELECT node AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — bit-level op, no SQL oracle (rows-only)."""
     return dedup.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=16)
@@ -523,6 +558,7 @@ WEB_QUERIES: dict = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "knn_bruteforce": q_knn_bruteforce,
@@ -546,6 +582,7 @@ WEB_ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
