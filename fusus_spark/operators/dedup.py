@@ -106,18 +106,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-(doc, band) MinHash signature: min(md5(band || ':' || shingle)).
 
-    One shuffle (groupBy doc_id+band with map-side partial min). The md5
-    string-min is a valid min-hash family member per band and is exactly
-    reproducible in the DuckDB oracle.
+    ZERO-shuffle plan: all of a document's shingles live in one row's
+    array, so each band's minimum is computed map-side with
+    ``array_min(transform(shingles, s -> md5(band:s)))`` — no shingle
+    explode, no groupBy. Only the tiny (doc_id, band, sig) rows (bands
+    per doc) ever reach the LSH join's shuffle, which at 10^12 docs is
+    the difference between shuffling ~shingle_count rows and ~8 rows per
+    document. The md5 string-min is a valid min-hash family member per
+    band and is exactly reproducible in the DuckDB oracle.
     """
-    sh = doc_shingles(docs, n, id_col, text_col)
-    banded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        "shingle",
+    pruned = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(tokens(text_col), n)).alias("sh"),
     )
-    return banded.groupBy("doc_id", "band").agg(
-        F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("shingle")))).alias("sig")
+    def _band_min(band: int):
+        # NB: must be a ONE-argument lambda — a second (defaulted) python
+        # parameter would make pyspark pass the (element, index) form of
+        # ``transform`` and the band constant would silently become the
+        # element index.
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat_ws(":", F.lit(band), s)))
+        )
+
+    sig_arr = F.array(*[_band_min(band) for band in range(bands)])
+    return (
+        pruned.select("doc_id", F.posexplode(sig_arr).alias("band", "sig"))
+        # docs with no shingles (< n tokens) emit no signature rows,
+        # matching the explode-based formulation
+        .where(F.col("sig").isNotNull())
     )
 
 

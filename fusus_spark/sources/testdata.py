@@ -40,7 +40,28 @@ WRAP_REMOVED_RULES = ("tag:header", "tag:nav", "class:ads", "class:social", "tag
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver table, restoring scan parallelism for tiny files.
+
+    The driver tables are single-file / single-row-group parquet, which
+    Spark cannot split — every downstream map-side computation would run
+    on ONE core. At the design scale the input is an Iceberg table with
+    thousands of partitions (days(warc_ts) + bucket(url)), so the scan
+    is naturally parallel; the round-robin repartition below substitutes
+    for that (only) when the file is too small to split, and costs one
+    shuffle of the raw (small) table. Values are unchanged — all query
+    results are order-insensitive.
+    """
+    import os
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    try:
+        size = os.stat(f"{sf_dir}/{name}.parquet").st_size
+    except OSError:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if size < 64 * 1024 * 1024 and cores > 1:
+        return df.repartition(cores)
+    return df
 
 
 def docs_as_web(spark: SparkSession, sf_dir: str) -> DataFrame:
