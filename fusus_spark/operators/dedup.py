@@ -149,8 +149,13 @@ def minhash_lsh_pairs(
 
     Join key = (band, sig) — the LSH bucket — so join fan-in is only real
     collisions. Returns (doc_a, doc_b, band_matches).
+
+    The signature table is materialized (localCheckpoint) before the
+    self-join: Catalyst does not reuse the exchange across the two join
+    sides, so without it the whole shingle+md5 pipeline runs twice. The
+    table is tiny (``bands`` rows per doc) relative to the input.
     """
-    sigs = minhash_signatures(docs, bands, n, id_col, text_col)
+    sigs = minhash_signatures(docs, bands, n, id_col, text_col).localCheckpoint()
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -187,26 +192,36 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         import numpy as np
 
         for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            sigs: list[int] = []
-            for t in pdf["t"].tolist():
+            # whole-batch vectorization: hash each UNIQUE token once,
+            # broadcast its ±1 bit rows to every occurrence, segment-sum
+            # per document — no per-token python in the inner loop
+            texts = pdf["t"].tolist()
+            counts = np.empty(len(texts), dtype=np.int64)
+            all_toks: list[str] = []
+            for i, t in enumerate(texts):
                 toks = t.split(" ") if t else []
-                if not toks:
-                    sigs.append(0)
-                    continue
-                acc = np.zeros(64, dtype=np.int64)
-                for tok in toks:
-                    digest = hashlib.md5(tok.encode()).digest()[:8]
-                    bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
-                    acc += 2 * bits.astype(np.int64) - 1
-                sig = int.from_bytes(
-                    np.packbits((acc > 0).astype(np.uint8)).tobytes(), "big"
+                counts[i] = len(toks)
+                all_toks.extend(toks)
+            if not all_toks:
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "simhash": np.zeros(len(texts), np.int64)}
                 )
-                # two's complement into signed int64
-                if sig >= 1 << 63:
-                    sig -= 1 << 64
-                sigs.append(sig)
-            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+                continue
+            uniq, inv = np.unique(np.asarray(all_toks, dtype=object), return_inverse=True)
+            digests = np.frombuffer(
+                b"".join(hashlib.md5(u.encode()).digest()[:8] for u in uniq),
+                dtype=np.uint8,
+            ).reshape(-1, 8)
+            unit = 2 * np.unpackbits(digests, axis=1).astype(np.int64) - 1  # (U, 64)
+            tok_bits = unit[inv]  # (T, 64) in document order
+            doc_idx = np.repeat(np.arange(len(texts)), counts)
+            acc = np.zeros((len(texts), 64), dtype=np.int64)
+            np.add.at(acc, doc_idx, tok_bits)
+            packed = np.packbits((acc > 0).astype(np.uint8), axis=1)  # (D, 8)
+            # big-endian bytes -> signed int64 (two's complement)
+            sigs = packed.copy().view(">u8").ravel().astype(np.uint64).view(np.int64)
+            sigs[counts == 0] = 0
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs})
 
     return pruned.mapInPandas(run, schema=_SIMHASH_SCHEMA)
 
@@ -219,8 +234,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     Pigeonhole: hamming <= 3 over 64 bits => at least one of the 4
     16-bit chunks is identical, so the chunk equi-join finds all pairs
     without a cross join.
+
+    Signatures are materialized before the self-join so the Arrow UDF
+    runs once, not once per join side (one int64 per doc — tiny).
     """
-    sigs = simhash_signatures(docs, id_col, text_col)
+    sigs = simhash_signatures(docs, id_col, text_col).localCheckpoint()
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -281,21 +299,20 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a").agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # one materialization per round carries BOTH the new label and
+        # the old one, so convergence is checked on the checkpointed
+        # result without a second old-vs-new join
+        joined = (
             labels.join(neigh, labels["node"] == neigh["a"], "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = joined.where(F.col("label") != F.col("old_label")).count()
+        labels = joined.select("node", "label")
         if changed == 0:
             break
     return labels.select(
