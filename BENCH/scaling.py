@@ -26,7 +26,10 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CORE_SIZES = (2, 8, 16, 32)
+# Override with FUSUS_SCALING_SIZES="1,4" etc.
+CORE_SIZES = tuple(
+    int(s) for s in os.environ.get("FUSUS_SCALING_SIZES", "2,8,16,32").split(",")
+)
 
 
 def run_once(cpus: int, sf_dir: str, replicate: int, trials: int = 3) -> dict:
@@ -77,18 +80,18 @@ def main() -> None:
     def eff(n: int, four_n: int) -> float:
         return round(runs[n]["wall_s"] / runs[four_n]["wall_s"] / 4, 3)
 
-    eff_2_8 = eff(2, 8)
-    eff_8_32 = eff(8, 32)
+    pairs = [(n, 4 * n) for n in CORE_SIZES if 4 * n in runs]
+    effs = {f"{n}->{m}": eff(n, m) for n, m in pairs}
+    base = runs[CORE_SIZES[0]]
     result = {
         "sf_dir": sf_dir,
         "replicate": replicate,
-        "n_docs": runs[2]["n_docs"],
-        "bytes_in": runs[2]["bytes_in"],
+        "n_docs": base["n_docs"],
+        "bytes_in": base["bytes_in"],
         "walls": {c: runs[c]["wall_s"] for c in CORE_SIZES},
         "all_walls": {c: runs[c]["all_walls"] for c in CORE_SIZES},
         "docs_per_sec": {c: runs[c]["docs_per_sec"] for c in CORE_SIZES},
-        "eff_headline_2_to_8": eff_2_8,
-        "eff_8_to_32": eff_8_32,
+        "eff": effs,
     }
     print(json.dumps(result))
 
@@ -115,9 +118,9 @@ words, one fused Arrow `mapInPandas`) at two parallelism levels on one
 | | |
 |---|---|
 | corpus | `{sf_dir}/documents.parquet`, each doc wrapped in deterministic HTML chrome, replicated x{replicate} with distinct urls |
-| documents extracted | {runs[2]["n_docs"]:,} |
-| html bytes parsed | {runs[2]["bytes_in"]:,} ({runs[2]["bytes_in"]/1e6:.1f} MB) |
-| words emitted | {runs[2]["n_words"]:,} |
+| documents extracted | {base["n_docs"]:,} |
+| html bytes parsed | {base["bytes_in"]:,} ({base["bytes_in"]/1e6:.1f} MB) |
+| words emitted | {base["n_words"]:,} |
 
 ## Scaling curve
 
@@ -127,16 +130,7 @@ words, one fused Arrow `mapInPandas`) at two parallelism levels on one
 
 ## Efficiency
 
-**Headline (N=2 -> 4N=8): eff = (T_2 / T_8) / 4 = ({runs[2]["wall_s"]} /
-{runs[8]["wall_s"]}) / 4 = {eff_2_8}** {"— meets the >= 0.8 bound." if eff_2_8 >= 0.8 else "— below the bound."}
-
-Also disclosed: 8 -> 32 gives {eff_8_32}. At local[32] the 32 Python
-workers share the host's 32 cores with the Spark JVM (Arrow decode, row
-materialization, aggregation), so the top end measures host saturation,
-not job scalability — the curve is near-linear exactly until the
-python-worker count approaches the physical core count. On a real
-cluster, 4N executors bring 4N JVMs and 4N sets of cores, which is the
-regime the 2 -> 8 pair models.
+{chr(10).join(f"* N={n} -> 4N={m}: eff = (T_{n} / T_{m}) / 4 = ({runs[n]['wall_s']} / {runs[m]['wall_s']}) / 4 = **{effs[f'{n}->{m}']}**" for n, m in pairs)}
 
 ## Why the job scales
 

@@ -349,6 +349,85 @@ WHERE levenshtein(a.prefix, b.prefix) <= 4
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J1's temporal-alignment shape, relational half): each
+    click event picks up the most recent prior purchase value of the
+    same user.
+
+    Scalable merged-stream plan: instead of a range join (which explodes
+    to |clicks| x |purchases| per user before filtering), both sides are
+    union'd into ONE stream and the purchase value is forward-filled
+    with last(ignorenulls) over (user, ts) — a single shuffle on
+    user_id, linear in the input. Tie at equal ts: purchases sort before
+    clicks (inclusive as-of), later purchase event_id wins.
+    """
+    ev = load(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("double").alias("pval"),
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(0).alias("is_left"),
+        F.col("value").alias("pval"),
+    )
+    merged = right.unionByName(left)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_pval", F.last("pval", ignorenulls=True).over(w))
+        .where(F.col("is_left") == 1)
+        .select(
+            "user_id", "event_id",
+            F.round(F.col("last_pval") * 10000).cast("bigint").alias("last_purchase_e4"),
+        )
+    )
+
+
+ORACLE_EVENTS_ASOF = """
+WITH m AS (
+  SELECT user_id, ts, event_id, 1 AS is_left, NULL::DOUBLE AS pval
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0 AS is_left, value AS pval
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id, round(last_pval * 10000)::BIGINT AS last_purchase_e4 FROM (
+  SELECT user_id, event_id, is_left,
+         last_value(pval IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_left, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_pval
+  FROM m) WHERE is_left = 1
+"""
+
+
+def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: per-(flag, status) measures plus subtotal and
+    grand-total rows, disambiguated by grouping_id (partial+final agg
+    over grouping sets — Catalyst expands to one pass)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.round(F.sum("l_quantity") * 100).cast("bigint").alias("sum_qty_e2"),
+        F.round(F.sum("l_extendedprice") * 100).cast("bigint").alias("sum_base_e2"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+ORACLE_LINEITEM_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus)::INT AS gid,
+       round(sum(l_quantity) * 100)::BIGINT AS sum_qty_e2,
+       round(sum(l_extendedprice) * 100)::BIGINT AS sum_base_e2,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 RELATIONAL_QUERIES: dict = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -361,6 +440,8 @@ RELATIONAL_QUERIES: dict = {
     "top_events_per_user": q_top_events_per_user,
     "events_daily": q_events_daily,
     "levenshtein_pairs": q_levenshtein_pairs,
+    "events_asof": q_events_asof,
+    "lineitem_rollup": q_lineitem_rollup,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -375,4 +456,6 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "top_events_per_user": ORACLE_TOP_EVENTS_PER_USER,
     "events_daily": ORACLE_EVENTS_DAILY,
     "levenshtein_pairs": ORACLE_LEVENSHTEIN_PAIRS,
+    "events_asof": ORACLE_EVENTS_ASOF,
+    "lineitem_rollup": ORACLE_LINEITEM_ROLLUP,
 }

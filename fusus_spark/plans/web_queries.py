@@ -541,6 +541,65 @@ def q_align_editions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return align_editions(toks, ed_b)
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: keep one representative per
+    exact-dup group, with quality >= 0.45 (on the e6 integer, so the
+    threshold compare never touches float boundaries).
+
+    Composition of the quality-scoring and exact-dedup operators — the
+    canonical corpus-filter a large-scale pipeline runs before training.
+    Two shuffles on doc_id (quality agg-free projection + dedup groupBy);
+    the final join keys both sides on doc_id.
+    """
+    docs = load(spark, sf_dir, "documents")
+    qs = textstats.quality_score(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round(F.col("quality") * 1000000).cast("bigint").alias("quality_e6"),
+    )
+    reps = dedup.exact_duplicates(docs).select("doc_id", "rep_id", "group_size")
+    return (
+        docs.select("doc_id", "lang")
+        .join(qs, "doc_id")
+        .join(reps, "doc_id")
+        .where((F.col("doc_id") == F.col("rep_id")) & (F.col("quality_e6") >= 450000))
+        .select(
+            "doc_id", "lang", "n_tokens", "quality_e6",
+            F.col("group_size").cast("bigint").alias("group_size"),
+        )
+    )
+
+
+ORACLE_CURATE_CORPUS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ORC_TOKS}) AS tok FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n,
+         count(DISTINCT tok) AS n_uniq,
+         count(*) FILTER (WHERE tok IN ({_EN_STOPS_SQL})) AS stops
+  FROM toks GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id, n::INT AS n_tokens,
+         round(round(0.4 * least(1.0, n / 100.0)
+               + 0.3 * (n_uniq / n)
+               + 0.3 * least(1.0, 5.0 * (stops / n)), 6) * 1000000)::BIGINT AS quality_e6
+  FROM agg
+),
+h AS (SELECT doc_id, md5({_ORC_NORM}) AS content_hash FROM documents),
+g AS (SELECT content_hash, min(doc_id) AS rep_id, count(*)::BIGINT AS group_size
+      FROM h GROUP BY content_hash)
+SELECT d.doc_id, d.lang, q.n_tokens, q.quality_e6, g.group_size
+FROM documents d
+JOIN q USING (doc_id)
+JOIN h USING (doc_id)
+JOIN g USING (content_hash)
+WHERE d.doc_id = g.rep_id AND q.quality_e6 >= 450000
+"""
+
+
 WEB_QUERIES: dict = {
     "align_editions": q_align_editions,
     "extract_words": q_extract_words,
@@ -556,6 +615,7 @@ WEB_QUERIES: dict = {
     "lang_distribution": q_lang_distribution,
     "translit_vowels": q_translit,
     "dedup_exact": q_dedup_exact,
+    "curate_corpus": q_curate_corpus,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -580,6 +640,7 @@ WEB_ORACLES: dict[str, str] = {
     "lang_distribution": ORACLE_LANG_DISTRIBUTION,
     "translit_vowels": ORACLE_TRANSLIT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "curate_corpus": ORACLE_CURATE_CORPUS,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
