@@ -27,6 +27,9 @@ FAST_SUBSET = [
     "sessionize",
     "events_daily",
     "multimodal_meta",
+    "events_asof",
+    "lineitem_rollup",
+    "curate_corpus",
 ]
 
 
