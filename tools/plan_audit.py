@@ -19,7 +19,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CHECKS = {
-    "extract_words": [("MapInPandas", True), ("Exchange", None)],
+    "extract_words": [("MapInArrow", True), ("Exchange", None)],
     "top_orders": [("BroadcastHashJoin", True)],
     "nation_revenue": [("BroadcastHashJoin", True), ("HashAggregate", True)],
     "pricing_summary": [("HashAggregate", True), ("PushedFilters", None)],
@@ -37,7 +37,15 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from fusus_spark.session import get_spark
 
-    spark = get_spark("plan-audit", master="local[4]", shuffle_partitions=8)
+    # AQE off for the audit: with AQE on, explain() of an unexecuted
+    # frame prints isFinalPlan=false without codegen-id annotations.
+    # Production sessions keep AQE on; the static plan shape is the same.
+    spark = get_spark(
+        "plan-audit",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra={"spark.sql.adaptive.enabled": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     failures = []
