@@ -93,6 +93,77 @@ def ivf_assign(
     )
 
 
+def rp_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    band_bits: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane (cosine) LSH.
+
+    Signature bit ``b_p`` = sign of ``dot(v, r_p)`` over ``n_planes``
+    deterministic hyperplanes (seeded NumPy normals embedded as plan
+    literals — broadcast-by-construction); the bits are banded into
+    ``n_planes / band_bits`` chunks and candidates are vectors sharing
+    >= 1 band value with the query. All vector math is JVM-side
+    (zip_with/aggregate); the only joins are on tiny (band, value) keys,
+    so at 10^9 vectors the plan never shuffles the embedding column
+    beyond its bucket — the same collision-only fan-in argument as the
+    MinHash band join. Recall < 1.0 by construction; measured against
+    brute_force_topk in the pytest suite.
+    """
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+    def sig_col(vec: F.Column) -> F.Column:
+        v = vec.cast("array<double>")
+        acc = F.lit(0)
+        for p, row in enumerate(planes):
+            r = F.array(*[F.lit(float(x)) for x in row])
+            dot = F.aggregate(
+                F.zip_with(v, r, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            )
+            acc = acc + (dot > 0).cast("int") * F.lit(1 << p)
+        return acc
+
+    n_bands = max(n_planes // band_bits, 1)
+    mask = (1 << band_bits) - 1
+
+    def banded(df: DataFrame, idc: str, vc: str, keep_vec: bool) -> DataFrame:
+        with_sig = df.withColumn("sig", sig_col(F.col(vc)))
+        cols = [idc, "sig"] + ([vc] if keep_vec else [])
+        out = with_sig.select(*cols,
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"))
+        return out.withColumn(
+            "band_val", F.expr(f"shiftright(sig, band * {band_bits}) & {mask}")
+        )
+
+    cand_side = banded(emb, id_col, vec_col, keep_vec=True)
+    q_side = banded(
+        queries.select(F.col("query_id"), F.col("query_vec")),
+        "query_id", "query_vec", keep_vec=True,
+    ).select("query_id", "query_vec", "band", "band_val")
+    cand = (
+        cand_side.join(F.broadcast(q_side), ["band", "band_val"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .dropDuplicates(["query_id", id_col])
+    )
+    sim = F.round(cosine(_as_double(vec_col), F.col("query_vec").cast("array<double>")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos_sim", "rank")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -454,6 +454,18 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_knn_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane cosine-LSH ANN — approximate by design, no SQL
+    oracle (rows-only); recall vs brute force asserted in
+    tests/test_operators.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.rp_lsh_topk(
+        emb, similarity.make_queries(emb, 5), k=10,
+        n_planes=16, band_bits=4, dim=64,
+    )
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns; decode is a deterministic stub)
 
@@ -623,6 +635,7 @@ WEB_QUERIES: dict = {
     "dedup_embedding": q_dedup_embedding,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf": q_knn_ivf,
+    "knn_rp_lsh": q_knn_rp_lsh,
     "multimodal_meta": q_multimodal_meta,
 }
 

@@ -87,6 +87,34 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.4, f"recall {recall}"
 
 
+def test_rp_lsh_recall_vs_bruteforce(spark):
+    """Random-hyperplane LSH: single-band (all 16 bits) collisions are
+    rare, but banding into 4-bit chunks must recover >= 40% of exact
+    top-5 on random vectors; signatures are deterministic across runs."""
+    import random
+
+    from fusus_spark.operators.similarity import (
+        brute_force_topk,
+        make_queries,
+        rp_lsh_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = make_queries(emb, 3)
+    exact = brute_force_topk(emb, queries, k=5)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    approx = rp_lsh_topk(emb, queries, k=5, n_planes=16, band_bits=4, dim=16)
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(approx_set & exact_set) / len(exact_set)
+    assert recall >= 0.4, f"recall {recall}"
+
+    again = rp_lsh_topk(emb, queries, k=5, n_planes=16, band_bits=4, dim=16)
+    assert {(r["query_id"], r["neighbor_id"]) for r in again.collect()} == approx_set
+
+
 def test_media_features_pipeline(spark):
     rows = [
         ("u1", bytearray(b"\x89PNG\r\n\x1a\nfakepng")),
