@@ -38,3 +38,69 @@ def test_streaming_matches_batch(spark, tmp_path):
 
     words = spark.read.parquet(out_dir + "/words")
     assert words.where(F.col("word").isNull()).count() == 0
+
+
+def test_windowed_watermark_stream_matches_batch(spark, tmp_path):
+    """Watermarked windowed agg (append mode): emitted windows == the
+    batch aggregation restricted to windows closed by the final
+    watermark (max event time - delay); nothing more, nothing less."""
+    import datetime as dt
+
+    from fusus_spark.streaming import windowed_event_counts_stream
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for hour in range(8):  # 8 hourly windows
+        for k in range(10):
+            rows.append(
+                (eid, base + dt.timedelta(hours=hour, minutes=k * 5),
+                 k % 3, "click" if k % 2 else "view", float(k), "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    in_dir = str(tmp_path / "ev")
+    # The file source processes oldest-modified files first; write one
+    # file per 2-hour chunk IN EVENT-TIME ORDER so the watermark
+    # advances monotonically batch by batch (out-of-order files would
+    # legitimately drop the earlier windows as late data).
+    import time as _time
+
+    for h0 in range(0, 8, 2):
+        lo = base + dt.timedelta(hours=h0)
+        hi = base + dt.timedelta(hours=h0 + 2)
+        chunk = ev.where((ev["ts"] >= lo) & (ev["ts"] < hi))
+        chunk.coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)  # distinct mtimes at fs timestamp granularity
+
+    q = windowed_event_counts_stream(
+        spark, in_dir, str(tmp_path / "ckpt"), "win_ev",
+        window="1 hour", watermark="1 hour", max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["w_start"], r["event_type"], r["n"], r["sum_value_e4"])
+        for r in spark.table("win_ev").collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    final_watermark = max_ts - dt.timedelta(hours=1)
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value") * 10000).cast("bigint").alias("sum_value_e4"))
+        .where(F.col("w.end") <= F.lit(final_watermark))
+    )
+    want = {
+        (r["w"]["start"], r["event_type"], r["n"], r["sum_value_e4"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the stream actually emitted closed windows
