@@ -132,3 +132,28 @@ def lang_distribution(docs: DataFrame) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+# GPT-2-style pretokenizer shape, constrained to RE2-compatible syntax
+# (no lookahead) so the DuckDB oracle tokenizes identically: leading-
+# space letter runs, digit runs, punctuation runs, space runs.
+BPE_TOKEN_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+def bpe_token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BPE-ish regex token counts per doc (training-data budget metric).
+
+    n_bpe_tokens ~ what a GPT-2-style pretokenizer would yield;
+    bpe_per_ws_e4 = tokens-per-word ratio (the classic tokens/word
+    fertility stat), scaled x10^4.
+    """
+    bpe = F.expr(f"regexp_extract_all({text_col}, '{BPE_TOKEN_RE}', 0)")
+    ws = token_count(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        F.round(
+            F.when(ws > 0, F.size(bpe) / ws).otherwise(F.lit(0.0)) * 10000
+        ).cast("bigint").alias("bpe_per_ws_e4"),
+    )

@@ -146,6 +146,27 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = textstats.bpe_token_stats(load(spark, sf_dir, "documents"))
+    return stats.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
+        F.col("n_ws_tokens").cast("int").alias("n_ws_tokens"),
+        "bpe_per_ws_e4",
+    )
+
+
+ORACLE_TOKEN_STATS_BPE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{{PAT}}'))::INT AS n_bpe_tokens,
+       len({_ORC_TOKS})::INT AS n_ws_tokens,
+       round(CASE WHEN len({_ORC_TOKS}) > 0
+             THEN len(regexp_extract_all(text, '{{PAT}}')) / len({_ORC_TOKS})
+             ELSE 0 END * 10000)::BIGINT AS bpe_per_ws_e4
+FROM documents
+""".replace("{PAT}", " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +")
+
+
 ORACLE_TOKEN_STATS = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_ORC_TOKS}) AS tok FROM documents
@@ -619,6 +640,7 @@ WEB_QUERIES: dict = {
     "extract_stats": q_extract_stats,
     "extract_removals": q_extract_removals,
     "token_stats": q_token_stats,
+    "token_stats_bpe": q_token_stats_bpe,
     "quality_score": q_quality_score,
     "lang_guess": q_lang_guess,
     "doc_fingerprints": q_doc_fingerprints,
@@ -645,6 +667,7 @@ WEB_ORACLES: dict[str, str] = {
     "extract_stats": ORACLE_EXTRACT_STATS,
     "extract_removals": ORACLE_EXTRACT_REMOVALS,
     "token_stats": ORACLE_TOKEN_STATS,
+    "token_stats_bpe": ORACLE_TOKEN_STATS_BPE,
     "quality_score": ORACLE_QUALITY_SCORE,
     "lang_guess": ORACLE_LANG_GUESS,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
