@@ -157,3 +157,47 @@ def bpe_token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
             F.when(ws > 0, F.size(bpe) / ws).otherwise(F.lit(0.0)) * 10000
         ).cast("bigint").alias("bpe_per_ws_e4"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03).
+
+    Rolling char k-gram hashes + minimum over each sliding window of
+    ``window`` consecutive hashes; the DISTINCT set of window minima is
+    the fingerprint set (guarantees any shared substring of length
+    >= k + window - 1 produces a shared fingerprint). Plan is fully
+    relational: posexplode the k-gram hash sequence, one window-min over
+    (doc, position), distinct — the same shape the DuckDB oracle runs.
+    md5 keeps the hash bit-identical across engines.
+    """
+    norm = norm_ws(text_col)
+    # NB: F.sequence(1, 0) DESCENDS in Spark — guard short docs explicitly
+    grams = F.when(
+        F.length(norm) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (k - 1)),
+            lambda i: F.md5(norm.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "h")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    n_grams = F.count("*").over(Window.partitionBy("doc_id"))
+    return (
+        exploded.withColumn("fp", F.min("h").over(w))
+        .withColumn("n", n_grams)
+        .where(F.col("pos") <= F.col("n") - window)  # full windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )

@@ -183,6 +183,31 @@ JOIN (SELECT doc_id, count(DISTINCT tok) AS n_uniq,
 """
 
 
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (k=8 char grams, window=4)."""
+    return textstats.winnow_fingerprints(
+        load(spark, sf_dir, "documents"), k=8, window=4
+    )
+
+
+ORACLE_DOC_WINNOW = f"""
+WITH n AS (SELECT doc_id, {_ORC_NORM} AS norm FROM documents),
+g AS (
+  SELECT doc_id, u.i, md5(substr(norm, u.i, 8)) AS h
+  FROM n, unnest(generate_series(1, length(norm) - 7)) AS u(i)
+  WHERE length(norm) >= 8
+),
+m AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM m WHERE i <= cnt - 3
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = textstats.quality_score(load(spark, sf_dir, "documents"))
     return qs.select(
@@ -644,6 +669,7 @@ WEB_QUERIES: dict = {
     "quality_score": q_quality_score,
     "lang_guess": q_lang_guess,
     "doc_fingerprints": q_doc_fingerprints,
+    "doc_winnow": q_doc_winnow,
     "top_words": q_top_words,
     "word_freq_by_lang": q_word_freq_by_lang,
     "lang_distribution": q_lang_distribution,
@@ -671,6 +697,7 @@ WEB_ORACLES: dict[str, str] = {
     "quality_score": ORACLE_QUALITY_SCORE,
     "lang_guess": ORACLE_LANG_GUESS,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
+    "doc_winnow": ORACLE_DOC_WINNOW,
     "top_words": ORACLE_TOP_WORDS,
     "word_freq_by_lang": ORACLE_WORD_FREQ_BY_LANG,
     "lang_distribution": ORACLE_LANG_DISTRIBUTION,
