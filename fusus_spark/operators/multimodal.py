@@ -91,3 +91,90 @@ def media_features(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(rows)
 
     return pruned.mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "url string, width int, height int, out_width int, out_height int, "
+    "resized binary"
+)
+
+
+def resize_images(df: DataFrame, target: int = 64, payload_col: str = "payload",
+                  use_stub: bool = True) -> DataFrame:
+    """(url, payload) -> resized thumbnails, aspect-preserving.
+
+    The geometry math (aspect-ratio fit to ``target`` px) is real; the
+    pixel resample is stubbed (deterministic bytes from md5 of payload +
+    target) since no image lib ships in this container — production
+    swaps ``_resample`` for PIL.Image.resize. One mapInPandas stage,
+    same Arrow batch shape as the real thing.
+    """
+    pruned = df.select("url", F.col(payload_col).alias("payload"))
+
+    def _resample(payload: bytes, w: int, h: int) -> bytes:
+        if not use_stub:
+            raise NotImplementedError("needs PIL/cv2: Image.resize((w, h))")
+        import hashlib
+
+        seed = hashlib.md5(payload + f":{w}x{h}".encode()).digest()
+        return (seed * ((w * h) // len(seed) + 1))[: w * h]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("url", "width", "height", "out_width", "out_height", "resized")}
+            for url, payload in zip(pdf["url"].tolist(), pdf["payload"].tolist()):
+                payload = bytes(payload) if payload is not None else b""
+                w, h, _ = decode_stub(payload)
+                scale = target / max(w, h)
+                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                rows["url"].append(url)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["resized"].append(_resample(payload, ow, oh))
+            yield pd.DataFrame(rows)
+
+    return pruned.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "url string, frame_idx int, ts_ms long, frame binary"
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4, fps: float = 25.0,
+                 payload_col: str = "payload", use_stub: bool = True) -> DataFrame:
+    """(url, payload) -> uniformly sampled video frames (exploded rows).
+
+    The sampling schedule (uniform over the synthetic duration derived
+    from payload size) and the one-row-per-frame output shape are real;
+    frame decode is stubbed with deterministic bytes — production swaps
+    in an ffmpeg/cv2.VideoCapture seek+read. Row explosion happens
+    INSIDE the Arrow batch (no per-row Python at the Spark level).
+    """
+    pruned = df.select("url", F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "frame_idx", "ts_ms", "frame")}
+            for url, payload in zip(pdf["url"].tolist(), pdf["payload"].tolist()):
+                payload = bytes(payload) if payload is not None else b""
+                # synthetic duration: 1 "frame" per 64 bytes at given fps
+                total_frames = max(1, len(payload) // 64)
+                dur_ms = int(total_frames / fps * 1000)
+                for j in range(n_frames):
+                    ts = (dur_ms * j) // max(n_frames - 1, 1) if n_frames > 1 else 0
+                    if not use_stub:
+                        raise NotImplementedError(
+                            "needs ffmpeg/cv2: VideoCapture.set(POS_MSEC, ts)"
+                        )
+                    frame = hashlib.md5(payload + f":frame:{j}".encode()).digest()
+                    rows["url"].append(url)
+                    rows["frame_idx"].append(j)
+                    rows["ts_ms"].append(ts)
+                    rows["frame"].append(frame)
+            yield pd.DataFrame(rows)
+
+    return pruned.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -131,6 +131,35 @@ def test_media_features_pipeline(spark):
     assert got["u1"]["n_bytes"] == 15
 
 
+def test_resize_and_frame_sample_pipelines(spark):
+    from fusus_spark.operators.multimodal import frame_sample, resize_images
+
+    rows = [
+        ("u1", bytearray(b"\x89PNG\r\n\x1a\n" + b"x" * 500)),
+        ("u2", bytearray(b"\x1a\x45\xdf\xa3" + b"v" * 1000)),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+
+    rs = {r["url"]: r for r in resize_images(df, target=64).collect()}
+    for r in rs.values():
+        assert max(r["out_width"], r["out_height"]) == 64  # aspect fit
+        assert len(bytes(r["resized"])) == r["out_width"] * r["out_height"]
+    # deterministic across runs
+    again = {r["url"]: bytes(r["resized"]) for r in resize_images(df, target=64).collect()}
+    assert {u: bytes(r["resized"]) for u, r in rs.items()} == again
+
+    fr = frame_sample(df, n_frames=4).collect()
+    assert len(fr) == 8  # 4 frames per url, exploded in-batch
+    by_url = {}
+    for r in fr:
+        by_url.setdefault(r["url"], []).append(r)
+    for url, frames in by_url.items():
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == [0, 1, 2, 3]
+        ts = [f["ts_ms"] for f in sorted(frames, key=lambda f: f["frame_idx"])]
+        assert ts == sorted(ts) and ts[0] == 0  # uniform schedule from t=0
+
+
 def test_exact_dedup_finds_dupes(spark):
     from fusus_spark.operators.dedup import exact_duplicates
 
