@@ -64,7 +64,11 @@ def bench_extraction(spark, sf_dir: str, replicate: int, cpus: int) -> dict:
     ).first()
     # warm: materialize input once so the timed run measures extraction,
     # and run a tiny extraction to spin up executor Python workers.
-    docs = docs.cache()
+    # Only cache when the replicated volume comfortably fits the heap —
+    # caching ~1 GB of binary rows in a local JVM costs more in GC than
+    # regenerating the wrap in-plan from the tiny parquet costs in CPU.
+    if total_bytes < 400 * 1024 * 1024:
+        docs = docs.cache()
     docs.count()
     words_from_stage(extract_stage(docs.limit(256))).count()
     # best-of-2 by default: the first timed run can still carry JIT/codegen

@@ -41,7 +41,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # Deterministic session timezone for timestamp round-trips.
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("FUSUS_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("FUSUS_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():
