@@ -447,8 +447,43 @@ SELECT node AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY node
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs — bit-level op, no SQL oracle (rows-only)."""
-    return dedup.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=16)
+    """SimHash near-dup pairs at the SOUND radius: with 4 x 16-bit
+    chunks the pigeonhole join is complete only for hamming <= 3
+    (Manku et al.'s classic design) — the all-pairs DuckDB oracle
+    proved a larger radius silently drops pairs with no identical
+    chunk. The 64-bit signature IS SQL-expressible (md5 hex nibbles ->
+    per-bit ±1 sums -> HUGEINT bit assembly), so this is a full oracle
+    check, not rows-only."""
+    return dedup.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ORC_TOKS}) AS tok FROM documents
+  WHERE length({_ORC_NORM}) > 0
+),
+bits AS (
+  SELECT doc_id, b.j,
+         sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), (b.j // 4) + 1, 1)) - 1)
+                   >> (3 - (b.j % 4))) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM toks, (SELECT unnest(generate_series(0, 63)) AS j) b
+  GROUP BY doc_id, b.j
+),
+sigs AS (
+  SELECT doc_id,
+         (CASE WHEN s >= 9223372036854775808::HUGEINT
+               THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT AS sig
+  FROM (SELECT doc_id, sum(CASE WHEN w > 0 THEN (1::HUGEINT << (63 - j))
+                           ELSE 0::HUGEINT END) AS s
+        FROM bits GROUP BY doc_id)
+  UNION ALL
+  SELECT doc_id, 0::BIGINT FROM documents WHERE length({_ORC_NORM}) = 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig))::INT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,6 +742,7 @@ WEB_ORACLES: dict[str, str] = {
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
