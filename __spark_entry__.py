@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship extraction end-to-end on sf0.001;
 ``queries()`` exposes every implemented operator (SURVEY.md §2 + the
 training-data-pipeline surface); ``oracle_sql()`` gives the DuckDB
-equivalent for each SQL-expressible query (rows-only for the genuinely
-non-SQL ops: dedup_simhash, knn_ivf, align_editions).
+equivalent for every query except ``align_editions`` (the sequential
+2-pointer fuzzy alignment — the one genuinely non-SQL algorithm;
+its invariants are asserted in tests/test_align.py instead).
 """
 
 from __future__ import annotations

@@ -527,24 +527,106 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN — approximate by design, no SQL oracle (rows-only);
-    recall vs brute force is asserted in tests/test_operators.py."""
+    """IVF-bucketed ANN. Approximate vs brute force (recall asserted in
+    tests), but the bucketing itself is deterministic — centroid argmax,
+    2-bucket probe, in-bucket top-k — so the full pipeline IS
+    SQL-expressible and checked against a DuckDB oracle exactly."""
     emb = load(spark, sf_dir, "embeddings")
     out = similarity.ivf_topk(emb, similarity.make_queries(emb, 5), k=10,
                               n_centroids=8, n_probes=2)
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+ORACLE_KNN_IVF = """
+WITH cents AS (SELECT vec_id AS bucket, embedding AS cv FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT e.vec_id, e.embedding, c.bucket,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+                      c.bucket ASC) AS r
+    FROM embeddings e, cents c)
+  WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+probed AS (
+  SELECT query_id, qv, bucket FROM (
+    SELECT q.query_id, q.qv, c.bucket,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+                      c.bucket ASC) AS r
+    FROM q, cents c)
+  WHERE r <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], p.qv::DOUBLE[]), 6) AS s
+  FROM assign a JOIN probed p USING (bucket)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC)::INT AS rank
+  FROM cand) WHERE rank <= 10
+"""
+
+
 def q_knn_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane cosine-LSH ANN — approximate by design, no SQL
-    oracle (rows-only); recall vs brute force asserted in
-    tests/test_operators.py."""
+    """Random-hyperplane cosine-LSH ANN. Approximate vs brute force
+    (recall asserted in tests), but deterministic end-to-end: the
+    seeded hyperplanes are embedded as literals in BOTH the Spark plan
+    and the DuckDB oracle, so the full bucket-probe pipeline is
+    hash-verified, not rows-only."""
     emb = load(spark, sf_dir, "embeddings")
     out = similarity.rp_lsh_topk(
         emb, similarity.make_queries(emb, 5), k=10,
         n_planes=16, band_bits=4, dim=64,
     )
     return out.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
+def _rp_lsh_oracle_sql(n_planes: int = 16, band_bits: int = 4, dim: int = 64,
+                       seed: int = 7, k: int = 10, n_queries: int = 5) -> str:
+    """Build the RP-LSH oracle with the SAME seeded hyperplanes the Spark
+    plan embeds (repr round-trips doubles exactly in both parsers)."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    sig = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in row)
+        + "]::DOUBLE[]) > 0 THEN " + str(1 << p) + " ELSE 0 END)"
+        for p, row in enumerate(planes)
+    )
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH sigs AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
+qs AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig
+       FROM sigs WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+  FROM sigs s, qs q, (SELECT unnest(generate_series(0, {n_bands - 1})) AS b) bands
+  WHERE s.vec_id <> q.query_id
+    AND ((s.sig >> (bands.b * {band_bits})) & {mask}) = ((q.qsig >> (bands.b * {band_bits})) & {mask})
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS s
+  FROM cand c
+  JOIN sigs e ON e.vec_id = c.neighbor_id
+  JOIN qs q ON q.query_id = c.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC)::INT AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+ORACLE_KNN_RP_LSH = _rp_lsh_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -743,8 +825,10 @@ WEB_ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "knn_ivf": ORACLE_KNN_IVF,
+    "knn_rp_lsh": ORACLE_KNN_RP_LSH,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
-    # rows-only (deliberately no oracle): dedup_simhash, knn_ivf
+    # rows-only (deliberately no oracle): align_editions only
 }
