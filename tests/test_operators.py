@@ -170,3 +170,29 @@ def test_exact_dedup_finds_dupes(spark):
     assert got[0]["rep_id"] == 0 and got[1]["rep_id"] == 0
     assert got[1]["group_size"] == 2
     assert got[2]["group_size"] == 1
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing guarantee (Schleimer et al.): two documents sharing
+    a substring of length >= k + window - 1 share at least one
+    fingerprint; disjoint-alphabet documents share none."""
+    from fusus_spark.operators.textstats import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 51 chars
+    rows = [
+        (0, "prefix one " + shared + " suffix alpha"),
+        (1, "other lead " + shared + " trailing beta"),
+        (2, "zzz yyy xxx www vvv uuu qqq ppp ooo nnn mmm lll kkk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=8, window=4)
+    sets: dict[int, set] = {}
+    for r in fps.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sets[0] & sets[1], "shared 51-char substring must share a fingerprint"
+    assert not (sets[0] & sets[2]) and not (sets[1] & sets[2])
+    # determinism + short-doc guard
+    again = {(r["doc_id"], r["fp"]) for r in winnow_fingerprints(df, k=8, window=4).collect()}
+    assert again == {(d, f) for d, s in sets.items() for f in s}
+    tiny = spark.createDataFrame([(9, "short")], "doc_id long, text string")
+    assert winnow_fingerprints(tiny, k=8, window=4).count() == 0
