@@ -97,25 +97,57 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def top_words(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
     """Global top-k word frequencies (A8/O5 analog) with deterministic
-    tie-break (count desc, word asc) so the result set is unique."""
-    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
-    return (
+    tie-break (count desc, word asc) so the result set is unique.
+
+    Plan: ``orderBy(...).limit(k)`` compiles to the distributed
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows)
+    instead of a single-partition global window over the whole
+    vocabulary; the rank column is recovered by a row_number over the
+    surviving <= k rows only.
+    """
+    counted = (
         docs.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(k)
     )
+    # constant-valued (but non-foldable, so it survives the optimizer)
+    # partition key: the window runs over exactly the k surviving rows
+    w = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+        F.col("cnt").desc(), F.col("word").asc()
+    )
+    return counted.withColumn("rank", F.row_number().over(w))
 
 
-def word_freq_by_lang(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
-    """Top-k words per language (grouped top-k via window, O4 analog)."""
-    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("word").asc())
-    return (
+def word_freq_by_lang(docs: DataFrame, k: int = 5, text_col: str = "text",
+                      salt_buckets: int = 64) -> DataFrame:
+    """Top-k words per language (grouped top-k, O4 analog).
+
+    Two-level top-k: a language's whole vocabulary never lands in one
+    window partition. Level 1 ranks within (lang, hash-salt bucket) and
+    keeps k per bucket — any global per-lang top-k row is necessarily a
+    top-k row of its own bucket, so this is lossless; level 2 ranks the
+    surviving <= k * salt_buckets rows per lang. At 10^12 docs the heavy
+    window runs over buckets of ~|vocab|/64 instead of |vocab|.
+    """
+    counted = (
         docs.select("lang", F.explode(tokens(text_col)).alias("word"))
         .groupBy("lang", "word")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("rank", F.row_number().over(w))
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy(
+        F.col("cnt").desc(), F.col("word").asc()
+    )
+    pruned = (
+        counted.withColumn("salt", F.pmod(F.xxhash64("word"), F.lit(salt_buckets)))
+        .withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= k)
+        .drop("salt", "r1")
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
     )
 

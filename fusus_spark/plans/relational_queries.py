@@ -62,11 +62,18 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(revenue * 100).cast("bigint").alias("revenue_e2"))
+        # distributed top-k (TakeOrderedAndProject), not a global window
+        # over every aggregated order; rank recovered on the <= 10 rows
+        .orderBy(F.col("revenue_e2").desc(), F.col("o_orderkey").asc())
+        .limit(10)
     )
-    w = Window.orderBy(F.col("revenue_e2").desc(), F.col("o_orderkey").asc())
+    # constant-valued non-foldable partition key: window over the 10
+    # surviving rows only, without the no-partition WindowExec warning
+    w = Window.partitionBy(F.pmod(F.col("revenue_e2"), F.lit(1))).orderBy(
+        F.col("revenue_e2").desc(), F.col("o_orderkey").asc()
+    )
     return (
         joined.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 10)
         .select("o_orderkey", "o_orderdate", "revenue_e2", "rank")
     )
 

@@ -27,6 +27,10 @@ CHECKS = {
     "knn_bruteforce": [("BroadcastNestedLoopJoin", None), ("Window", True)],
     "dedup_minhash_lsh": [("HashAggregate", True)],
     "sessionize": [("Window", True)],
+    # top-k must be the distributed TakeOrderedAndProject, not a global
+    # single-partition window over the full aggregate
+    "top_words": [("TakeOrderedAndProject", True)],
+    "top_orders": [("TakeOrderedAndProject", True), ("BroadcastHashJoin", True)],
 }
 
 
