@@ -326,8 +326,9 @@ def embedding_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force; fine <= ~10^5 rows —
-    the LSH/IVF scale path lives in operators/similarity.py)."""
+    """Embedding-cosine near-dup pairs (brute force; the all-pairs
+    correctness oracle for tests — production path is
+    embedding_lsh_pairs below)."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -336,6 +337,61 @@ def embedding_near_pairs(
     )
     return (
         pairs.withColumn("cos_sim", F.round(sim, 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: RP-LSH band candidates + exact
+    cosine verify — the same collision-only fan-in as the MinHash band
+    join, replacing the all-pairs theta join (a cartesian at 10^9
+    vectors). Candidates = vector pairs sharing >= 1 of the
+    n_planes/band_bits signature bands; each candidate is verified with
+    the exact (rounded) cosine. Recall < 1.0 by construction — the
+    approximation is part of the operator's declared semantics, and the
+    DuckDB oracle replicates the identical seeded hyperplanes, so the
+    full pipeline stays hash-verified (see web_queries.q_dedup_embedding).
+
+    Signatures are materialized (localCheckpoint) before the self-join:
+    Catalyst does not reuse the exchange across join sides, and the
+    16-dot signature pipeline must run once, not twice.
+    """
+    from fusus_spark.operators.similarity import rp_banded, rp_planes
+
+    planes = rp_planes(n_planes, dim, seed)
+    banded = rp_banded(
+        emb, id_col, vec_col, planes, band_bits, keep_vec=True
+    ).localCheckpoint()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+    return (
+        cand.withColumn("cos_sim", F.round(sim, 6))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

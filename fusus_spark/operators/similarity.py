@@ -93,6 +93,59 @@ def ivf_assign(
     )
 
 
+def rp_planes(n_planes: int = 16, dim: int = 64, seed: int = 7):
+    """The seeded hyperplane matrix — the single source of truth shared
+    by the Spark plans AND the DuckDB oracle builders (repr round-trips
+    the doubles exactly in both parsers)."""
+    import numpy as np
+
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def rp_sig_col(vec: F.Column, planes) -> F.Column:
+    """Random-hyperplane signature int: bit p = sign of dot(v, r_p).
+
+    The dot is rounded to 9 decimals before the sign test — identically
+    in the oracle (rp_sig_sql) — so summation-order float noise near
+    dot == 0 can never flip a bit between engines.
+    """
+    v = vec.cast("array<double>")
+    acc = F.lit(0)
+    for p, row in enumerate(planes):
+        r = F.array(*[F.lit(float(x)) for x in row])
+        dot = F.aggregate(
+            F.zip_with(v, r, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        acc = acc + (F.round(dot, 9) > 0).cast("int") * F.lit(1 << p)
+    return acc
+
+
+def rp_sig_sql(vec_expr: str, planes) -> str:
+    """DuckDB expression computing the same signature as rp_sig_col."""
+    return " + ".join(
+        f"(CASE WHEN round(list_dot_product({vec_expr}::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in row)
+        + "]::DOUBLE[]), 9) > 0 THEN " + str(1 << p) + " ELSE 0 END)"
+        for p, row in enumerate(planes)
+    )
+
+
+def rp_banded(df: DataFrame, idc: str, vc: str, planes,
+              band_bits: int, keep_vec: bool) -> DataFrame:
+    """Explode a vector table into (id, [vec,] band, band_val) rows —
+    the LSH bucket keys. One row per (vector, band); all math JVM-side."""
+    n_planes = len(planes)
+    n_bands = max(n_planes // band_bits, 1)
+    mask = (1 << band_bits) - 1
+    with_sig = df.withColumn("sig", rp_sig_col(F.col(vc), planes))
+    cols = [idc, "sig"] + ([vc] if keep_vec else [])
+    out = with_sig.select(*cols,
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"))
+    return out.withColumn(
+        "band_val", F.expr(f"shiftright(sig, band * {band_bits}) & {mask}")
+    )
+
+
 def rp_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -117,37 +170,12 @@ def rp_lsh_topk(
     MinHash band join. Recall < 1.0 by construction; measured against
     brute_force_topk in the pytest suite.
     """
-    import numpy as np
+    planes = rp_planes(n_planes, dim, seed)
 
-    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
-
-    def sig_col(vec: F.Column) -> F.Column:
-        v = vec.cast("array<double>")
-        acc = F.lit(0)
-        for p, row in enumerate(planes):
-            r = F.array(*[F.lit(float(x)) for x in row])
-            dot = F.aggregate(
-                F.zip_with(v, r, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-            )
-            acc = acc + (dot > 0).cast("int") * F.lit(1 << p)
-        return acc
-
-    n_bands = max(n_planes // band_bits, 1)
-    mask = (1 << band_bits) - 1
-
-    def banded(df: DataFrame, idc: str, vc: str, keep_vec: bool) -> DataFrame:
-        with_sig = df.withColumn("sig", sig_col(F.col(vc)))
-        cols = [idc, "sig"] + ([vc] if keep_vec else [])
-        out = with_sig.select(*cols,
-            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"))
-        return out.withColumn(
-            "band_val", F.expr(f"shiftright(sig, band * {band_bits}) & {mask}")
-        )
-
-    cand_side = banded(emb, id_col, vec_col, keep_vec=True)
-    q_side = banded(
+    cand_side = rp_banded(emb, id_col, vec_col, planes, band_bits, keep_vec=True)
+    q_side = rp_banded(
         queries.select(F.col("query_id"), F.col("query_vec")),
-        "query_id", "query_vec", keep_vec=True,
+        "query_id", "query_vec", planes, band_bits, keep_vec=True,
     ).select("query_id", "query_vec", "band", "band_val")
     cand = (
         cand_side.join(F.broadcast(q_side), ["band", "band_val"])

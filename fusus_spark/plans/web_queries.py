@@ -487,17 +487,49 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup.embedding_near_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.35
+    """Embedding near-dup pairs via RP-LSH band candidates + exact
+    cosine verify (the 10^9-vector plan — no all-pairs join; the
+    brute-force variant survives as the recall oracle in pytest).
+    The DuckDB oracle replicates the seeded hyperplane bands exactly,
+    so this stays a full hash check."""
+    pairs = dedup.embedding_lsh_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.35,
+        n_planes=16, band_bits=4, dim=64,
     )
-    return pairs.select("id_a", "id_b")
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("cos_sim") * 1000000).cast("bigint").alias("cos_sim_e6"),
+    )
 
 
-ORACLE_DEDUP_EMBEDDING = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+def _dedup_embedding_oracle_sql(threshold: float = 0.35, n_planes: int = 16,
+                                band_bits: int = 4, dim: int = 64,
+                                seed: int = 7) -> str:
+    from fusus_spark.operators.similarity import rp_planes, rp_sig_sql
+
+    sig = rp_sig_sql("embedding", rp_planes(n_planes, dim, seed))
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH sigs AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a, sigs b, (SELECT unnest(generate_series(0, {n_bands - 1})) AS b_) bands
+  WHERE a.vec_id < b.vec_id
+    AND ((a.sig >> (bands.b_ * {band_bits})) & {mask})
+      = ((b.sig >> (bands.b_ * {band_bits})) & {mask})
+)
+SELECT c.id_a, c.id_b,
+       round(round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
+             * 1000000)::BIGINT AS cos_sim_e6
+FROM cand c
+JOIN sigs ea ON ea.vec_id = c.id_a
+JOIN sigs eb ON eb.vec_id = c.id_b
+WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= {threshold}
 """
+
+
+ORACLE_DEDUP_EMBEDDING = _dedup_embedding_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -589,17 +621,11 @@ def q_knn_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rp_lsh_oracle_sql(n_planes: int = 16, band_bits: int = 4, dim: int = 64,
                        seed: int = 7, k: int = 10, n_queries: int = 5) -> str:
-    """Build the RP-LSH oracle with the SAME seeded hyperplanes the Spark
-    plan embeds (repr round-trips doubles exactly in both parsers)."""
-    import numpy as np
+    """Build the RP-LSH oracle with the SAME seeded hyperplanes (and the
+    same rounded-dot sign rule) the Spark plan embeds."""
+    from fusus_spark.operators.similarity import rp_planes, rp_sig_sql
 
-    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
-    sig = " + ".join(
-        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
-        + ", ".join(repr(float(x)) for x in row)
-        + "]::DOUBLE[]) > 0 THEN " + str(1 << p) + " ELSE 0 END)"
-        for p, row in enumerate(planes)
-    )
+    sig = rp_sig_sql("embedding", rp_planes(n_planes, dim, seed))
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
     return f"""

@@ -115,6 +115,41 @@ def test_rp_lsh_recall_vs_bruteforce(spark):
     assert {(r["query_id"], r["neighbor_id"]) for r in again.collect()} == approx_set
 
 
+def test_embedding_lsh_pairs_sound_and_high_recall(spark):
+    """embedding_lsh_pairs (the scale path replacing the all-pairs theta
+    join): every emitted pair must pass the exact cosine check
+    (soundness: LSH pairs are a subset of brute force at the same
+    threshold), and on correlated near-dup vectors the band candidates
+    recover most true pairs (near-dups agree on most hyperplane signs)."""
+    import random
+
+    from fusus_spark.operators.dedup import embedding_lsh_pairs, embedding_near_pairs
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v))
+        # a near-duplicate: tiny perturbation, cosine ~ 0.99+
+        rows.append((2 * i + 1, [x + rng.gauss(0, 0.02) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_pairs(emb, threshold=0.95).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_lsh_pairs(
+            emb, threshold=0.95, n_planes=16, band_bits=4, dim=16
+        ).collect()
+    }
+    assert lsh <= exact, f"unsound pairs: {sorted(lsh - exact)[:5]}"
+    planted = {(2 * i, 2 * i + 1) for i in range(40)} & exact
+    recall = len(lsh & planted) / len(planted)
+    assert recall >= 0.9, f"near-dup recall {recall}"
+
+
 def test_media_features_pipeline(spark):
     rows = [
         ("u1", bytearray(b"\x89PNG\r\n\x1a\nfakepng")),

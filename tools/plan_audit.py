@@ -31,6 +31,12 @@ CHECKS = {
     # single-partition window over the full aggregate
     "top_words": [("TakeOrderedAndProject", True)],
     "top_orders": [("TakeOrderedAndProject", True), ("BroadcastHashJoin", True)],
+    # the LSH candidate join must be an equi-join on the band keys —
+    # required=False asserts the all-pairs operators are ABSENT
+    "dedup_embedding": [
+        ("BroadcastNestedLoopJoin", False),
+        ("CartesianProduct", False),
+    ],
 }
 
 
@@ -68,11 +74,14 @@ def main() -> None:
             if re.match(r"^[\s*(+-]*[A-Z]", line) and "==" not in line:
                 print(line[:120])
         for needle, required in CHECKS.get(name, []):
+            # required=True: must appear; required=False: must NOT
+            # appear; required=None: informational only
             present = needle in plan
-            marker = "OK " if (present or not required) else "MISS"
-            if required and not present:
+            bad = (required is True and not present) or (required is False and present)
+            if bad:
                 failures.append((name, needle))
-            print(f"  [{marker}] {needle}: {'present' if present else 'absent'}")
+            print(f"  [{'MISS' if bad else 'OK '}] {needle}: "
+                  f"{'present' if present else 'absent'}")
     spark.stop()
     if failures:
         print("\nFAILED checks:", failures)
