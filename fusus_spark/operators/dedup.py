@@ -63,6 +63,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
+    df_cap: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -71,8 +72,28 @@ def ngram_jaccard_pairs(
     Plan: inverted index join on shingle (only co-occurring docs meet),
     one agg for intersection size, broadcast-joined per-doc set sizes.
     Returns (doc_a, doc_b, inter, size_a, size_b, jaccard), doc_a < doc_b.
+
+    ``df_cap`` is the standard inverted-index stop-shingle prefilter:
+    shingles whose document frequency exceeds the cap are dropped from
+    the shingle universe — intersections AND set sizes alike, so the
+    Jaccard is computed consistently over the filtered space. Without
+    it a single hot shingle (df = h) produces h^2/2 join rows: at
+    10^12 docs that one key degenerates the inverted index toward
+    all-pairs. The hot set is tiny by construction (few shingles can be
+    hot), so the exclusion is a broadcast anti-join, and the shuffled
+    fan-in per surviving shingle is bounded by df_cap.
     """
     sh = doc_shingles(docs, n, id_col, text_col)
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        # materialize once: sh feeds the df agg, both self-join sides
+        # and the size agg — Catalyst would recompute the explode 4x
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -320,30 +320,94 @@ FROM events GROUP BY 1, 2
 """
 
 
+# PassJoin segmenting for the 12-char prefix / distance-4 edit join:
+# (chunk_id, 1-based start, length). 5 = maxD + 1 segments, so any pair
+# within distance 4 has at least one untouched segment (pigeonhole).
+_LEV_PREFIX_LEN = 12
+_LEV_MAX_D = 4
+_LEV_CHUNKS = ((0, 1, 3), (1, 4, 3), (2, 7, 2), (3, 9, 2), (4, 11, 2))
+
+
 def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alignment prefilter (J1 relational half): close doc prefixes by
-    edit distance within a lang block (blocked similarity join)."""
+    edit distance <= 4, as a PassJoin-style blocked similarity join.
+
+    lev(a, b) <= d implies: partition a into d+1 segments and at least
+    one segment survives all edits, appearing verbatim in b at a start
+    position shifted by at most d (Li et al., PassJoin, VLDB'12). So
+    the join key is (lang, chunk_id, segment chars) — every index
+    segment against every shifted probe substring — which is COMPLETE
+    (the all-pairs DuckDB oracle is unchanged and still hash-matches)
+    while the fan-in per key is the character-level block, not the
+    whole language (the round-1 plan was quadratic within each of ~5
+    languages). Prefixes shorter than 12 chars take a broadcast
+    all-pairs lane (rare degenerate docs). Candidates are verified with
+    the exact JVM levenshtein.
+    """
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.substring(F.trim("text"), 1, 12).alias("prefix")
+        "doc_id", "lang", F.substring(F.trim("text"), 1, _LEV_PREFIX_LEN).alias("prefix")
     )
-    a = docs.alias("a")
-    b = docs.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    return levenshtein_blocked_pairs(docs)
+
+
+def levenshtein_blocked_pairs(docs: DataFrame) -> DataFrame:
+    """PassJoin-blocked edit-distance self-join over (doc_id, lang,
+    prefix) rows; see q_levenshtein_pairs for the completeness argument."""
+    docs = docs.localCheckpoint()  # reused by index, probe, short lane + 2 verify sides
+
+    full = docs.where(F.length("prefix") == _LEV_PREFIX_LEN)
+    segs = F.array(*[
+        F.struct(F.lit(c).alias("chunk"), F.substring("prefix", s, ln).alias("seg"))
+        for c, s, ln in _LEV_CHUNKS
+    ])
+    idx = full.select("doc_id", "lang", F.explode(segs).alias("x")).select(
+        "doc_id", "lang", F.col("x.chunk").alias("chunk"), F.col("x.seg").alias("seg")
+    )
+    probes = F.array_distinct(F.array(*[
+        F.struct(F.lit(c).alias("chunk"), F.substring("prefix", p, ln).alias("seg"))
+        for c, s, ln in _LEV_CHUNKS
+        for p in range(max(1, s - _LEV_MAX_D),
+                       min(s + _LEV_MAX_D, _LEV_PREFIX_LEN - ln + 1) + 1)
+    ]))
+    prb = full.select("doc_id", "lang", F.explode(probes).alias("x")).select(
+        "doc_id", "lang", F.col("x.chunk").alias("chunk"), F.col("x.seg").alias("seg")
+    )
+    cand = (
+        idx.alias("i").join(
+            prb.alias("p"),
+            (F.col("i.lang") == F.col("p.lang"))
+            & (F.col("i.chunk") == F.col("p.chunk"))
+            & (F.col("i.seg") == F.col("p.seg"))
+            & (F.col("i.doc_id") != F.col("p.doc_id")),
         )
-        .withColumn(
-            "dist", F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).cast("int")
-        )
-        .where(F.col("dist") <= 4)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.lang").alias("lang"),
-            "dist",
+            F.least("i.doc_id", "p.doc_id").alias("doc_a"),
+            F.greatest("i.doc_id", "p.doc_id").alias("doc_b"),
         )
+    )
+    # degenerate short prefixes: all-pairs within lang, short side broadcast
+    short = docs.where(F.length("prefix") < _LEV_PREFIX_LEN)
+    short_cand = (
+        F.broadcast(short.alias("s")).join(
+            docs.alias("t"),
+            (F.col("s.lang") == F.col("t.lang"))
+            & (F.col("s.doc_id") != F.col("t.doc_id")),
+        )
+        .select(
+            F.least("s.doc_id", "t.doc_id").alias("doc_a"),
+            F.greatest("s.doc_id", "t.doc_id").alias("doc_b"),
+        )
+    )
+    pairs = cand.unionByName(short_cand).dropDuplicates(["doc_a", "doc_b"])
+    va = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang"),
+                     F.col("prefix").alias("pa"))
+    vb = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    return (
+        pairs.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("dist", F.levenshtein("pa", "pb").cast("int"))
+        .where(F.col("dist") <= _LEV_MAX_D)
+        .select("doc_a", "doc_b", "lang", "dist")
     )
 
 

@@ -363,7 +363,13 @@ SELECT h.doc_id, g.rep_id, h.content_hash, g.group_size FROM h JOIN g USING (con
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), n=1, threshold=0.9)
+    """Inverted-index Jaccard with the df_cap stop-shingle prefilter
+    (shingles in > 250 docs excluded from the universe on both the
+    Spark and oracle side — the fan-in bound that keeps the index
+    join linear at scale)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=1, threshold=0.9, df_cap=250
+    )
     return pairs.select(
         "doc_a", "doc_b",
         F.col("inter").cast("bigint").alias("inter"),
@@ -374,7 +380,9 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_JACCARD = f"""
-WITH sh AS (SELECT DISTINCT doc_id, unnest({_ORC_TOKS}) AS s FROM documents),
+WITH sh0 AS (SELECT DISTINCT doc_id, unnest({_ORC_TOKS}) AS s FROM documents),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 250),
+sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
 sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

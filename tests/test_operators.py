@@ -150,6 +150,53 @@ def test_embedding_lsh_pairs_sound_and_high_recall(spark):
     assert recall >= 0.9, f"near-dup recall {recall}"
 
 
+def test_levenshtein_blocked_equals_all_pairs(spark):
+    """The PassJoin segment prefilter must be COMPLETE: on adversarial
+    random edits (substitutions, indels, joint) and short-prefix
+    degenerates, the blocked join returns exactly the all-pairs
+    result."""
+    import itertools
+    import random
+
+    from fusus_spark.operators.align import _lev
+    from fusus_spark.plans.relational_queries import levenshtein_blocked_pairs
+
+    rng = random.Random(13)
+    al = "abcdefgh"
+    rows = []
+    base = ["".join(rng.choice(al) for _ in range(12)) for _ in range(25)]
+    did = 0
+    for s in base:
+        rows.append((did, "en", s)); did += 1
+        # 1-4 random edits of mixed kinds
+        t = list(s)
+        for _ in range(rng.randint(1, 4)):
+            op = rng.choice("sid")
+            pos = rng.randrange(len(t)) if t else 0
+            if op == "s" and t:
+                t[pos] = rng.choice(al)
+            elif op == "i":
+                t.insert(pos, rng.choice(al))
+            elif t:
+                del t[pos]
+        rows.append((did, "en", "".join(t)[:12].ljust(12, "x")[:12]), ); did += 1
+    # short-prefix degenerates
+    for s in ("abc", "", "abcd", "abcde"):
+        rows.append((did, "en", s)); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, prefix string")
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in levenshtein_blocked_pairs(docs).collect()
+    }
+    want = set()
+    for (ia, _, pa), (ib, _, pb) in itertools.combinations(rows, 2):
+        d = _lev(pa, pb)
+        if d <= 4:
+            want.add((min(ia, ib), max(ia, ib), d))
+    assert got == want, (sorted(want - got)[:5], sorted(got - want)[:5])
+
+
 def test_media_features_pipeline(spark):
     rows = [
         ("u1", bytearray(b"\x89PNG\r\n\x1a\nfakepng")),
