@@ -234,10 +234,16 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
                 dtype=np.uint8,
             ).reshape(-1, 8)
             unit = 2 * np.unpackbits(digests, axis=1).astype(np.int64) - 1  # (U, 64)
-            tok_bits = unit[inv]  # (T, 64) in document order
             doc_idx = np.repeat(np.arange(len(texts)), counts)
             acc = np.zeros((len(texts), 64), dtype=np.int64)
-            np.add.at(acc, doc_idx, tok_bits)
+            # sub-chunk the scatter-add by token count: materializing
+            # unit[inv] for the WHOLE batch is 512 bytes/token — at
+            # 2048 realistic web docs/batch that is multiple GB; capping
+            # each pass bounds the transient to ~512 MB
+            cap = 1_000_000
+            for lo in range(0, len(inv), cap):
+                hi = min(lo + cap, len(inv))
+                np.add.at(acc, doc_idx[lo:hi], unit[inv[lo:hi]])
             packed = np.packbits((acc > 0).astype(np.uint8), axis=1)  # (D, 8)
             # big-endian bytes -> signed int64 (two's complement)
             sigs = packed.copy().view(">u8").ravel().astype(np.uint64).view(np.int64)

@@ -14,6 +14,17 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _default_mem() -> str:
+    """Driver heap gated on host RAM: a fixed -Xmx16g would get the JVM
+    OOM-killed on small hosts instead of GC-degrading. Benchmarks opt
+    into more via FUSUS_DRIVER_MEM."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError):
+        return "8g"
+    return "16g" if total >= 64 * 1024**3 else "8g"
+
+
 def get_spark(
     app_name: str = "fusus_spark",
     *,
@@ -41,7 +52,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # Deterministic session timezone for timestamp round-trips.
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("FUSUS_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("FUSUS_DRIVER_MEM", _default_mem()))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

@@ -54,8 +54,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
     try:
-        size = os.stat(f"{sf_dir}/{name}.parquet").st_size
+        if os.path.isdir(path):
+            # directory-style parquet: os.stat on the dir returns the
+            # inode size (~4KB), not the data size — sum the files
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path) for f in fs
+            )
+        else:
+            size = os.stat(path).st_size
     except OSError:
         return df
     cores = spark.sparkContext.defaultParallelism

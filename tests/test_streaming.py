@@ -67,15 +67,23 @@ def test_windowed_watermark_stream_matches_batch(spark, tmp_path):
     # The file source processes oldest-modified files first; write one
     # file per 2-hour chunk IN EVENT-TIME ORDER so the watermark
     # advances monotonically batch by batch (out-of-order files would
-    # legitimately drop the earlier windows as late data).
-    import time as _time
+    # legitimately drop the earlier windows as late data). Mtimes are
+    # set explicitly (monotonic, whole seconds) — sleeping between
+    # writes is slower and can still tie on coarse-timestamp
+    # filesystems.
+    import glob as _glob
+    import os as _os
 
-    for h0 in range(0, 8, 2):
+    stamped: set[str] = set()
+    for i, h0 in enumerate(range(0, 8, 2)):
         lo = base + dt.timedelta(hours=h0)
         hi = base + dt.timedelta(hours=h0 + 2)
         chunk = ev.where((ev["ts"] >= lo) & (ev["ts"] < hi))
         chunk.coalesce(1).write.mode("append").parquet(in_dir)
-        _time.sleep(1.1)  # distinct mtimes at fs timestamp granularity
+        for f in _glob.glob(in_dir + "/*.parquet"):
+            if f not in stamped:
+                _os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+                stamped.add(f)
 
     q = windowed_event_counts_stream(
         spark, in_dir, str(tmp_path / "ckpt"), "win_ev",
