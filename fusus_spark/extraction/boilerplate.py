@@ -125,10 +125,19 @@ def strip_boilerplate(
     """
     removals: list[tuple[str, str, bool, float, float]] = []
 
-    def walk(node: Node, path: str) -> None:
-        kept_children: list[Node | str] = []
-        counters: dict[str, int] = {}
-        for child in node.children:
+    # Iterative DFS with explicit frames (child cursor per node):
+    # preserves the exact pre-order removal-row order of the recursive
+    # formulation while surviving arbitrarily deep real-world nesting.
+    # Frame: [node, path, child_index, kept_children, counters]
+    frames: list[list] = [[root, "", 0, [], {}]]
+    while frames:
+        frame = frames[-1]
+        node, path, i, kept_children, counters = frame
+        children = node.children
+        descended = False
+        while i < len(children):
+            child = children[i]
+            i += 1
             if isinstance(child, str):
                 kept_children.append(child)
                 continue
@@ -142,16 +151,18 @@ def strip_boilerplate(
                 rule_id, score = rule
                 total, linked = _visible_stats(child)
                 # whitespace-insensitive char count of rendered text
-                text_len = total
                 density = (linked / total) if total else 0.0
-                keep = text_len >= guard.min_chars and density <= guard.max_link_density
+                keep = total >= guard.min_chars and density <= guard.max_link_density
                 removals.append((rule_id, cpath, keep, score, round(density, 6)))
                 if not keep:
                     continue  # removed: do not descend (cluster-dedupe analog)
             kept_children.append(child)
-            walk(child, cpath)
-
+            frame[2] = i  # suspend this frame, descend into the child
+            frames.append([child, cpath, 0, [], {}])
+            descended = True
+            break
+        if descended:
+            continue
         node.children = kept_children
-
-    walk(root, "")
+        frames.pop()
     return root, removals

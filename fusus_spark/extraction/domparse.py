@@ -145,25 +145,34 @@ _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I)
 
 
 def decode_html(payload: bytes) -> str:
-    """Deterministic bytes -> str (T1 charset-sniff analog)."""
+    """Deterministic bytes -> str (T1 charset-sniff analog).
+
+    A leading BOM (U+FEFF) is stripped: it is an encoding artifact, not
+    content — left in place it glues to the first word (ZWNBSP is not
+    whitespace) and poisons the first token of every BOM'd page.
+    """
     if not payload:
         return ""
+    text = None
     try:
-        return payload.decode("utf-8")
+        text = payload.decode("utf-8")
     except UnicodeDecodeError:
         pass
-    m = _CHARSET_RE.search(payload[:2048])
-    if m:
-        enc = m.group(1).decode("ascii", "replace").lower()
-        if enc not in ("utf-8", "utf8"):
-            try:
-                return payload.decode(enc)
-            except (UnicodeDecodeError, LookupError):
-                pass
-    try:
-        return payload.decode("latin-1")
-    except UnicodeDecodeError:  # pragma: no cover - latin-1 never fails
-        return payload.decode("utf-8", "replace")
+    if text is None:
+        m = _CHARSET_RE.search(payload[:2048])
+        if m:
+            enc = m.group(1).decode("ascii", "replace").lower()
+            if enc not in ("utf-8", "utf8"):
+                try:
+                    text = payload.decode(enc)
+                except (UnicodeDecodeError, LookupError):
+                    pass
+    if text is None:
+        try:
+            text = payload.decode("latin-1")
+        except UnicodeDecodeError:  # pragma: no cover - latin-1 never fails
+            text = payload.decode("utf-8", "replace")
+    return text[1:] if text.startswith("\ufeff") else text
 
 
 def parse_html(payload: bytes | str) -> Node:

@@ -66,41 +66,62 @@ def walk_segments(root: Node) -> list[tuple[int, str]]:
         else:
             events.append((level, ""))
 
-    def walk(node: Node, in_pre: bool) -> None:
-        for child in node.children:
-            if isinstance(child, str):
-                if in_pre:
-                    # <pre>: explicit newlines are line breaks.
-                    parts = child.split("\n")
-                    for i, part in enumerate(parts):
-                        if i:
-                            emit_break(_LINE_BREAK)
-                        if part:
-                            events.append((0, part))
-                elif child:
-                    events.append((0, child))
-                continue
-            tag = child.tag
-            if tag == "br":
-                emit_break(_LINE_BREAK)
-                continue
-            if tag in BLOCK_TAGS:
-                emit_break(_BLOCK_BREAK)
-                walk(child, in_pre or tag == "pre")
-                emit_break(_BLOCK_BREAK)
-            elif tag in LINE_TAGS:
-                emit_break(_LINE_BREAK)
-                walk(child, in_pre)
-                emit_break(_LINE_BREAK)
-            elif tag in CELL_TAGS:
-                # Column separator: a single space between cells.
-                events.append((0, " "))
-                walk(child, in_pre)
-                events.append((0, " "))
-            else:
-                walk(child, in_pre)  # inline: no break
-
-    walk(root, False)
+    # Iterative DFS (explicit stack): real web pages nest thousands of
+    # divs deep; Python recursion would hit the C stack. Sentinels mark
+    # the close action of a container; children are pushed reversed so
+    # they pop in document order — identical event stream to the
+    # recursive formulation.
+    _EXIT_BLOCK, _EXIT_LINE, _EXIT_CELL = object(), object(), object()
+    stack: list[tuple[object, bool]] = [
+        (c, False) for c in reversed(root.children)
+    ]
+    while stack:
+        obj, in_pre = stack.pop()
+        if obj is _EXIT_BLOCK:
+            emit_break(_BLOCK_BREAK)
+            continue
+        if obj is _EXIT_LINE:
+            emit_break(_LINE_BREAK)
+            continue
+        if obj is _EXIT_CELL:
+            events.append((0, " "))
+            continue
+        if isinstance(obj, str):
+            if in_pre:
+                # <pre>: explicit newlines are line breaks.
+                parts = obj.split("\n")
+                for i, part in enumerate(parts):
+                    if i:
+                        emit_break(_LINE_BREAK)
+                    if part:
+                        events.append((0, part))
+            elif obj:
+                events.append((0, obj))
+            continue
+        tag = obj.tag
+        if tag == "br":
+            emit_break(_LINE_BREAK)
+            continue
+        if tag in BLOCK_TAGS:
+            emit_break(_BLOCK_BREAK)
+            stack.append((_EXIT_BLOCK, False))
+            child_pre = in_pre or tag == "pre"
+            for c in reversed(obj.children):
+                stack.append((c, child_pre))
+        elif tag in LINE_TAGS:
+            emit_break(_LINE_BREAK)
+            stack.append((_EXIT_LINE, False))
+            for c in reversed(obj.children):
+                stack.append((c, in_pre))
+        elif tag in CELL_TAGS:
+            # Column separator: a single space between cells.
+            events.append((0, " "))
+            stack.append((_EXIT_CELL, False))
+            for c in reversed(obj.children):
+                stack.append((c, in_pre))
+        else:  # inline: no break
+            for c in reversed(obj.children):
+                stack.append((c, in_pre))
     return events
 
 

@@ -23,7 +23,13 @@ from fusus_spark.extraction.pipeline import (
 )
 from fusus_spark.functions.text import LANG_STOPWORDS, norm_ws, tokens
 from fusus_spark.operators import dedup, similarity, textstats
-from fusus_spark.sources.testdata import WRAP_REMOVED_RULES, docs_as_web, load
+from fusus_spark.sources.testdata import (
+    WRAP_HARD_REMOVED_RULES,
+    WRAP_REMOVED_RULES,
+    docs_as_web,
+    docs_as_web_hard,
+    load,
+)
 
 # Portable token expression for oracles (text columns are [a-z ] but we
 # normalize defensively). DuckDB regexp_replace needs the 'g' flag.
@@ -128,6 +134,110 @@ def q_extract_removals(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EXTRACT_REMOVALS = f"""
 SELECT rule_id, (SELECT count(*) FROM documents)::BIGINT AS n_removed
 FROM (SELECT unnest({list(WRAP_REMOVED_RULES)!r}) AS rule_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Adversarial extraction flagships: the HARD wrap (multi-block content,
+# boilerplate nested inside <article>, content-classed div trapped in
+# the footer, lookalike classes). The Spark side runs the FULL engine on
+# the nasty chrome; the oracle reconstructs the expected title/half/half
+# block structure from the raw text — byte-identical agreement proves
+# the engine handles adversarial pages, not just its own happy chrome.
+
+
+def q_extract_text_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = extract_all(docs_as_web_hard(spark, sf_dir), num_partitions=32)
+    env = _doc_id(extracted_from_stage(stage))
+    return env.where(F.col("status") == "extracted").select("doc_id", "extracted_text")
+
+
+ORACLE_EXTRACT_TEXT_HARD = f"""
+WITH base AS (
+  SELECT doc_id, {_ORC_TOKS} AS t, 'doc ' || doc_id AS title FROM documents
+)
+SELECT doc_id,
+       title
+       || CASE WHEN len(t) >= 1
+               THEN chr(10) || array_to_string(t[1:(len(t)+1)//2], ' ') ELSE '' END
+       || CASE WHEN len(t) > (len(t)+1)//2
+               THEN chr(10) || array_to_string(t[(len(t)+1)//2+1:len(t)], ' ') ELSE '' END
+       AS extracted_text
+FROM base
+"""
+
+
+def q_extract_words_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = extract_all(docs_as_web_hard(spark, sf_dir), num_partitions=32)
+    words = _doc_id(words_from_stage(stage))
+    return words.select(
+        "doc_id",
+        F.col("block_id").cast("int").alias("block_id"),
+        F.col("line_id").cast("int").alias("line_id"),
+        F.col("word_seq").cast("int").alias("word_seq"),
+        "word",
+        "punc",
+        F.col("char_start").cast("int").alias("char_start"),
+        F.col("char_end").cast("int").alias("char_end"),
+    )
+
+
+# Offsets: the title line is 'doc <id>'; every body token is preceded by
+# exactly one separator char (the block \n and the in-block space are
+# both 1 char), so char_start is a plain running sum over global token
+# order regardless of the block split.
+ORACLE_EXTRACT_WORDS_HARD = f"""
+WITH base AS (
+  SELECT doc_id, {_ORC_TOKS} AS t, 'doc ' || doc_id AS title FROM documents
+),
+tok AS (
+  SELECT doc_id, title,
+         unnest(t) AS word,
+         generate_subscripts(t, 1) AS i,
+         (len(t)+1)//2 AS h
+  FROM base
+),
+body_rows AS (
+  SELECT doc_id,
+         (CASE WHEN i <= h THEN 1 ELSE 2 END)::INT AS block_id,
+         0::INT AS line_id,
+         (CASE WHEN i <= h THEN i - 1 ELSE i - h - 1 END)::INT AS word_seq,
+         word,
+         '' AS punc,
+         (length(title) + 1 + COALESCE(SUM(length(word) + 1) OVER (
+            PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::INT AS char_start,
+         (length(title) + 1 + COALESCE(SUM(length(word) + 1) OVER (
+            PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + length(word))::INT AS char_end
+  FROM tok
+),
+title_rows AS (
+  SELECT doc_id, 0::INT AS block_id, 0::INT AS line_id, 0::INT AS word_seq,
+         'doc' AS word, '' AS punc, 0::INT AS char_start, 3::INT AS char_end
+  FROM base
+  UNION ALL
+  SELECT doc_id, 0::INT, 0::INT, 1::INT, doc_id::VARCHAR, '',
+         4::INT, (4 + length(doc_id::VARCHAR))::INT
+  FROM base
+)
+SELECT * FROM title_rows UNION ALL SELECT * FROM body_rows
+"""
+
+
+def q_extract_removals_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rem = extract_removals(docs_as_web_hard(spark, sf_dir))
+    return (
+        rem.where(~F.col("kept"))
+        .groupBy("rule_id")
+        .agg(F.count("*").cast("bigint").alias("n_removed"))
+    )
+
+
+ORACLE_EXTRACT_REMOVALS_HARD = f"""
+SELECT rule_id, (SELECT count(*) FROM documents)::BIGINT AS n_removed
+FROM (SELECT unnest({list(WRAP_HARD_REMOVED_RULES)!r}) AS rule_id)
 """
 
 
@@ -815,6 +925,9 @@ WEB_QUERIES: dict = {
     "extract_text": q_extract_text,
     "extract_stats": q_extract_stats,
     "extract_removals": q_extract_removals,
+    "extract_text_hard": q_extract_text_hard,
+    "extract_words_hard": q_extract_words_hard,
+    "extract_removals_hard": q_extract_removals_hard,
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
     "quality_score": q_quality_score,
@@ -843,6 +956,9 @@ WEB_ORACLES: dict[str, str] = {
     "extract_text": ORACLE_EXTRACT_TEXT,
     "extract_stats": ORACLE_EXTRACT_STATS,
     "extract_removals": ORACLE_EXTRACT_REMOVALS,
+    "extract_text_hard": ORACLE_EXTRACT_TEXT_HARD,
+    "extract_words_hard": ORACLE_EXTRACT_WORDS_HARD,
+    "extract_removals_hard": ORACLE_EXTRACT_REMOVALS_HARD,
     "token_stats": ORACLE_TOKEN_STATS,
     "token_stats_bpe": ORACLE_TOKEN_STATS_BPE,
     "quality_score": ORACLE_QUALITY_SCORE,
