@@ -24,7 +24,23 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 LADDER = ((1, 0.8), (2, 0.7), (3, 0.6))
-MAX_LOOKAHEAD = 20
+MAX_LOOKAHEAD = 100  # reference uses escalating lookahead up to 100 (align.py:524-601)
+MAX_COMBI = 4
+
+# n:m combination schedule (getCombis analog, align.py:272-291): all
+# (left, right) word-group sizes up to 4+4 except 1:1, ordered by total
+# size then by skew — the same priority the reference uses.
+COMBIS: tuple[tuple[int, int], ...] = tuple(
+    sorted(
+        (
+            (i, j)
+            for i in range(1, MAX_COMBI + 1)
+            for j in range(1, MAX_COMBI + 1)
+            if (i, j) != (1, 1)
+        ),
+        key=lambda x: (x[0] + x[1], abs(x[0] - x[1])),
+    )
+)
 
 ALIGN_OUT_SCHEMA = (
     "url string, slot_a long, word_a string, distance int, "
@@ -54,31 +70,88 @@ def _ratio(a: str, b: str, d: int) -> float:
     return 1.0 if m == 0 else round(1.0 - d / m, 6)
 
 
-def _match(a: str, b: str) -> tuple[int, float] | None:
-    """Ladder decision: (distance, ratio) if the pair matches."""
+def _similar(a: str, b: str, max_d: int, min_r: float) -> tuple[int, float] | None:
+    """(distance, ratio) when the pair passes ONE rung's thresholds."""
     if a == b:
         return 0, 1.0
     d = _lev(a, b)
+    if d > max_d:
+        return None
     r = _ratio(a, b, d)
+    return (d, r) if r >= min_r else None
+
+
+def _match(a: str, b: str) -> tuple[int, float] | None:
+    """Full-ladder decision: (distance, ratio) if the pair matches."""
     for max_d, min_r in LADDER:
-        if d <= max_d and r >= min_r:
-            return d, r
+        m = _similar(a, b, max_d, min_r)
+        if m is not None:
+            return m
+    return None
+
+
+def _find_combi(
+    a: list[tuple[int, str]], b: list[tuple[int, str]], i: int, j: int,
+    max_d: int, min_r: float,
+) -> tuple[int, int, int, float] | None:
+    """n:m combination match (findCombi analog, align.py:388-444): try
+    the COMBIS schedule; the group texts are concatenated WITHOUT
+    separator (split/merged-word repair). Returns (ca, cb, d, r)."""
+    na, nb = len(a), len(b)
+    for ca, cb in COMBIS:
+        if i + ca > na or j + cb > nb:
+            continue
+        ta = "".join(a[i + s][1] for s in range(ca))
+        tb = "".join(b[j + s][1] for s in range(cb))
+        m = _similar(ta, tb, max_d, min_r)
+        if m is not None:
+            return ca, cb, m[0], m[1]
     return None
 
 
 def align_sequences(
     a: list[tuple[int, str]], b: list[tuple[int, str]]
 ) -> list[tuple[int | None, str | None, int | None, float | None, str | None, int | None]]:
-    """Align two (slot, word) sequences; every slot emitted exactly once."""
+    """Align two (slot, word) sequences; every slot emitted exactly once.
+
+    Decision order mirrors the reference's ``compare`` per ladder rung
+    (align.py:446-521): at each rung, a direct 1:1 match is tried, then
+    the n:m combinations — so a rung-1 combination beats a rung-2 direct
+    match, exactly as in ``doDiffs``. Only then the bounded lookahead
+    (jump + catch-up null padding) fires.
+    """
     out: list = []
     i, j = 0, 0
     na, nb = len(a), len(b)
     while i < na and j < nb:
-        m = _match(a[i][1], b[j][1])
-        if m is not None:
-            out.append((a[i][0], a[i][1], m[0], m[1], b[j][1], b[j][0]))
-            i += 1
-            j += 1
+        matched = False
+        for max_d, min_r in LADDER:
+            m = _similar(a[i][1], b[j][1], max_d, min_r)
+            if m is not None:
+                out.append((a[i][0], a[i][1], m[0], m[1], b[j][1], b[j][0]))
+                i += 1
+                j += 1
+                matched = True
+                break
+            c = _find_combi(a, b, i, j, max_d, min_r)
+            if c is not None:
+                ca, cb, d, r = c
+                # pair the group's slots element-wise; the longer side's
+                # leftovers become one-sided rows (align.py:429-443) —
+                # every slot still appears exactly once
+                for s in range(max(ca, cb)):
+                    sa = a[i + s] if s < ca else None
+                    sb = b[j + s] if s < cb else None
+                    out.append((
+                        sa[0] if sa else None, sa[1] if sa else None,
+                        d, r,
+                        sb[1] if sb else None, sb[0] if sb else None,
+                    ))
+                i += ca
+                j += cb
+                matched = True
+                break
+        if matched:
             continue
         # lookahead: smallest total jump (k_a + k_b) that re-synchronizes
         best: tuple[int, int, int] | None = None  # (cost, ka, kb)

@@ -860,6 +860,185 @@ def q_align_editions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return align_editions(toks, ed_b)
 
 
+# ---------------------------------------------------------------------------
+# Alignment with a FULL oracle: the provably-exact scenario.
+#
+# align_editions above is rows-only because noisy perturbations make the
+# fuzzy walk non-SQL. These queries instead build an edition pair whose
+# ladder alignment PROVABLY equals the closed-form ground truth, so the
+# real aligner (cogroup + applyInPandas, combis, lookahead — the whole
+# J1 machinery) runs on the Spark side while a pure-SQL oracle
+# reconstructs its exact output:
+#   * edition B inserts the sentinel 'q9q9q9q9' before every token whose
+#     slot % 17 == 3 — four digits mean levenshtein >= 4 to ANY [a-z]
+#     corpus word or concatenation, beyond every ladder rung and every
+#     n:m combination, so the only resolution is the minimal (0,1)
+#     lookahead jump;
+#   * every 23rd token (when len >= 4) gets 'x' appended — d=1 with
+#     ratio >= 0.8 always passes rung 1 directly.
+# Aligned pairs therefore match 1:1 in order, sentinels become B-only
+# catch-up rows, and distances/ratios are closed-form.
+
+_ALIGN_SENTINEL = "q9q9q9q9"
+
+
+def _exact_align_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fusus_spark.operators.align import align_editions
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.posexplode(tokens("text")).alias("slot", "word"),
+    ).select("url", F.col("slot").cast("long").alias("slot"), "word")
+    mut = F.when(
+        (F.pmod(F.col("slot"), F.lit(23)) == 5) & (F.length("word") >= 4),
+        F.concat(F.col("word"), F.lit("x")),
+    ).otherwise(F.col("word"))
+    token_rows = toks.select("url", "slot", mut.alias("word"), F.lit(0).alias("sent"))
+    sent_rows = toks.where(F.pmod(F.col("slot"), F.lit(17)) == 3).select(
+        "url", "slot", F.lit(_ALIGN_SENTINEL).alias("word"), F.lit(1).alias("sent")
+    )
+    ed_b = (
+        token_rows.unionByName(sent_rows)
+        .withColumn(
+            "slot",
+            (F.row_number().over(
+                Window.partitionBy("url").orderBy("slot", F.col("sent").desc())
+            ) - 1).cast("long"),
+        )
+        .drop("sent")
+    )
+    return align_editions(toks, ed_b)
+
+
+# Shared oracle CTE prefix reconstructing the ground-truth alignment.
+_ALIGN_EXACT_CTES = f"""
+toks AS (
+  SELECT doc_id::VARCHAR AS url, unnest(t) AS word,
+         generate_subscripts(t, 1) - 1 AS s
+  FROM (SELECT doc_id, {_ORC_TOKS} AS t FROM documents WHERE doc_id < 100)
+),
+base AS (
+  SELECT url, s, word,
+         CASE WHEN s % 23 = 5 AND length(word) >= 4
+              THEN word || 'x' ELSE word END AS wb,
+         CASE WHEN s >= 3 THEN (s - 3) // 17 + 1 ELSE 0 END AS ins
+  FROM toks
+),
+token_rows AS (
+  SELECT url, (s + ins)::BIGINT AS slot_b, wb AS word_b,
+         s::BIGINT AS slot_a, word AS word_a,
+         (CASE WHEN wb <> word THEN 1 ELSE 0 END)::INT AS distance,
+         (CASE WHEN wb <> word
+               THEN round(round(1.0 - 1.0 / (length(word) + 1), 6) * 1000000)
+               ELSE 1000000 END)::BIGINT AS ratio_e6,
+         (s // 10)::INT AS line_a
+  FROM base
+),
+sent_rows AS (
+  SELECT url, (s + ins - 1)::BIGINT AS slot_b,
+         '{_ALIGN_SENTINEL}' AS word_b,
+         NULL::BIGINT AS slot_a, NULL::VARCHAR AS word_a,
+         NULL::INT AS distance, NULL::BIGINT AS ratio_e6, NULL::INT AS line_a
+  FROM base WHERE s % 17 = 3
+),
+m AS (SELECT * FROM token_rows UNION ALL SELECT * FROM sent_rows)
+"""
+
+
+def q_align_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/K9 merged sink (convert.py:352-437 analog): alignment rows
+    joined into one merged word table ordered by the B edition, with the
+    A-side location forward-filled onto B-only rows
+    (last(..., ignorenulls) — the carry-forward at convert.py:398-422).
+    Full oracle: the exact scenario makes the aligner output closed-form.
+    """
+    rows = _exact_align_rows(spark, sf_dir)
+    w = (
+        Window.partitionBy("url")
+        .orderBy("slot_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    line_a = F.floor(F.col("slot_a") / 10).cast("int")
+    return (
+        rows.withColumn("line_a_fill", F.last(line_a, ignorenulls=True).over(w))
+        .select(
+            "url",
+            F.col("slot_b").cast("bigint").alias("slot_b"),
+            "word_b",
+            F.col("slot_a").cast("bigint").alias("slot_a"),
+            "word_a",
+            F.col("distance").cast("int").alias("distance"),
+            F.round(F.col("ratio") * 1000000).cast("bigint").alias("ratio_e6"),
+            F.col("line_a_fill").cast("int").alias("line_a_fill"),
+        )
+    )
+
+
+ORACLE_ALIGN_MERGED = f"""
+WITH {_ALIGN_EXACT_CTES}
+SELECT url, slot_b, word_b, slot_a, word_a, distance, ratio_e6,
+       (last_value(line_a IGNORE NULLS) OVER (
+          PARTITION BY url ORDER BY slot_b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::INT AS line_a_fill
+FROM m
+"""
+
+
+def q_align_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 agreement histogram (align.py:851-1045 analog): row counts and
+    ratio mass per alignment distance (NULL distance = unmatched
+    catch-up rows). Full oracle via the exact scenario."""
+    rows = _exact_align_rows(spark, sf_dir)
+    return rows.groupBy(F.col("distance").cast("int").alias("distance")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("ratio") * 1000000)).cast("bigint").alias("sum_ratio_e6"),
+    )
+
+
+ORACLE_ALIGN_QUALITY = f"""
+WITH {_ALIGN_EXACT_CTES}
+SELECT distance, count(*)::BIGINT AS n_rows,
+       sum(ratio_e6)::BIGINT AS sum_ratio_e6
+FROM m GROUP BY distance
+"""
+
+
+def q_align_stretches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 bad-stretch analysis: per url, the gaps-and-islands stats of
+    unmatched B-only rows (count, number of consecutive runs, longest
+    run — align.py's unmatched-stretch reporting)."""
+    rows = _exact_align_rows(spark, sf_dir)
+    b_only = rows.where(F.col("slot_a").isNull()).select("url", "slot_b")
+    grp = F.col("slot_b") - F.row_number().over(
+        Window.partitionBy("url").orderBy("slot_b")
+    )
+    islands = (
+        b_only.withColumn("g", grp)
+        .groupBy("url", "g")
+        .agg(F.count("*").alias("len"))
+    )
+    return islands.groupBy("url").agg(
+        F.sum("len").cast("bigint").alias("n_unmatched"),
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.max("len").cast("int").alias("max_island"),
+    )
+
+
+ORACLE_ALIGN_STRETCHES = f"""
+WITH {_ALIGN_EXACT_CTES},
+isl AS (
+  SELECT url, slot_b,
+         slot_b - row_number() OVER (PARTITION BY url ORDER BY slot_b) AS g
+  FROM m WHERE slot_a IS NULL
+),
+per AS (SELECT url, g, count(*) AS len FROM isl GROUP BY url, g)
+SELECT url, sum(len)::BIGINT AS n_unmatched, count(*)::BIGINT AS n_islands,
+       max(len)::INT AS max_island
+FROM per GROUP BY url
+"""
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: keep one representative per
     exact-dup group, with quality >= 0.45 (on the e6 integer, so the
@@ -921,6 +1100,9 @@ WHERE d.doc_id = g.rep_id AND q.quality_e6 >= 450000
 
 WEB_QUERIES: dict = {
     "align_editions": q_align_editions,
+    "align_merged": q_align_merged,
+    "align_quality": q_align_quality,
+    "align_stretches": q_align_stretches,
     "extract_words": q_extract_words,
     "extract_text": q_extract_text,
     "extract_stats": q_extract_stats,
@@ -980,5 +1162,8 @@ WEB_ORACLES: dict[str, str] = {
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
+    "align_merged": ORACLE_ALIGN_MERGED,
+    "align_quality": ORACLE_ALIGN_QUALITY,
+    "align_stretches": ORACLE_ALIGN_STRETCHES,
     # rows-only (deliberately no oracle): align_editions only
 }

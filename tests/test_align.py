@@ -71,6 +71,57 @@ def test_align_random_property():
         _check_invariants(rows, a, b)
 
 
+def test_align_combi_split_word():
+    """J1 n:m: one word in A split into two in B -> a 1:2 combination
+    row pair (shared distance/ratio), not a lookahead null-pad."""
+    a = [(0, "alpha"), (1, "foobar"), (2, "omega")]
+    b = [(0, "alpha"), (1, "foo"), (2, "bar"), (3, "omega")]
+    rows = align_sequences(a, b)
+    _check_invariants(rows, a, b)
+    combi = [r for r in rows if r[0] == 1 or (r[5] in (1, 2))]
+    # slot_a=1 pairs with slot_b=1; slot_b=2 is the one-sided leftover
+    assert (1, "foobar", 0, 1.0, "foo", 1) in rows
+    assert (None, None, 0, 1.0, "bar", 2) in rows
+    assert len(combi) == 2
+    # no null-padded (lookahead) rows at all
+    assert all(r[2] is not None for r in rows)
+
+
+def test_align_combi_merged_word():
+    """J1 n:m: two words in A merged into one in B -> a 2:1 combination."""
+    a = [(0, "alpha"), (1, "foo"), (2, "bar"), (3, "omega")]
+    b = [(0, "alpha"), (1, "foobar"), (2, "omega")]
+    rows = align_sequences(a, b)
+    _check_invariants(rows, a, b)
+    assert (1, "foo", 0, 1.0, "foobar", 1) in rows
+    assert (2, "bar", 0, 1.0, None, None) in rows
+
+
+def test_align_combi_fuzzy_and_rung_order():
+    """A rung-1 combination must beat a rung-2+ direct match (reference
+    compare() order); combined texts go through the ladder too."""
+    # direct: "abcdefgh" vs "abcdefgXYZ" d=3 r=0.7 -> would match at rung
+    # (3, 0.6); combi 1:2 "abcdefgh" vs "abcdefgX"+"YZ"... same concat —
+    # instead use a case where the 1:2 combi is EXACT (rung 1):
+    a = [(0, "abcdef"), (1, "tail")]
+    b = [(0, "abc"), (1, "def"), (2, "tail")]
+    rows = align_sequences(a, b)
+    _check_invariants(rows, a, b)
+    assert (0, "abcdef", 0, 1.0, "abc", 0) in rows
+    assert (None, None, 0, 1.0, "def", 1) in rows
+    assert (1, "tail", 0, 1.0, "tail", 2) in rows
+
+
+def test_align_long_lookahead():
+    """Lookahead reaches far past the old 20-word bound (reference: 100)."""
+    a = [(0, "needle")] + [(i + 1, f"aaaa{i:02d}qq") for i in range(60)]
+    b = [(i, f"bbbb{i:02d}zz") for i in range(60)] + [(60, "needle")]
+    rows = align_sequences(a, b)
+    _check_invariants(rows, a, b)
+    matched = [r for r in rows if r[0] is not None and r[5] is not None]
+    assert any(r[1] == "needle" and r[4] == "needle" for r in matched)
+
+
 def test_align_spark_cogroup(spark):
     data_a, data_b = [], []
     for url in ("u1", "u2"):
