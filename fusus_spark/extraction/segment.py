@@ -30,6 +30,11 @@ from __future__ import annotations
 import unicodedata
 
 from fusus_spark.extraction.domparse import Node
+from fusus_spark.extraction.rewrite import (
+    DEFAULT_COMPILED,
+    CompiledRules,
+    apply_rewrites,
+)
 
 # Elements that open/close a block (stripe/block analog).
 BLOCK_TAGS = frozenset(
@@ -125,8 +130,16 @@ def walk_segments(root: Node) -> list[tuple[int, str]]:
     return events
 
 
-def segment_blocks(root: Node) -> list[list[str]]:
-    """DOM -> list of blocks; block = list of normalized non-empty lines."""
+def segment_blocks(
+    root: Node, rewrites: CompiledRules | None = DEFAULT_COMPILED
+) -> list[list[str]]:
+    """DOM -> list of blocks; block = list of normalized non-empty lines.
+
+    Per line, in order: the T26 rewrite engine (mojibake/entity/control
+    repair — the trimLine analog, applied BEFORE whitespace handling
+    exactly as the reference applies rules before space insertion,
+    lakhnawi.py:2405-2407), then whitespace collapse, then NFC.
+    """
     events = walk_segments(root)
     blocks: list[list[str]] = []
     cur_block: list[str] = []
@@ -135,6 +148,8 @@ def segment_blocks(root: Node) -> list[list[str]]:
     def flush_line() -> None:
         raw = "".join(cur_line)
         cur_line.clear()
+        if rewrites is not None:
+            raw = apply_rewrites(raw, rewrites)
         line = unicodedata.normalize("NFC", " ".join(raw.split()))
         if line:
             cur_block.append(line)

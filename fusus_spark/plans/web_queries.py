@@ -861,6 +861,66 @@ def q_align_editions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T26 rewrite engine as a driver query
+
+
+def q_normalize_rewrites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T26 rewrite-rule engine over deterministically-corrupted text:
+    each doc's payload is wrapped in mojibake / double-escaped-entity /
+    zero-width material (in-plan, JVM concat) and repaired by the
+    leftmost longest-first apply-once engine inside an Arrow batch UDF.
+    The wrap is rule-disjoint, so the oracle is the equivalent
+    sorted-order replace chain (equivalence pinned in
+    tests/test_rewrite.py); the nasty overlap semantics are covered by
+    the unit tests, not this query."""
+    import pandas as pd
+
+    from fusus_spark.extraction.rewrite import (
+        MOJIBAKE_WRAP_POST,
+        MOJIBAKE_WRAP_PRE,
+        apply_rewrites,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    corrupted = F.concat(
+        F.lit(MOJIBAKE_WRAP_PRE), F.col("text"), F.lit(MOJIBAKE_WRAP_POST)
+    )
+    src = docs.select("doc_id", corrupted.alias("corrupted"))
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "normalized": [
+                        apply_rewrites(t) for t in pdf["corrupted"].tolist()
+                    ],
+                }
+            )
+
+    return src.mapInPandas(run, "doc_id long, normalized string")
+
+
+def _normalize_rewrites_oracle_sql() -> str:
+    from fusus_spark.extraction.rewrite import (
+        DEFAULT_REWRITE_RULES,
+        MOJIBAKE_WRAP_POST,
+        MOJIBAKE_WRAP_PRE,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = f"'{q(MOJIBAKE_WRAP_PRE)}' || text || '{q(MOJIBAKE_WRAP_POST)}'"
+    for src, repl in sorted(DEFAULT_REWRITE_RULES, key=lambda r: (-len(r[0]), r[0])):
+        expr = f"replace({expr}, '{q(src)}', '{q(repl)}')"
+    return f"SELECT doc_id, {expr} AS normalized FROM documents"
+
+
+ORACLE_NORMALIZE_REWRITES = _normalize_rewrites_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # Alignment with a FULL oracle: the provably-exact scenario.
 #
 # align_editions above is rows-only because noisy perturbations make the
@@ -1120,6 +1180,7 @@ WEB_QUERIES: dict = {
     "word_freq_by_lang": q_word_freq_by_lang,
     "lang_distribution": q_lang_distribution,
     "translit_vowels": q_translit,
+    "normalize_rewrites": q_normalize_rewrites,
     "dedup_exact": q_dedup_exact,
     "curate_corpus": q_curate_corpus,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1151,6 +1212,7 @@ WEB_ORACLES: dict[str, str] = {
     "word_freq_by_lang": ORACLE_WORD_FREQ_BY_LANG,
     "lang_distribution": ORACLE_LANG_DISTRIBUTION,
     "translit_vowels": ORACLE_TRANSLIT,
+    "normalize_rewrites": ORACLE_NORMALIZE_REWRITES,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "curate_corpus": ORACLE_CURATE_CORPUS,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,

@@ -148,7 +148,7 @@ def fixture_documents() -> list[dict]:
             "<html><head><meta charset='windows-1252'></head>"
             "<body><p>smart “quotes” here</p></body></html>"
         ).encode("windows-1252"),
-        "smart “quotes” here",
+        "smart \"quotes\" here",  # T26 rewrites normalize smart quotes
         "extracted",
     )
     # 6c. NFC normalization: decomposed e + combining acute -> é

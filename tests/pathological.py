@@ -244,7 +244,7 @@ def pathological_documents() -> list[dict]:
     add(
         "entities",
         "<html><body><p>&amp;amp; &#x41;&#66; a&amp;b &notit;</p></body></html>",
-        "&amp; AB a&b ¬it;",
+        "& AB a&b ¬it;",  # &amp; repaired by T26
     )
 
     # 23. nbsp IS whitespace for normalization (U+00A0 collapses).
@@ -254,12 +254,12 @@ def pathological_documents() -> list[dict]:
         "alpha beta gamma",
     )
 
-    # 24. zero-width space U+200B is NOT whitespace: stays inside the
-    # token, lands in punc (documented; a rewrite rule can scrub it).
+    # 24. zero-width space U+200B: scrubbed by the T26 rewrite engine
+    # (it is not whitespace, so without the rule it would glue tokens).
     add(
         "zwsp",
         "<html><body><p>a&#8203;b</p></body></html>",
-        "a\u200bb",
+        "ab",  # scrubbed by the T26 zero-width rule
     )
 
     # 25. NFD input -> NFC output (e + combining acute becomes é).
@@ -276,7 +276,7 @@ def pathological_documents() -> list[dict]:
         "<html><head><meta http-equiv='Content-Type' "
         "content='text/html; charset=windows-1252'></head>"
         "<body><p>it\x92s \x93fine\x94</p></body></html>".encode("latin-1"),
-        "it’s “fine”",
+        "it's \"fine\"",  # T26 normalizes smart quotes
     )
 
     # -- structure stress ----------------------------------------------
