@@ -299,9 +299,30 @@ def extract_all(
     *,
     num_partitions: int | None = None,
     max_html_bytes: int = DEFAULT_MAX_HTML_BYTES,
+    route_oversize: bool = True,
+    big_bytes: int = 1 * 1024 * 1024,
 ) -> DataFrame:
-    """End-to-end: documents -> extraction stage, with salted repartition."""
+    """End-to-end: documents -> extraction stage.
+
+    Default path (the one entry()/extract_words run): size_route — the
+    oversize lane keeps giants out of the common lane's Arrow batches,
+    each lane salted-repartitioned. Cost note for the 100-TB plan: the
+    two lanes each filter the source, so a columnar store scans the
+    html column twice; that is the deliberate trade against a giant
+    serializing a whole common-lane task (parse cost dominates scan
+    cost ~10:1 for web HTML). route_oversize=False restores the
+    single-scan salted repartition for inputs known to be size-capped
+    upstream.
+    """
     if num_partitions:
+        if route_oversize:
+            return size_route(
+                docs,
+                big_bytes=big_bytes,
+                big_partitions=max(num_partitions // 8, 1),
+                small_partitions=num_partitions,
+                max_html_bytes=max_html_bytes,
+            )
         docs = repartition_salted(docs, num_partitions)
     return extract_stage(docs, max_html_bytes=max_html_bytes)
 

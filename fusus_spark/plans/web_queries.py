@@ -827,6 +827,143 @@ WHERE len(t) > 0
 """
 
 
+# T32 real transliteration schemes (tfFromTsv.py:633-636 analog: the
+# reference derives ascii/latin/standard transliterations per word from
+# text-fabric's scheme tables; here three deterministic scheme tables
+# over accented latin — ascii strip, digraph latin, marked standard —
+# all JVM-side translate/replace chains, no UDF).
+
+_ACCENT_SRC = "aeioun c".replace(" ", "")  # source chars that accentize
+_ACCENT_DST = "áéíóúñç"
+_LATIN_DIGRAPHS = (
+    ("á", "aa"), ("é", "ee"), ("í", "ii"), ("ó", "oo"), ("ú", "uu"),
+    ("ñ", "ny"), ("ç", "ts"),
+)
+_STD_MARKS = (
+    ("á", "a:"), ("é", "e:"), ("í", "i:"), ("ó", "o:"), ("ú", "u:"),
+    ("ñ", "n~"), ("ç", "c,"),
+)
+
+
+def q_translit_schemes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-word transliteration under three scheme tables.
+
+    Every 3rd word is 'accentized' deterministically (a->á etc., the
+    foreign-script stand-in), then transliterated back per scheme:
+    ascii = diacritic strip (1:1 translate), latin = digraph expansion
+    (aa/ee/../ny/ts — 1:many replace chain), standard = mark notation
+    (a:/n~/c,). Mirrors the reference emitting lettersp/lettersn/
+    letterst per slot."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("word_seq", "word")
+    )
+    acc = F.when(
+        F.pmod(F.col("word_seq"), F.lit(3)) == 0,
+        F.translate("word", _ACCENT_SRC, _ACCENT_DST),
+    ).otherwise(F.col("word"))
+    out = words.select(
+        "doc_id",
+        F.col("word_seq").cast("int").alias("word_seq"),
+        acc.alias("word_acc"),
+    )
+    # build replace chains via expr strings (Spark's replace() matches DuckDB's)
+    def chain(col_name: str, pairs) -> F.Column:
+        e = col_name
+        for src, dst in pairs:
+            e = f"replace({e}, '{src}', '{dst}')"
+        return F.expr(e)
+
+    return out.select(
+        "doc_id",
+        "word_seq",
+        "word_acc",
+        F.translate("word_acc", _ACCENT_DST, _ACCENT_SRC).alias("t_ascii"),
+        chain("word_acc", _LATIN_DIGRAPHS).alias("t_latin"),
+        chain("word_acc", _STD_MARKS).alias("t_std"),
+    )
+
+
+def _translit_schemes_oracle_sql() -> str:
+    def chain(e: str, pairs) -> str:
+        for src, dst in pairs:
+            e = f"replace({e}, '{src}', '{dst}')"
+        return e
+
+    return f"""
+WITH words AS (
+  SELECT doc_id, (generate_subscripts(t, 1) - 1)::INT AS word_seq, unnest(t) AS word
+  FROM (SELECT doc_id, {_ORC_TOKS} AS t FROM documents) WHERE len(t) > 0
+),
+acc AS (
+  SELECT doc_id, word_seq,
+         CASE WHEN word_seq % 3 = 0
+              THEN translate(word, '{_ACCENT_SRC}', '{_ACCENT_DST}')
+              ELSE word END AS word_acc
+  FROM words
+)
+SELECT doc_id, word_seq, word_acc,
+       translate(word_acc, '{_ACCENT_DST}', '{_ACCENT_SRC}') AS t_ascii,
+       {chain('word_acc', _LATIN_DIGRAPHS)} AS t_latin,
+       {chain('word_acc', _STD_MARKS)} AS t_std
+FROM acc
+"""
+
+
+ORACLE_TRANSLIT_SCHEMES = _translit_schemes_oracle_sql()
+
+
+# A6 TOC distill (tfFromTsv.py:330-403 getToc analog): deterministic
+# TOC-shaped lines are built from each doc's leading tokens, then the
+# structured (seq, piece, title, page) rows are regex-distilled back —
+# filter + group + regex piece extraction, all JVM-side.
+
+
+def q_toc_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = tokens("text")
+    title = F.concat_ws(" ", F.slice(t, 1, 3))
+    piece = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(F.lit("["), F.pmod(F.col("doc_id"), F.lit(7)), F.lit("] ")),
+    ).otherwise(F.lit(""))
+    line = F.concat(
+        F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), F.lit("- "),
+        piece, title, F.lit(" ... "),
+        F.pmod(F.col("doc_id"), F.lit(997)).cast("string"),
+    )
+    toc = docs.where(F.size(t) >= 3).select("doc_id", line.alias("line"))
+    pat = r"^(\d+)- (?:\[(\d+)\] )?(.*?) \.\.\. (\d+)$"
+    seq = F.regexp_extract("line", pat, 1).cast("int")
+    psec = F.regexp_extract("line", pat, 2)
+    return toc.select(
+        "doc_id",
+        seq.alias("seq"),
+        F.when(psec == "", None).otherwise(psec).cast("int").alias("piece_seq"),
+        F.regexp_extract("line", pat, 3).alias("title"),
+        F.regexp_extract("line", pat, 4).cast("int").alias("page"),
+    )
+
+
+ORACLE_TOC_DISTILL = f"""
+WITH toc AS (
+  SELECT doc_id,
+         (doc_id % 100)::VARCHAR || '- '
+         || CASE WHEN doc_id % 3 = 0 THEN '[' || (doc_id % 7)::VARCHAR || '] ' ELSE '' END
+         || array_to_string(t[1:3], ' ')
+         || ' ... ' || (doc_id % 997)::VARCHAR AS line
+  FROM (SELECT doc_id, {_ORC_TOKS} AS t FROM documents)
+  WHERE len(t) >= 3
+)
+SELECT doc_id,
+       regexp_extract(line, '^(\\d+)- (?:\\[(\\d+)\\] )?(.*?) \\.\\.\\. (\\d+)$', 1)::INT AS seq,
+       nullif(regexp_extract(line, '^(\\d+)- (?:\\[(\\d+)\\] )?(.*?) \\.\\.\\. (\\d+)$', 2), '')::INT AS piece_seq,
+       regexp_extract(line, '^(\\d+)- (?:\\[(\\d+)\\] )?(.*?) \\.\\.\\. (\\d+)$', 3) AS title,
+       regexp_extract(line, '^(\\d+)- (?:\\[(\\d+)\\] )?(.*?) \\.\\.\\. (\\d+)$', 4)::INT AS page
+FROM toc
+"""
+
+
 def q_align_editions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-edition fuzzy alignment (J1, fusus/align.py doDiffs analog).
 
@@ -1181,6 +1318,8 @@ WEB_QUERIES: dict = {
     "lang_distribution": q_lang_distribution,
     "translit_vowels": q_translit,
     "normalize_rewrites": q_normalize_rewrites,
+    "translit_schemes": q_translit_schemes,
+    "toc_distill": q_toc_distill,
     "dedup_exact": q_dedup_exact,
     "curate_corpus": q_curate_corpus,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1213,6 +1352,8 @@ WEB_ORACLES: dict[str, str] = {
     "lang_distribution": ORACLE_LANG_DISTRIBUTION,
     "translit_vowels": ORACLE_TRANSLIT,
     "normalize_rewrites": ORACLE_NORMALIZE_REWRITES,
+    "translit_schemes": ORACLE_TRANSLIT_SCHEMES,
+    "toc_distill": ORACLE_TOC_DISTILL,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "curate_corpus": ORACLE_CURATE_CORPUS,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
