@@ -96,7 +96,23 @@ MOJIBAKE_WRAP_PRE = (
 )
 MOJIBAKE_WRAP_POST = " end&amp;done&nbsp;zw​sp i­tem “q”"
 
-CompiledRules = dict[str, list[tuple[str, str]]]
+class CompiledRules:
+    """Anchor-bucketed rule index + a single-scan anchor detector.
+
+    ``index`` maps anchor char -> rules sorted (-len, match);
+    ``anchor_re`` is one character-class regex over all anchors so the
+    no-op fast path costs ONE C-level scan per line, not one scan per
+    anchor."""
+
+    __slots__ = ("index", "anchor_re")
+
+    def __init__(self, index: dict[str, list[tuple[str, str]]]):
+        import re
+
+        self.index = index
+        self.anchor_re = re.compile(
+            "[" + "".join(re.escape(a) for a in sorted(index)) + "]"
+        )
 
 
 def compile_rules(
@@ -104,12 +120,12 @@ def compile_rules(
 ) -> CompiledRules:
     """Sort by (-len(match), match) and bucket by anchor char
     (getDictFromDef analog, lakhnawi.py:739-741)."""
-    index: CompiledRules = {}
+    index: dict[str, list[tuple[str, str]]] = {}
     for src, repl in sorted(rules, key=lambda r: (-len(r[0]), r[0])):
         if not src:
             raise ValueError("empty match sequence")
         index.setdefault(src[0], []).append((src, repl))
-    return index
+    return CompiledRules(index)
 
 
 DEFAULT_COMPILED: CompiledRules = compile_rules()
@@ -126,13 +142,14 @@ def apply_rewrites(text: str, compiled: CompiledRules = DEFAULT_COMPILED) -> str
         return text
     # fast path: no anchor character present at all (the overwhelmingly
     # common case for clean lines) — one C-level scan, zero allocation
-    if not any(a in text for a in compiled):
+    if compiled.anchor_re.search(text) is None:
         return text
+    index = compiled.index
     results: list[str] = list(text)
     n = len(results)
     for i in range(n):
         c = results[i]
-        rules = compiled.get(c)
+        rules = index.get(c)
         if not rules:
             continue
         for src, repl in rules:
