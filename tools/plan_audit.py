@@ -37,6 +37,16 @@ CHECKS = {
         ("BroadcastNestedLoopJoin", False),
         ("CartesianProduct", False),
     ],
+    # PassJoin blocking: only equi-joins on (lang, chunk, segment) keys
+    "levenshtein_pairs": [
+        ("BroadcastNestedLoopJoin", False),
+        ("CartesianProduct", False),
+    ],
+    # (dedup_jaccard's df-cap anti-join runs inside the eager
+    # localCheckpoint, so it is invisible to the final explain —
+    # covered by the oracle instead)
+    # merged sink: cogrouped aligner + forward-fill window
+    "align_merged": [("FlatMapCoGroupsInPandas", True), ("Window", True)],
 }
 
 
