@@ -112,6 +112,9 @@ def main() -> None:
         ),
     }
     print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "skew.json"), "w") as f:
+        json.dump(out, f)
     spark.stop()
 
 
