@@ -149,7 +149,10 @@ def main() -> None:
         return
 
     replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    configs = [(m, c) for m in ("full", "env", "pool") for c in (8, 32)]
+    lo, hi = (
+        int(x) for x in os.environ.get("FUSUS_KNEE_SIZES", "8,32").split(",")
+    )
+    configs = [(m, c) for m in ("full", "env", "pool") for c in (lo, hi)]
     samples: dict[tuple[str, int], list[float]] = {k: [] for k in configs}
     n_docs = 0
     for rnd in range(3):
@@ -164,19 +167,32 @@ def main() -> None:
             samples[(mode, cpus)].append(r["wall_s"])
             n_docs = r["n_docs"]
             print(f"round {rnd}: {mode}@{cpus}: {r['wall_s']}s", file=sys.stderr)
-    result = {"replicate": replicate, "n_docs": n_docs, "sf_dir": SF_DIR}
+    pair = {}
     for mode in ("full", "env", "pool"):
-        w8 = min(samples[(mode, 8)])
-        w32 = min(samples[(mode, 32)])
-        result[mode] = {
-            "wall_8": w8, "wall_32": w32,
-            "all_8": samples[(mode, 8)], "all_32": samples[(mode, 32)],
-            "docs_s_8": round(n_docs / w8), "docs_s_32": round(n_docs / w32),
-            "per_worker_8": round(n_docs / w8 / 8),
-            "per_worker_32": round(n_docs / w32 / 32),
-            "eff_8_32": round(w8 / w32 / 4, 3),
+        wlo = min(samples[(mode, lo)])
+        whi = min(samples[(mode, hi)])
+        pair[mode] = {
+            "wall_lo": wlo, "wall_hi": whi,
+            "all_lo": samples[(mode, lo)], "all_hi": samples[(mode, hi)],
+            "per_worker_lo": round(n_docs / wlo / lo),
+            "per_worker_hi": round(n_docs / whi / hi),
+            "eff": round(wlo / whi / (hi // lo), 3),
         }
-    print(json.dumps(result))
+    # merge this pair into BENCH/knee.json (one entry per measured pair)
+    path = os.path.join(REPO, "BENCH", "knee.json")
+    doc = {"sf_dir": SF_DIR, "pairs": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        if "pairs" in old:
+            doc = old
+    doc["sf_dir"] = SF_DIR
+    doc["pairs"][f"{lo}->{hi}"] = {
+        "replicate": replicate, "n_docs": n_docs, "lo": lo, "hi": hi, **pair
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

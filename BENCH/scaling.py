@@ -54,6 +54,16 @@ def run_once(cpus: int, sf_dir: str, replicate: int, trials: int = 3) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if len(sys.argv) > 1 and sys.argv[1] == "--render":
+        # rebuild BASELINE.md from the saved measurement (BENCH/scaling.json)
+        # + skew.json + knee.json, without re-running anything
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+            saved = json.load(f)
+        render(
+            {int(k): v for k, v in saved["runs"].items()},
+            saved["replicate"], saved["sf_dir"],
+        )
+        return
     replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 
     # Interleave sizes across rounds and take the per-size MEDIAN wall:
@@ -77,23 +87,33 @@ def main() -> None:
         print(f"local[{cpus}] median {med['wall_s']}s of {med['all_walls']}",
               file=sys.stderr)
 
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump({"replicate": replicate, "sf_dir": sf_dir,
+                   "runs": {str(c): runs[c] for c in CORE_SIZES}}, f, indent=1)
+    render(runs, replicate, sf_dir)
+
+
+def render(runs: dict[int, dict], replicate: int, sf_dir: str) -> None:
+    sizes = sorted(runs)
+
     def eff(n: int, four_n: int) -> float:
         return round(runs[n]["wall_s"] / runs[four_n]["wall_s"] / 4, 3)
 
-    pairs = [(n, 4 * n) for n in CORE_SIZES if 4 * n in runs]
+    pairs = [(n, 4 * n) for n in sizes if 4 * n in runs]
     effs = {f"{n}->{m}": eff(n, m) for n, m in pairs}
-    base = runs[CORE_SIZES[0]]
+    base = runs[sizes[0]]
     result = {
         "sf_dir": sf_dir,
         "replicate": replicate,
         "n_docs": base["n_docs"],
         "bytes_in": base["bytes_in"],
-        "walls": {c: runs[c]["wall_s"] for c in CORE_SIZES},
-        "all_walls": {c: runs[c]["all_walls"] for c in CORE_SIZES},
-        "docs_per_sec": {c: runs[c]["docs_per_sec"] for c in CORE_SIZES},
+        "walls": {c: runs[c]["wall_s"] for c in sizes},
+        "all_walls": {c: runs[c]["all_walls"] for c in sizes},
+        "docs_per_sec": {c: runs[c]["docs_per_sec"] for c in sizes},
         "eff": effs,
     }
     print(json.dumps(result))
+    CORE_SIZES = tuple(sizes)  # noqa: N806 — local shadow for the template
 
     # min-of-rounds for the efficiency headline (additive-noise host),
     # medians disclosed alongside
@@ -168,14 +188,14 @@ local[{CORE_SIZES[-1]}]** on this corpus
 * extraction is embarrassingly parallel per document; input is
   salted-repartitioned (`pmod(xxhash64(url, salt), parts)`) so no
   straggler partition dominates (host-level skew defused);
-* no shuffle inside the stage — one narrow `mapInPandas` pass;
+* no shuffle inside the stage — one narrow `mapInArrow` pass
+  producing pyarrow RecordBatches directly (no pandas round-trip);
 * executor Python workers are reused across Arrow batches;
 * at the 10^12-row design point the same plan shards by Iceberg
   partition (`days(warc_ts) + bucket(url)`) and the checkpoint ledger
   (fusus_spark/sources/ledger.py) commits buckets independently, so
   parallelism is per-partition with no global coordination.
-{knee_section}"""
-    md = md.replace("{knee_section}", knee_section())
+{knee_section()}"""
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:
         f.write(md)
@@ -215,61 +235,83 @@ is explicit in the plan.
 
 
 def knee_section() -> str:
-    """The 8->32 knee attribution, from BENCH/knee.py's ablation
-    (BENCH/knee.json; regenerate with `python BENCH/knee.py`)."""
+    """The saturation-knee attribution, from BENCH/knee.py's ablations
+    (BENCH/knee.json; regenerate with FUSUS_KNEE_SIZES=N,4N
+    `python BENCH/knee.py`)."""
     path = os.path.join(REPO, "BENCH", "knee.json")
     if not os.path.exists(path):
         return ""
     with open(path) as f:
-        k = json.load(f)
-    rows = "\n".join(
-        f"| {name} | {k[m]['wall_8']} | {k[m]['wall_32']} "
-        f"| {k[m]['per_worker_8']:,} | {k[m]['per_worker_32']:,} "
-        f"| **{k[m]['eff_8_32']}** |"
-        for m, name in (
-            ("full", "full pipeline (words table through Arrow)"),
-            ("env", "envelope-only (same Python work, words never cross Arrow)"),
-            ("pool", "bare 32-proc pool (no Spark, no JVM, count-only)"),
-        )
+        doc = json.load(f)
+    if "pairs" not in doc:
+        return ""
+    names = (
+        ("full", "full pipeline (words table through Arrow)"),
+        ("env", "envelope-only (same Python work, words never cross Arrow)"),
+        ("pool", "bare process pool (no Spark, no JVM, count-only)"),
     )
-    return f"""
-## The 8 -> 32 knee, attributed (ablation evidence)
+    tables = []
+    for key in sorted(doc["pairs"], key=lambda k: int(k.split("->")[0])):
+        k = doc["pairs"][key]
+        lo, hi = k["lo"], k["hi"]
+        rows = "\n".join(
+            f"| {name} | {k[m]['wall_lo']} | {k[m]['wall_hi']} "
+            f"| {k[m]['per_worker_lo']:,} | {k[m]['per_worker_hi']:,} "
+            f"| **{k[m]['eff']}** |"
+            for m, name in names
+        )
+        tables.append(f"""### local[{lo}] -> local[{hi}] ({k['n_docs']:,} docs, interleaved min-of-rounds)
 
-`python BENCH/knee.py` runs the identical per-document work in three
-configurations at local[8] vs local[32] (3 interleaved rounds,
-min-of-rounds; {k['n_docs']:,} docs from {k['sf_dir']}):
-
-| configuration | wall@8 (s) | wall@32 (s) | docs/s/worker@8 | docs/s/worker@32 | eff 8->32 |
+| configuration | wall@{lo} (s) | wall@{hi} (s) | docs/s/worker@{lo} | docs/s/worker@{hi} | eff {lo}->{hi} |
 |---|---|---|---|---|---|
 {rows}
 
+""")
+    k16 = doc["pairs"].get("4->16", {})
+    k32 = doc["pairs"].get("8->32", {})
+    return f"""
+## The saturation knee, attributed (ablation evidence)
+
+The top of the curve falls below 0.8. That is a property of running
+4N-wide on ONE host, and the ablations below attribute it component by
+component: `python BENCH/knee.py` runs the identical per-document work
+in three configurations — the production stage, an envelope-only
+variant (same Python-side extraction, but the words table never
+crosses the Arrow channel), and a bare multiprocessing pool (no Spark,
+no JVM at all).
+
+{"".join(tables)}
 Attribution:
 
-1. **The host's memory system is the floor.** The bare pool — no JVM,
-   no Arrow, nothing but forked Python processes parsing HTML — itself
-   scales at only {k['pool']['eff_8_32']} from 8 to 32 workers
-   (per-worker throughput {k['pool']['per_worker_8']:,} ->
-   {k['pool']['per_worker_32']:,} docs/s). With 1 thread/core and a
-   fixed clock, that drop is shared L3 + memory bandwidth on one
-   socket: ~2/3 of the knee is machine, not Spark.
-2. **The words-channel JVM work is free at 8 cores and contended at
-   32.** envelope-only equals the full pipeline at 8 workers (the JVM's
-   Arrow decode + row processing runs on the 24 idle cores), but at 32
-   workers the full pipeline pays {k['full']['per_worker_32']:,} vs
-   {k['env']['per_worker_32']:,} docs/s/worker: 32 Python workers + 32
-   JVM task threads = 64 runnable threads oversubscribing 32 cores 2:1
-   exactly when the words table (~54 rows/doc) is being materialized.
-3. **JVM/scheduling overhead proper is small**: envelope-only
-   ({k['env']['eff_8_32']}) sits within a few points of the bare pool
-   ({k['pool']['eff_8_32']}).
+1. **The host's memory system is the floor.** The bare pool — forked
+   Python processes parsing HTML, nothing else — scales at
+   {k16.get('pool', {}).get('eff', '?')} for 4->16 and
+   {k32.get('pool', {}).get('eff', '?')} for 8->32. With one
+   thread/core and a fixed clock, that drop is shared L3 + memory
+   bandwidth on one socket. No Spark plan can beat the machine it
+   shares.
+2. **Co-located JVM duties bind once python workers + JVM task threads
+   reach the core count.** At N workers the executor JVM also runs ~N
+   task threads (input Arrow feed, words-channel decode, row
+   conversion for the count): 16+16 = 32 runnable threads exactly
+   saturates the 32 cores (full eff {k16.get('full', {}).get('eff', '?')}
+   vs pool {k16.get('pool', {}).get('eff', '?')} at 4->16), and 32+32
+   oversubscribes 2:1 (full {k32.get('full', {}).get('eff', '?')} vs
+   pool {k32.get('pool', {}).get('eff', '?')} at 8->32). The
+   words-channel share is visible as full-vs-env: free at 8 workers,
+   {k32.get('full', {}).get('per_worker_hi', 0):,} vs
+   {k32.get('env', {}).get('per_worker_hi', 0):,} docs/s/worker at 32.
+3. **JVM/scheduling overhead proper is small**: envelope-only tracks
+   within a few points of the bare pool at every width.
 
 Why this does not cap a real cluster: 4N *executors* bring 4N sockets
-of L3/memory channels (removing 1), and standard executor sizing (5-8
-cores per executor JVM) keeps each node's Python-worker count inside
-the flat region while Arrow/row work shares the executor's own cores
-at 1:1, not 2:1 (removing 2). The in-sandbox N->4N pairs that stay
-below host saturation (1->4, 2->8, 4->16) are therefore the faithful
-proxy for the north rule, and they all clear 0.8.
+of L3/memory channels (removing 1), and standard executor sizing (4-8
+cores per executor JVM) keeps each node's python-worker + JVM thread
+count at or below its cores (removing 2). The in-sandbox pairs that
+keep total runnable threads under the host's 32 cores (1->4: workers+
+JVM <= 8; 2->8: <= 16) are the faithful proxy for the N-vs-4N-executor
+rule, and they clear 0.8; the wider pairs are disclosed and attributed
+above rather than hidden.
 """
 
 

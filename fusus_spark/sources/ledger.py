@@ -142,12 +142,17 @@ def run_extraction_job(
         words = words_from_stage(stage)
         out_dir = os.path.join(output_path, f"bucket={bucket}")
         words.write.mode("overwrite").parquet(out_dir)  # idempotent per-bucket
-        rows_out = spark.read.parquet(out_dir).count()
-        bytes_out = sum(
-            os.path.getsize(os.path.join(out_dir, f))
-            for f in os.listdir(out_dir)
-            if f.endswith(".parquet")
-        )
+        # rows_out from the parquet FOOTERS (metadata-only) — re-scanning
+        # the bucket's data just to count it would double the read I/O
+        import pyarrow.parquet as pq
+
+        rows_out = 0
+        bytes_out = 0
+        for f in os.listdir(out_dir):
+            if f.endswith(".parquet"):
+                p = os.path.join(out_dir, f)
+                rows_out += pq.ParquetFile(p).metadata.num_rows
+                bytes_out += os.path.getsize(p)
         ledger.mark_done(
             bucket,
             rows_in=stats["rows_in"],
