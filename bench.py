@@ -92,16 +92,17 @@ def bench_extraction(spark, sf_dir: str, replicate: int, cpus: int) -> dict:
     }
 
 
-# NOTE: dedup_jaccard (inverted-index unigram join) is deliberately NOT a
-# headline query: on this synthetic corpus every doc shares the tiny
-# common vocabulary, so the shingle join degenerates toward all-pairs at
-# sf0.1 — the exact blowup MinHash-LSH (which IS benched) exists to avoid.
+# dedup_jaccard re-joined the headline in round 2: the df-cap
+# stop-shingle prefilter (shingles in > 250 docs dropped from the
+# universe) bounds the inverted-index fan-in, so the synthetic corpus's
+# shared-vocabulary degeneration no longer blows the join up.
 HEADLINE = [
     "extract_words",
     "token_stats",
     "top_words",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_jaccard",
     "knn_bruteforce",
     "pricing_summary",
     "top_orders",
