@@ -139,8 +139,10 @@ def main() -> None:
     qs = entrymod.queries()
     times: dict[str, float] = {"extraction_pipeline": ext["wall_s"]}
     # best-of-N per query: first execution carries JVM/codegen warmup,
-    # and the sandbox host has intermittent background load
-    qtrials = int(os.environ.get("FUSUS_BENCH_QUERY_TRIALS", "2"))
+    # and the sandbox host has intermittent background load (minutes-long
+    # episodes of load-avg ~8 were observed to inflate a 2.7s query to
+    # 21s — three trials make the min far more robust)
+    qtrials = int(os.environ.get("FUSUS_BENCH_QUERY_TRIALS", "3"))
     for name in HEADLINE:
         if name == "extract_words":
             continue  # covered by extraction_pipeline at replicated volume
