@@ -126,8 +126,12 @@ def resize_images(df: DataFrame, target: int = 64, payload_col: str = "payload",
             for url, payload in zip(pdf["url"].tolist(), pdf["payload"].tolist()):
                 payload = bytes(payload) if payload is not None else b""
                 w, h, _ = decode_stub(payload)
-                scale = target / max(w, h)
-                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                # integer half-up fit: exact in any engine (float round()
+                # is banker's in python but half-away in SQL — a .5
+                # boundary would silently diverge from the oracle)
+                m = max(w, h)
+                ow = max(1, (2 * w * target + m) // (2 * m))
+                oh = max(1, (2 * h * target + m) // (2 * m))
                 rows["url"].append(url)
                 rows["width"].append(w)
                 rows["height"].append(h)

@@ -799,6 +799,92 @@ FROM documents
 """
 
 
+def _hexbyte(md5_expr: str, i: int) -> str:
+    """SQL for byte i (0-based) of an md5 hex digest — matches
+    hashlib.md5(...).digest()[i]."""
+    hx = "'0123456789abcdef'"
+    return (
+        f"((strpos({hx}, substr({md5_expr}, {2 * i + 1}, 1)) - 1) * 16"
+        f" + (strpos({hx}, substr({md5_expr}, {2 * i + 2}, 1)) - 1))"
+    )
+
+
+def _mm_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-fit thumbnail pipeline (stub decode): the geometry math,
+    Arrow batch shape, and the deterministic fake resample are all
+    reproduced by the oracle — the pixel decode itself is the one
+    honestly-stubbed step (no image libs in this container). Payload =
+    utf-8 bytes of text, so DuckDB's VARCHAR md5 sees identical bytes."""
+    from fusus_spark.operators.multimodal import resize_images
+
+    out = resize_images(_mm_src(spark, sf_dir), target=64)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("out_width").cast("int").alias("out_width"),
+        F.col("out_height").cast("int").alias("out_height"),
+        F.lower(F.hex("resized")).alias("resized_hex"),
+    )
+
+
+_MM_H = "md5(text)"
+ORACLE_MULTIMODAL_RESIZE = f"""
+WITH dims AS (
+  SELECT doc_id, text,
+         1 + {_hexbyte(_MM_H, 0)} % 1024 AS width,
+         1 + {_hexbyte(_MM_H, 1)} % 1024 AS height
+  FROM documents
+),
+geom AS (
+  SELECT *, greatest(width, height) AS m,
+         greatest(1, (2 * width * 64 + greatest(width, height))
+                     // (2 * greatest(width, height))) AS ow,
+         greatest(1, (2 * height * 64 + greatest(width, height))
+                     // (2 * greatest(width, height))) AS oh
+  FROM dims
+)
+SELECT doc_id, width::INT AS width, height::INT AS height,
+       ow::INT AS out_width, oh::INT AS out_height,
+       substr(repeat(md5(text || ':' || ow || 'x' || oh),
+                     (ow * oh) // 16 + 1), 1, 2 * ow * oh) AS resized_hex
+FROM geom
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame-sampling pipeline (stub decode): the sampling
+    schedule over the synthetic duration and the in-batch row explosion
+    are real; the frame bytes are the deterministic stub, reproduced
+    exactly by the oracle."""
+    from fusus_spark.operators.multimodal import frame_sample
+
+    out = frame_sample(_mm_src(spark, sf_dir), n_frames=4, fps=25.0)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("ts_ms").cast("bigint").alias("ts_ms"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+# dur_ms = total_frames/25*1000 = total_frames*40 exactly; ts = dur*j//3.
+ORACLE_MULTIMODAL_FRAMES = """
+SELECT doc_id, j::INT AS frame_idx,
+       ((greatest(1, octet_length(encode(text)) // 64) * 40) * j // 3)::BIGINT AS ts_ms,
+       md5(text || ':frame:' || j) AS frame_hex
+FROM documents, (SELECT unnest(generate_series(0, 3)) AS j)
+"""
+
+
 def q_translit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transliteration (T32 analog): per-word scalar character mapping.
 
@@ -1331,6 +1417,8 @@ WEB_QUERIES: dict = {
     "knn_ivf": q_knn_ivf,
     "knn_rp_lsh": q_knn_rp_lsh,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 WEB_ORACLES: dict[str, str] = {
@@ -1365,6 +1453,8 @@ WEB_ORACLES: dict[str, str] = {
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
+    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
+    "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "align_merged": ORACLE_ALIGN_MERGED,
     "align_quality": ORACLE_ALIGN_QUALITY,
     "align_stretches": ORACLE_ALIGN_STRETCHES,
