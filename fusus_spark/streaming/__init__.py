@@ -12,3 +12,7 @@ from fusus_spark.streaming.ingest import (  # noqa: F401
     extraction_stream,
     windowed_event_counts_stream,
 )
+from fusus_spark.streaming.stateful import (  # noqa: F401
+    dedup_stream,
+    user_counts_stream,
+)

@@ -1,0 +1,120 @@
+"""Stateful streaming operators: in-stream dedup + custom state.
+
+Two training-pipeline streaming primitives on top of the same engine:
+
+* ``dedup_stream`` — exact in-stream deduplication on the content hash
+  with ``dropDuplicatesWithinWatermark``: state is bounded by the
+  watermark horizon (an unbounded ``dropDuplicates`` would grow state
+  forever at crawl scale), duplicates arriving within the horizon are
+  dropped exactly like the batch ``exact_duplicates`` keep-first rule;
+* ``user_counts_stream`` — a custom stateful operator via
+  ``applyInPandasWithState``: per-user running event counts that
+  survive across micro-batches (the W3 running-number analog in
+  streaming form). State is one small struct per user; output mode
+  ``update`` emits the refreshed totals each batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from fusus_spark.schema import DOCUMENTS_SCHEMA
+from fusus_spark.streaming.ingest import EVENTS_STREAM_SCHEMA
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "dedup_docs",
+    *,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 2,
+):
+    """Streaming exact dedup: first document per content hash survives.
+
+    The hash is the SAME md5-of-normalized-text the batch exact dedup
+    uses, so batch and stream agree on what a duplicate is. Results in
+    an in-memory sink (append mode).
+    """
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    hashed = stream.select(
+        "url",
+        "warc_ts",
+        F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("content_hash"),
+    )
+    deduped = hashed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_COUNT_OUT_SCHEMA = "user_id long, n_events bigint, sum_value_e4 bigint"
+_COUNT_STATE_SCHEMA = "n bigint, sv double"
+
+
+def user_counts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "user_counts",
+    *,
+    max_files_per_trigger: int = 1,
+):
+    """Per-user running totals via applyInPandasWithState.
+
+    Each micro-batch updates one (count, sum) state struct per user and
+    emits the new totals (update mode) — the canonical custom-stateful
+    pattern for metrics a built-in agg cannot express incrementally.
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, sv = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            sv += float(pdf["value"].sum())
+        state.update((n, sv))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value_e4": [round(sv * 10000)],
+            }
+        )
+
+    counts = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            _COUNT_OUT_SCHEMA,
+            _COUNT_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -40,6 +40,76 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert words.where(F.col("word").isNull()).count() == 0
 
 
+def test_dedup_stream_keeps_one_per_hash(spark, tmp_path):
+    """In-stream exact dedup (dropDuplicatesWithinWatermark) keeps
+    exactly one survivor per content hash, agreeing with the batch
+    dedup's notion of duplicate (md5 of normalized text)."""
+    import datetime as dt
+
+    from fusus_spark.streaming import dedup_stream
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for i in range(30):
+        text = f"doc body {i % 10}"  # 10 distinct texts, 3 copies each
+        rows.append(
+            (f"https://ex.com/{i}", base + dt.timedelta(minutes=i),
+             f"<p>{text}</p>".encode(), text, "en")
+        )
+    docs = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+    in_dir = str(tmp_path / "din")
+    docs.repartition(3).write.parquet(in_dir)
+
+    q = dedup_stream(spark, in_dir, str(tmp_path / "dckpt"), "dedup_docs")
+    q.awaitTermination(120)
+
+    got = spark.table("dedup_docs").collect()
+    hashes = [r["content_hash"] for r in got]
+    assert len(hashes) == len(set(hashes)) == 10  # one survivor per text
+
+
+def test_user_counts_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState running totals: the LAST update emitted
+    per user equals the batch aggregate over all events."""
+    import datetime as dt
+
+    from fusus_spark.streaming import user_counts_stream
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 5, "click", float(i % 7), "{}")
+        for i in range(100)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    in_dir = str(tmp_path / "evs")
+    # several files so state genuinely carries across micro-batches
+    ev.repartition(4).write.parquet(in_dir)
+
+    q = user_counts_stream(spark, in_dir, str(tmp_path / "sckpt"), "user_counts")
+    q.awaitTermination(120)
+
+    # update mode: several rows per user over time; the final one wins
+    got_rows = spark.table("user_counts").collect()
+    finals = {}
+    for r in got_rows:  # memory sink appends in batch order
+        finals[r["user_id"]] = (r["n_events"], r["sum_value_e4"])
+    from pyspark.sql import functions as F
+
+    want = {
+        r["user_id"]: (r["n"], r["sv"])
+        for r in ev.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") * 10000).cast("bigint").alias("sv"),
+        ).collect()
+    }
+    assert finals == want
+    assert len(got_rows) > len(finals)  # state really updated across batches
+
+
 def test_windowed_watermark_stream_matches_batch(spark, tmp_path):
     """Watermarked windowed agg (append mode): emitted windows == the
     batch aggregation restricted to windows closed by the final
