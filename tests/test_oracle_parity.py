@@ -30,6 +30,17 @@ FAST_SUBSET = [
     "events_asof",
     "lineitem_rollup",
     "curate_corpus",
+    # round-2 surface
+    "extract_words_hard",
+    "align_merged",
+    "align_quality",
+    "normalize_rewrites",
+    "translit_schemes",
+    "toc_distill",
+    "multimodal_resize",
+    "multimodal_frames",
+    "dedup_embedding",
+    "levenshtein_pairs",
 ]
 
 
