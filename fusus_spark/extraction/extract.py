@@ -37,10 +37,15 @@ STATUS_CAPPED = "capped"
 def extract_document(
     html: bytes | str | None,
     *,
+    lang: str | None = None,
     max_html_bytes: int = DEFAULT_MAX_HTML_BYTES,
     guard: GuardConfig = DEFAULT_GUARD,
 ) -> dict[str, Any]:
     """Extract one document. Never raises.
+
+    ``lang`` selects the language-keyed rewrite table (T30 analog:
+    e.g. Arabic orthographic normalization) layered on the default
+    mojibake/entity rules; None applies the default table only.
 
     Returns dict with keys:
       status          extracted | empty | error | capped
@@ -77,9 +82,11 @@ def extract_document(
     if not html:
         return result
     try:
+        from fusus_spark.extraction.rewrite import compiled_for_lang
+
         root = parse_html(html)
         root, removals = strip_boilerplate(root, guard=guard)
-        blocks = segment_blocks(root)
+        blocks = segment_blocks(root, rewrites=compiled_for_lang(lang))
         text, words = assemble(blocks)
     except Exception as exc:  # defensive: a bad payload must not kill a task
         result["status"] = STATUS_ERROR

@@ -99,8 +99,8 @@ def _extract_batches_arrow(
     e_text: list[str | None] = []
     e_err: list[str | None] = []
 
-    for url, html in zip(urls, htmls):
-        res = extract_document(html, max_html_bytes=max_html_bytes)
+    for url, html, lang in zip(urls, htmls, langs):
+        res = extract_document(html, lang=lang, max_html_bytes=max_html_bytes)
         rows = res["words"]
         if rows:
             bl, ln, sq, wd, pc, cs, ce = zip(*rows)

@@ -171,3 +171,51 @@ def apply_rewrites(text: str, compiled: CompiledRules = DEFAULT_COMPILED) -> str
                 results[i + m - 1] += repl[m:]
             break  # apply-once per anchor; scan resumes at i + 1
     return "".join(results)
+
+
+# ---------------------------------------------------------------------------
+# Lang-keyed rule tables (T30 analog: the reference applies
+# language-specific character repair — proclitic/final-alef fixes — on
+# top of the general rules; here per-lang orthographic normalization
+# layered onto DEFAULT_REWRITE_RULES through the same engine).
+
+# Arabic orthographic normalization (the public Lucene
+# ArabicNormalizer rule set): alef variants -> bare alef, alef maksura
+# -> ya, teh marbuta -> heh, tatweel removed, tashkeel removed.
+ARABIC_REWRITE_RULES: tuple[tuple[str, str], ...] = (
+    ("\u0622", "\u0627"),  # alef madda -> alef
+    ("\u0623", "\u0627"),  # alef hamza above -> alef
+    ("\u0625", "\u0627"),  # alef hamza below -> alef
+    ("\u0671", "\u0627"),  # alef wasla -> alef
+    ("\u0649", "\u064a"),  # alef maksura (final-alef form) -> ya
+    ("\u0629", "\u0647"),  # teh marbuta -> heh
+    ("\u0640", ""),          # tatweel
+    ("\u064b", ""),          # fathatan
+    ("\u064c", ""),          # dammatan
+    ("\u064d", ""),          # kasratan
+    ("\u064e", ""),          # fatha
+    ("\u064f", ""),          # damma
+    ("\u0650", ""),          # kasra
+    ("\u0651", ""),          # shadda
+    ("\u0652", ""),          # sukun
+)
+
+LANG_REWRITE_RULES: dict[str, tuple[tuple[str, str], ...]] = {
+    "ar": ARABIC_REWRITE_RULES,
+}
+
+_LANG_COMPILED: dict[str | None, CompiledRules] = {}
+
+
+def compiled_for_lang(lang: str | None) -> CompiledRules:
+    """DEFAULT rules + the language's table, compiled once per process
+    (rule sources are disjoint across tables, so composition is safe)."""
+    key = lang if lang in LANG_REWRITE_RULES else None
+    got = _LANG_COMPILED.get(key)
+    if got is None:
+        rules = DEFAULT_REWRITE_RULES
+        if key is not None:
+            rules = rules + LANG_REWRITE_RULES[key]
+        got = compile_rules(rules)
+        _LANG_COMPILED[key] = got
+    return got

@@ -1143,6 +1143,62 @@ def _normalize_rewrites_oracle_sql() -> str:
 ORACLE_NORMALIZE_REWRITES = _normalize_rewrites_oracle_sql()
 
 
+def q_normalize_arabic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T30: the lang-keyed Arabic rule table (alef variants, tashkeel,
+    tatweel, teh marbuta, alef maksura — the public ArabicNormalizer
+    rule set) run through the same rewrite engine over deterministically
+    Arabic-wrapped payloads; oracle = the sorted replace chain over the
+    combined table (rule-disjoint wrap, same argument as
+    normalize_rewrites)."""
+    import pandas as pd
+
+    from fusus_spark.extraction.rewrite import apply_rewrites, compiled_for_lang
+
+    pre = "أَلِف مدرسةٌ "
+    post = " هدى كتـاب"
+    docs = load(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.concat(F.lit(pre), F.col("text"), F.lit(post)).alias("corrupted"),
+    )
+    compiled = compiled_for_lang("ar")
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "normalized": [
+                        apply_rewrites(t, compiled)
+                        for t in pdf["corrupted"].tolist()
+                    ],
+                }
+            )
+
+    return src.mapInPandas(run, "doc_id long, normalized string")
+
+
+def _normalize_arabic_oracle_sql() -> str:
+    from fusus_spark.extraction.rewrite import (
+        ARABIC_REWRITE_RULES,
+        DEFAULT_REWRITE_RULES,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    pre = "أَلِف مدرسةٌ "
+    post = " هدى كتـاب"
+    expr = f"'{q(pre)}' || text || '{q(post)}'"
+    rules = DEFAULT_REWRITE_RULES + ARABIC_REWRITE_RULES
+    for src, repl in sorted(rules, key=lambda r: (-len(r[0]), r[0])):
+        expr = f"replace({expr}, '{q(src)}', '{q(repl)}')"
+    return f"SELECT doc_id, {expr} AS normalized FROM documents"
+
+
+ORACLE_NORMALIZE_ARABIC = _normalize_arabic_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Alignment with a FULL oracle: the provably-exact scenario.
 #
@@ -1404,6 +1460,7 @@ WEB_QUERIES: dict = {
     "lang_distribution": q_lang_distribution,
     "translit_vowels": q_translit,
     "normalize_rewrites": q_normalize_rewrites,
+    "normalize_arabic": q_normalize_arabic,
     "translit_schemes": q_translit_schemes,
     "toc_distill": q_toc_distill,
     "dedup_exact": q_dedup_exact,
@@ -1440,6 +1497,7 @@ WEB_ORACLES: dict[str, str] = {
     "lang_distribution": ORACLE_LANG_DISTRIBUTION,
     "translit_vowels": ORACLE_TRANSLIT,
     "normalize_rewrites": ORACLE_NORMALIZE_REWRITES,
+    "normalize_arabic": ORACLE_NORMALIZE_ARABIC,
     "translit_schemes": ORACLE_TRANSLIT_SCHEMES,
     "toc_distill": ORACLE_TOC_DISTILL,
     "dedup_exact": ORACLE_DEDUP_EXACT,

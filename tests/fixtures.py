@@ -124,12 +124,14 @@ def fixture_documents() -> list[dict]:
         "extracted",
     )
 
-    # 5. rtl content with mixed ltr tokens
+    # 5. rtl content with mixed ltr tokens; lang='ar' routes through the
+    # T30 Arabic rule table (alef-hamza normalizes to bare alef)
     ar = "الكتاب الأول"
+    ar_norm = "الكتاب الاول"
     add(
         "https://ex.com/rtl",
         f"<html><body dir='rtl'><p>{ar} HTML5 {ar}</p></body></html>".encode(),
-        f"{ar} HTML5 {ar}",
+        f"{ar_norm} HTML5 {ar_norm}",
         "extracted",
         lang="ar",
     )

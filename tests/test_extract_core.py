@@ -16,14 +16,14 @@ from tests.fixtures import (
 )
 
 
-def _extract(html):
-    return extract_document(html, max_html_bytes=FIXTURE_MAX_HTML_BYTES)
+def _extract(html, lang=None):
+    return extract_document(html, lang=lang, max_html_bytes=FIXTURE_MAX_HTML_BYTES)
 
 
 def test_goldens_byte_identical():
     """Every fixture with a golden extracts byte-identically."""
     for doc in fixture_documents():
-        res = _extract(doc["html"])
+        res = _extract(doc["html"], doc["lang"])
         assert res["status"] == doc["status"], (doc["url"], res["status"], res["error"])
         if doc["golden"] is not None:
             if doc["status"] == "capped":

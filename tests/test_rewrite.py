@@ -83,6 +83,28 @@ def test_default_table_families():
     assert apply_rewrites(s) is s
 
 
+def test_lang_keyed_arabic_normalization():
+    """T30: the 'ar' table (Lucene ArabicNormalizer rule set) layers
+    onto the default rules through the same engine and end-to-end
+    through extract_document(lang='ar'); lang=None leaves Arabic
+    untouched."""
+    from fusus_spark.extraction import extract_document
+    from fusus_spark.extraction.rewrite import compiled_for_lang
+
+    # alef-hamza + tashkeel + teh marbuta + alef maksura + tatweel
+    raw = "أَلِف مدرسة هدى كتـاب"
+    want = "الف مدرسه هدي كتاب"
+    assert apply_rewrites(raw, compiled_for_lang("ar")) == want
+    # defaults still active alongside (mojibake repaired in same pass)
+    assert apply_rewrites("cafÃ© أَب", compiled_for_lang("ar")) == "café اب"
+
+    html = f"<html><body dir='rtl'><p>{raw}</p></body></html>".encode()
+    assert extract_document(html, lang="ar")["extracted_text"] == want
+    assert extract_document(html)["extracted_text"] == raw.replace("أَ", "أَ")
+    # unknown langs share the default compiled table (cache hit)
+    assert compiled_for_lang("en") is compiled_for_lang(None)
+
+
 def test_engine_equals_chained_replace_on_disjoint_corpus():
     """For rule-disjoint text the engine must agree with a sorted-order
     global replace chain — the property the DuckDB oracle of the
