@@ -183,6 +183,16 @@ def split_words(line: str, offset: int) -> list[tuple[str, str, int, int]]:
     word. ``line[s-offset:e-offset] == word + punc`` for every row.
     """
     out: list[tuple[str, str, int, int]] = []
+    # bulk fast path: a line with no punctuation at all (very common for
+    # clean prose) — every token is (word, "") and offsets are a
+    # running sum; skips the per-token scan loop below
+    if line.replace(" ", "").isalnum():
+        pos = offset
+        for tok in line.split(" "):
+            if tok:
+                out.append((tok, "", pos, pos + len(tok)))
+            pos += len(tok) + 1
+        return out
     i = 0
     n = len(line)
     while i < n:
