@@ -181,7 +181,7 @@ runtime. Medians and every raw round wall are disclosed below.
 ({runs[CORE_SIZES[-1]]['gb_per_sec']} GB/sec) at
 local[{CORE_SIZES[-1]}]** on this corpus
 ({round(base['bytes_in']/base['n_docs'])} B html/doc average).
-{skew_section()}
+{volume_section()}{skew_section()}
 
 ## Why the job scales
 
@@ -200,6 +200,28 @@ local[{CORE_SIZES[-1]}]** on this corpus
     with open(out_path, "w") as f:
         f.write(md)
     print(f"wrote {out_path}", file=sys.stderr)
+
+
+def volume_section() -> str:
+    """Volume-stability check (scaling.json 'volume' block, measured on
+    a quiet host with `bench.py --extract-only` at two replicates)."""
+    path = os.path.join(REPO, "BENCH", "scaling.json")
+    with open(path) as f:
+        saved = json.load(f)
+    v = saved.get("volume")
+    if not v:
+        return ""
+    sm, lg = v["small"], v["large"]
+    ratio = round(lg["docs_per_sec"] / sm["docs_per_sec"], 2)
+    return f"""
+**Volume stability**: on a quiet host, the same job at local[32] does
+{sm['docs_per_sec']:,.0f} docs/sec on {sm['n_docs']:,} docs
+({sm['bytes_in']/1e6:.0f} MB, input cached) and
+{lg['docs_per_sec']:,.0f} docs/sec on {lg['n_docs']:,} docs
+({lg['bytes_in']/1e6:.0f} MB, input STREAMED — over the cache
+threshold) — {ratio:.0%} of the small-corpus rate at 3.3x the volume,
+as a shuffle-free narrow stage should behave.
+"""
 
 
 def skew_section() -> str:
