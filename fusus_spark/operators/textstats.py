@@ -191,6 +191,48 @@ def bpe_token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def ngram_xent(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document cross-entropy against the corpus character-bigram
+    model — the classic LM quality filter of large-scale text pipelines
+    (outlier docs score far from the corpus distribution).
+
+    Two relational passes, no UDF: (1) bigram counts over the whole
+    corpus -> logprob per bigram (the 'model' — at most |charset|^2
+    rows, broadcast); (2) each doc's bigrams join the model and sum.
+    Emits exact integers (sum of e6-scaled logprobs + bigram count) so
+    the oracle comparison never touches float summation order. The
+    bigram explode is materialized once (localCheckpoint) because it
+    feeds both the model aggregation and the per-doc join.
+    """
+    norm = norm_ws(text_col)
+    grams = F.when(
+        F.length(norm) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 1),
+            lambda i: norm.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    ).localCheckpoint()
+    counts = bg.groupBy("g").agg(F.count("*").alias("cnt"))
+    total = bg.agg(F.count("*").alias("total"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "g",
+        F.round(F.round(F.log(F.col("cnt") / F.col("total")), 6) * 1000000)
+        .cast("bigint")
+        .alias("logp_e6"),
+    )
+    return (
+        bg.join(F.broadcast(model), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("logp_e6").cast("bigint").alias("sum_logprob_e6"),
+        )
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 8,

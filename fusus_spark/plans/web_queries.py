@@ -353,6 +353,30 @@ FROM agg
 """
 
 
+def q_quality_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cross-entropy quality filter (character-bigram LM)."""
+    return textstats.ngram_xent(load(spark, sf_dir, "documents"))
+
+
+ORACLE_QUALITY_XENT = f"""
+WITH n AS (SELECT doc_id, {_ORC_NORM} AS t FROM documents),
+bg AS (
+  SELECT doc_id, substr(t, u.i, 2) AS g
+  FROM n, unnest(generate_series(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 2
+),
+model AS (
+  SELECT g, round(round(ln(count(*) / (SELECT count(*) FROM bg)::DOUBLE), 6)
+                  * 1000000)::BIGINT AS logp_e6
+  FROM bg GROUP BY g
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(logp_e6)::BIGINT AS sum_logprob_e6
+FROM bg JOIN model USING (g)
+GROUP BY doc_id
+"""
+
+
 def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_guess(load(spark, sf_dir, "documents")).select(
         "doc_id", "declared_lang", "guessed_lang",
@@ -1452,6 +1476,7 @@ WEB_QUERIES: dict = {
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
     "quality_score": q_quality_score,
+    "quality_xent": q_quality_xent,
     "lang_guess": q_lang_guess,
     "doc_fingerprints": q_doc_fingerprints,
     "doc_winnow": q_doc_winnow,
@@ -1489,6 +1514,7 @@ WEB_ORACLES: dict[str, str] = {
     "token_stats": ORACLE_TOKEN_STATS,
     "token_stats_bpe": ORACLE_TOKEN_STATS_BPE,
     "quality_score": ORACLE_QUALITY_SCORE,
+    "quality_xent": ORACLE_QUALITY_XENT,
     "lang_guess": ORACLE_LANG_GUESS,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "doc_winnow": ORACLE_DOC_WINNOW,

@@ -150,7 +150,19 @@ def test_embedding_lsh_pairs_sound_and_high_recall(spark):
     assert recall >= 0.9, f"near-dup recall {recall}"
 
 
-def test_levenshtein_blocked_equals_all_pairs(spark):
+def test_ngram_xent_flags_outliers(spark):
+    """The corpus cross-entropy filter must score a gibberish document
+    far below normal prose (per-bigram logprob much more negative)."""
+    from fusus_spark.operators.textstats import ngram_xent
+
+    rows = [(i, "the cat sat on the mat and then the cat ran off") for i in range(20)]
+    rows.append((99, "zq xv qj zx vq jx qz xq jv zj"))  # rare-bigram junk
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_xent(docs).collect()}
+    avg = {k: v["sum_logprob_e6"] / v["n_bigrams"] for k, v in got.items()}
+    assert avg[99] < avg[0] * 2, (avg[99], avg[0])  # much more negative
+    # identical docs score identically
+    assert len({avg[i] for i in range(20)}) == 1
     """The PassJoin segment prefilter must be COMPLETE: on adversarial
     random edits (substitutions, indels, joint) and short-prefix
     degenerates, the blocked join returns exactly the all-pairs
