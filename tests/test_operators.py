@@ -163,6 +163,9 @@ def test_ngram_xent_flags_outliers(spark):
     assert avg[99] < avg[0] * 2, (avg[99], avg[0])  # much more negative
     # identical docs score identically
     assert len({avg[i] for i in range(20)}) == 1
+
+
+def test_levenshtein_blocked_equals_all_pairs(spark):
     """The PassJoin segment prefilter must be COMPLETE: on adversarial
     random edits (substitutions, indels, joint) and short-prefix
     degenerates, the blocked join returns exactly the all-pairs
