@@ -45,6 +45,33 @@ def test_pathological_determinism():
         assert extract_document(doc["html"]) == extract_document(doc["html"]), doc["url"]
 
 
+def test_pathological_through_spark_pipeline(spark):
+    """The same adversarial corpus must survive the full Arrow pipeline
+    (mapInArrow batching, size routing, envelope accounting) with
+    byte-identical extracted text per url."""
+    import datetime as dt
+
+    from fusus_spark.extraction.pipeline import extract_all, extracted_from_stage
+
+    docs = pathological_documents()
+    rows = [
+        (d["url"], dt.datetime(2026, 1, 1), d["html"], "", "en") for d in docs
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    got = {
+        r["url"]: r
+        for r in extracted_from_stage(extract_all(df, num_partitions=4)).collect()
+    }
+    assert len(got) == len(docs)  # every url accounted
+    for d in docs:
+        row = got[d["url"]]
+        assert row["status"] == d["status"], d["url"]
+        if d["golden"] is not None:
+            assert row["extracted_text"] == d["golden"], d["url"]
+
+
 def test_guard_and_outermost_decisions_recorded():
     docs = {d["url"].rsplit("/", 1)[1]: d for d in pathological_documents()}
 
