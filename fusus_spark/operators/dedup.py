@@ -253,49 +253,130 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     return pruned.mapInPandas(run, schema=_SIMHASH_SCHEMA)
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash: band join on 4 x 16-bit chunks, then
-    exact Hamming distance filter (bit_count is JVM-side).
+# Multi-block composite blocking for the SimHash candidate join
+# (Manku/Das/Sarma WWW'07 multi-table design): the 64-bit signature is
+# split into _SIMHASH_BLOCKS bit-blocks; for hamming <= k at most k
+# blocks differ, so every near pair shares ALL blocks of at least one
+# (BLOCKS - k)-combination. Joining on a composite key of BLOCKS-k
+# blocks (~33 bits for k=3) instead of one 16-bit chunk is the whole
+# scale story: expected bucket occupancy at 10^12 docs is
+# 10^12 / 2^33 ~ 10^2 rows, vs ~10^7 per hot 16-bit chunk bucket whose
+# within-bucket self-join is quadratic.
+_SIMHASH_BLOCKS = (11, 11, 11, 11, 10, 10)  # sizes; sum = 64
 
-    Pigeonhole: hamming <= 3 over 64 bits => at least one of the 4
-    16-bit chunks is identical, so the chunk equi-join finds all pairs
-    without a cross join.
 
-    Signatures are materialized before the self-join so the Arrow UDF
-    runs once, not once per join side (one int64 per doc — tiny).
+def _simhash_block_cols():
+    """One column expression per bit-block of the signature."""
+    cols = []
+    off = 0
+    for size in _SIMHASH_BLOCKS:
+        # arithmetic shiftright then mask: the mask truncates the sign
+        # extension, so the top block (bits 54-63) is extracted correctly
+        cols.append(F.expr(f"shiftright(simhash, {off}) & {(1 << size) - 1}"))
+        off += size
+    return cols
+
+
+def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_id, simhash) signatures -> all pairs with hamming <= max_hamming.
+
+    Scale-safe plan in three collision-bounded pieces:
+
+    1. **exact pre-collapse** — identical signatures are grouped first;
+       within-group pairs are emitted directly (hamming 0) and only the
+       DISTINCT signatures enter the blocking join, so a million
+       identical docs meet the candidate join once, not 10^12 times;
+    2. **composite-key blocking** — each distinct signature emits
+       C(6, 6-k) composite keys of (6-k) bit-blocks; two signatures at
+       hamming <= k differ in at most k blocks, hence share at least one
+       full (6-k)-combination (pigeonhole), so the equi-join on
+       (combo, block_key) is complete — and the keys are >= 31 bits wide,
+       so no bucket degenerates toward all-pairs at 10^12 docs;
+    3. **expansion** — surviving signature pairs (exact bit_count filter,
+       JVM-side) are joined back to the member lists; output size equals
+       the true pair count by definition.
+
+    The all-pairs DuckDB oracle (ORACLE_DEDUP_SIMHASH) adjudicates
+    completeness of this blocking, exactly as it caught the unsound
+    hamming radius in round 1.
     """
-    sigs = simhash_signatures(docs, id_col, text_col).localCheckpoint()
-    chunks = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
-    ).withColumn(
-        "chunk_val",
-        F.expr("shiftright(simhash, chunk * 16) & 65535"),
+    if not 1 <= max_hamming <= 3:
+        raise ValueError("composite blocking is sized for 1 <= max_hamming <= 3")
+    import itertools
+
+    combo_size = len(_SIMHASH_BLOCKS) - max_hamming
+    members = sigs.select("doc_id", "simhash")
+    # piece 1: within-group pairs (identical signature = hamming 0)
+    x = members.alias("x")
+    y = members.alias("y")
+    within = x.join(
+        y,
+        (F.col("x.simhash") == F.col("y.simhash"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
+    # piece 2: blocking over DISTINCT signatures only (materialized once
+    # — it feeds both self-join sides and Catalyst would recompute the
+    # distinct + explode on each)
+    uniq = members.select("simhash").distinct().localCheckpoint()
+    blocks = _simhash_block_cols()
+    combo_structs = []
+    for cid, combo in enumerate(itertools.combinations(range(len(_SIMHASH_BLOCKS)), combo_size)):
+        key = blocks[combo[0]]
+        for bi in combo[1:]:
+            # uniform 11-bit stride: every block value < 2^11, and
+            # combo_size <= 5 keeps the key under 2^55
+            key = F.shiftleft(key, 11) + blocks[bi]
+        combo_structs.append(
+            F.struct(F.lit(cid).alias("combo"), key.alias("block_key"))
+        )
+    blocked = uniq.select("simhash", F.inline(F.array(*combo_structs)))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    sig_pairs = (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.combo") == F.col("b.combo"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b")
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    return (
-        cand.withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
+        .dropDuplicates(["sig_a", "sig_b"])
+        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
+    # piece 3: expand signature pairs to doc pairs (each doc has exactly
+    # one signature, so least/greatest gives the canonical order)
+    ma = members.select(F.col("doc_id").alias("ida"), F.col("simhash").alias("sig_a"))
+    mb = members.select(F.col("doc_id").alias("idb"), F.col("simhash").alias("sig_b"))
+    cross = (
+        sig_pairs.join(ma, "sig_a")
+        .join(mb, "sig_b")
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross)
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash: exact-signature pre-collapse + Manku
+    composite-block candidate join + exact Hamming filter
+    (``simhash_pairs_from_sigs`` documents the blocking proof).
+
+    Signatures are materialized before the self-joins so the Arrow UDF
+    runs once, not once per consumer (one int64 per doc — tiny).
+    """
+    sigs = simhash_signatures(docs, id_col, text_col).localCheckpoint()
+    return simhash_pairs_from_sigs(sigs, max_hamming)
 
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

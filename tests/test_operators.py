@@ -63,6 +63,101 @@ def test_simhash_near_docs_closer(spark):
     assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
 
 
+def test_simhash_blocking_complete_vs_bruteforce(spark):
+    """The composite-block candidate join finds EXACTLY the brute-force
+    pair set at every supported radius (completeness of the 6-block
+    pigeonhole, including identical-signature groups)."""
+    import itertools
+    import random
+
+    from fusus_spark.operators.dedup import simhash_pairs_from_sigs
+
+    rng = random.Random(13)
+    base = rng.getrandbits(64)
+    sigs = []
+    # clusters around a few centers at small hamming radii + exact dups
+    for center in (base, rng.getrandbits(64), 0, (1 << 64) - 1):
+        sigs.append(center)
+        for _ in range(6):
+            s = center
+            for bit in rng.sample(range(64), rng.randint(0, 4)):
+                s ^= 1 << bit
+            sigs.append(s)
+    sigs.extend([base, base])  # identical-signature group of 3
+    signed = [s - (1 << 64) if s >= 1 << 63 else s for s in sigs]
+    df = spark.createDataFrame(
+        list(enumerate(signed)), "doc_id long, simhash long"
+    )
+    for k in (1, 2, 3):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_pairs_from_sigs(df, max_hamming=k).collect()
+        }
+        want = set()
+        for (i, si), (j, sj) in itertools.combinations(enumerate(sigs), 2):
+            h = bin(si ^ sj).count("1")
+            if h <= k:
+                want.add((min(i, j), max(i, j), h))
+        assert got == want, f"radius {k}"
+
+
+def test_simhash_hot_chunk_bucket_bounded(spark):
+    """A deliberately hot 16-bit chunk bucket: 200 signatures share
+    chunk0 == 0 but are mutually far (hamming >> 3). The retired
+    chunk-value blocking would enqueue C(200,2) = 19900 candidate pairs
+    for the Hamming filter; the composite-block join may produce only
+    the odd random key collision (the hot chunk zeroes one block, the
+    other five still carry ~48 random bits), proving fan-in is bounded
+    by real near-duplicates, not by hot chunk values."""
+    import itertools
+    import random
+
+    from fusus_spark.operators.dedup import (
+        _SIMHASH_BLOCKS,
+        simhash_pairs_from_sigs,
+    )
+
+    rng = random.Random(99)
+    sigs = set()
+    while len(sigs) < 200:
+        # low 16 bits forced to 0 (the hot chunk); high 48 bits random —
+        # two random 48-bit halves collide in < 3 of the remaining blocks
+        # with overwhelming probability
+        sigs.add(rng.getrandbits(48) << 16)
+    sigs = sorted(sigs)
+    # verify the corpus is actually mutually far (sanity of the setup)
+    sample = sigs[:40]
+    assert all(
+        bin(a ^ b).count("1") > 3
+        for a, b in itertools.combinations(sample, 2)
+    )
+    signed = [s - (1 << 64) if s >= 1 << 63 else s for s in sigs]
+    df = spark.createDataFrame(
+        list(enumerate(signed)), "doc_id long, simhash long"
+    )
+    assert simhash_pairs_from_sigs(df, max_hamming=3).count() == 0
+    # the blocking sees (at most) stray random key collisions, never the
+    # 19900-pair hot-bucket blowup: emulate the candidate count
+    # python-side over the same block layout
+    def block_vals(s):
+        vals, off = [], 0
+        for size in _SIMHASH_BLOCKS:
+            vals.append((s >> off) & ((1 << size) - 1))
+            off += size
+        return vals
+
+    keys = set()
+    collisions = 0
+    for s in sigs:
+        vals = block_vals(s)
+        for combo in itertools.combinations(range(6), 3):
+            key = (combo, tuple(vals[i] for i in combo))
+            if key in keys:
+                collisions += 1
+            keys.add(key)
+    assert collisions <= 5, collisions
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF with all buckets probed == exact; fewer probes >= 40% recall
     on random vectors (documents the approximation contract)."""

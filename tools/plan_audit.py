@@ -37,6 +37,13 @@ CHECKS = {
         ("BroadcastNestedLoopJoin", False),
         ("CartesianProduct", False),
     ],
+    # SimHash: the candidate join must key on the Manku composite block
+    # keys (block_key), with no all-pairs operator anywhere
+    "dedup_simhash": [
+        ("block_key", True),
+        ("BroadcastNestedLoopJoin", False),
+        ("CartesianProduct", False),
+    ],
     # PassJoin blocking: only equi-joins on (lang, chunk, segment) keys
     "levenshtein_pairs": [
         ("BroadcastNestedLoopJoin", False),
