@@ -22,9 +22,7 @@ Physical design (SURVEY.md §2.10, §4.3):
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -61,25 +59,35 @@ _ARROW_STAGE_SCHEMA = pa.schema(
         ("n_removed", pa.int32()),
         ("extracted_text", pa.string()),
         ("error", pa.string()),
+        ("rule_id", pa.string()),
+        ("node_path", pa.string()),
+        ("kept", pa.bool_()),
+        ("score", pa.float64()),
+        ("guard_ratio", pa.float64()),
     ]
 )
 
 _I32 = pa.int32()
 _STR = pa.string()
+_F64 = pa.float64()
 
 
 def _extract_batches_arrow(
     urls: list, htmls: list, langs: list, max_html_bytes: int
-) -> tuple[pa.RecordBatch, pa.RecordBatch]:
-    """One input batch of documents -> (word rows, envelope rows).
+) -> tuple[pa.RecordBatch, pa.RecordBatch, pa.RecordBatch]:
+    """One input batch of documents -> (word, envelope, removal rows).
 
     Layout: every url emits exactly ONE envelope row (word_seq = -1,
-    carrying status/counts/extracted_text) plus one row per word
-    (word_seq >= 0, envelope columns null). Arrays are built directly
-    with pyarrow (``pa.array`` on python lists + ``pa.nulls`` for the
-    all-null stretches): at 10^12 scale the words-table materialization
-    dominates this stage, and skipping the pandas block-manager
-    round-trip roughly halves its cost vs ``mapInPandas``.
+    carrying status/counts/extracted_text), one row per word
+    (word_seq >= 0, envelope columns null), and one row per
+    boilerplate-removal record (word_seq = -2, REMOVALS columns) — all
+    from a SINGLE ``extract_document`` call, so a job consuming words +
+    stats + removals parses the corpus once, not three times. Arrays
+    are built directly with pyarrow (``pa.array`` on python lists +
+    ``pa.nulls`` for the all-null stretches): at 10^12 scale the
+    words-table materialization dominates this stage, and skipping the
+    pandas block-manager round-trip roughly halves its cost vs
+    ``mapInPandas``.
     """
     # word-row accumulators
     w_url: list[str] = []
@@ -98,9 +106,23 @@ def _extract_batches_arrow(
     e_removed: list[int] = []
     e_text: list[str | None] = []
     e_err: list[str | None] = []
+    # removal-row accumulators (one per markData record)
+    r_url: list[str] = []
+    r_rule: list[str] = []
+    r_path: list[str] = []
+    r_kept: list[bool] = []
+    r_score: list[float] = []
+    r_guard: list[float] = []
 
     for url, html, lang in zip(urls, htmls, langs):
         res = extract_document(html, lang=lang, max_html_bytes=max_html_bytes)
+        for rule_id, node_path, kept, score, guard in res["removals"]:
+            r_url.append(url)
+            r_rule.append(rule_id)
+            r_path.append(node_path)
+            r_kept.append(kept)
+            r_score.append(score)
+            r_guard.append(guard)
         rows = res["words"]
         if rows:
             bl, ln, sq, wd, pc, cs, ce = zip(*rows)
@@ -121,9 +143,11 @@ def _extract_batches_arrow(
         e_text.append(res["extracted_text"] if rows else None)
         e_err.append(res["error"])
 
-    nw, ne = len(w_url), len(urls)
+    nw, ne, nr = len(w_url), len(urls), len(r_url)
     # lang/status live on the envelope row only: repeating them per word
-    # would cost 2 string cells x rows in the Arrow channel.
+    # would cost 2 string cells x rows in the Arrow channel; the removal
+    # columns are pa.nulls on word/envelope rows (a validity bitmap, not
+    # data — widening the schema costs ~nothing in the Arrow channel).
     words_rb = pa.RecordBatch.from_arrays(
         [
             pa.array(w_url, _STR),
@@ -142,6 +166,11 @@ def _extract_batches_arrow(
             pa.nulls(nw, _I32),          # n_removed
             pa.nulls(nw, _STR),          # extracted_text
             pa.nulls(nw, _STR),          # error
+            pa.nulls(nw, _STR),          # rule_id
+            pa.nulls(nw, _STR),          # node_path
+            pa.nulls(nw, pa.bool_()),    # kept
+            pa.nulls(nw, _F64),          # score
+            pa.nulls(nw, _F64),          # guard_ratio
         ],
         schema=_ARROW_STAGE_SCHEMA,
     )
@@ -163,10 +192,41 @@ def _extract_batches_arrow(
             pa.array(e_removed, _I32),
             pa.array(e_text, _STR),
             pa.array(e_err, _STR),
+            pa.nulls(ne, _STR),          # rule_id
+            pa.nulls(ne, _STR),          # node_path
+            pa.nulls(ne, pa.bool_()),    # kept
+            pa.nulls(ne, _F64),          # score
+            pa.nulls(ne, _F64),          # guard_ratio
         ],
         schema=_ARROW_STAGE_SCHEMA,
     )
-    return words_rb, env_rb
+    rem_rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array(r_url, _STR),
+            pa.nulls(nr, _STR),          # lang
+            pa.nulls(nr, _STR),          # status
+            pa.nulls(nr, _I32),          # block_id
+            pa.nulls(nr, _I32),          # line_id
+            pa.array([-2] * nr, _I32),   # word_seq marks removal rows
+            pa.nulls(nr, _STR),          # word
+            pa.nulls(nr, _STR),          # punc
+            pa.nulls(nr, _I32),          # char_start
+            pa.nulls(nr, _I32),          # char_end
+            pa.nulls(nr, _I32),          # n_blocks
+            pa.nulls(nr, _I32),          # n_lines
+            pa.nulls(nr, _I32),          # n_words
+            pa.nulls(nr, _I32),          # n_removed
+            pa.nulls(nr, _STR),          # extracted_text
+            pa.nulls(nr, _STR),          # error
+            pa.array(r_rule, _STR),
+            pa.array(r_path, _STR),
+            pa.array(r_kept, pa.bool_()),
+            pa.array(r_score, _F64),
+            pa.array(r_guard, _F64),
+        ],
+        schema=_ARROW_STAGE_SCHEMA,
+    )
+    return words_rb, env_rb, rem_rb
 
 
 def extract_stage(
@@ -190,12 +250,14 @@ def extract_stage(
             urls = rb.column(cols["url"]).to_pylist()
             htmls = rb.column(cols["html"]).to_pylist()
             langs = rb.column(cols["lang"]).to_pylist()
-            words_rb, env_rb = _extract_batches_arrow(
+            words_rb, env_rb, rem_rb = _extract_batches_arrow(
                 urls, htmls, langs, max_html_bytes
             )
             if words_rb.num_rows:
                 yield words_rb
             yield env_rb
+            if rem_rb.num_rows:
+                yield rem_rb
 
     return pruned.mapInArrow(run, schema=EXTRACTION_STAGE_SCHEMA)
 
@@ -228,28 +290,27 @@ def extracted_from_stage(stage: DataFrame) -> DataFrame:
     )
 
 
+def removals_from_stage(stage: DataFrame) -> DataFrame:
+    """Stage rows -> removal diagnostics (markData analog,
+    REMOVALS_SCHEMA): the word_seq = -2 rows of the fused pass."""
+    return stage.where(F.col("word_seq") == -2).select(
+        *[f.name for f in REMOVALS_SCHEMA.fields]
+    )
+
+
 def extract_removals(docs: DataFrame, *, max_html_bytes: int = DEFAULT_MAX_HTML_BYTES) -> DataFrame:
-    """documents -> removal diagnostics (markData analog, REMOVALS_SCHEMA)."""
-    pruned = docs.select("url", "html")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: dict[str, list[Any]] = {
-                "url": [], "rule_id": [], "node_path": [],
-                "kept": [], "score": [], "guard_ratio": [],
-            }
-            for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
-                res = extract_document(html, max_html_bytes=max_html_bytes)
-                for rule_id, node_path, kept, score, guard in res["removals"]:
-                    rows["url"].append(url)
-                    rows["rule_id"].append(rule_id)
-                    rows["node_path"].append(node_path)
-                    rows["kept"].append(kept)
-                    rows["score"].append(score)
-                    rows["guard_ratio"].append(guard)
-            yield pd.DataFrame(rows, columns=[f.name for f in REMOVALS_SCHEMA.fields])
-
-    return pruned.mapInPandas(run, schema=REMOVALS_SCHEMA)
+    """documents -> removal diagnostics via the SAME fused ``mapInArrow``
+    pass that produces words and envelopes — a job wanting words + stats
+    + removals parses each document exactly once (the reference writes
+    markData inside the same per-page pass, fusus/page.py:927-1017;
+    round-2's standalone re-parse doubled the 100-TB scan).
+    """
+    pruned = docs
+    if "lang" not in docs.columns:
+        pruned = docs.withColumn("lang", F.lit(None).cast("string"))
+    return removals_from_stage(
+        extract_stage(pruned, max_html_bytes=max_html_bytes)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -61,7 +61,11 @@ EXTRACTED_SCHEMA = T.StructType(
 # Combined wide stage emitted by the fused extraction UDF: one row per
 # word plus the per-url envelope columns (status/extracted_text repeated
 # per word; empty/error urls emit exactly one row with word_seq = -1 so
-# accounting never loses a url).  Downstream splits into WORDS / EXTRACTED.
+# accounting never loses a url) plus one row per boilerplate-removal
+# record (word_seq = -2 carrying the REMOVALS columns) — all three row
+# kinds come out of ONE parse, mirroring the reference writing markData
+# inside the same per-page pass (fusus/page.py:927-1017). Downstream
+# splits into WORDS / EXTRACTED / REMOVALS.
 EXTRACTION_STAGE_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -80,6 +84,11 @@ EXTRACTION_STAGE_SCHEMA = T.StructType(
         T.StructField("n_removed", T.IntegerType(), True),
         T.StructField("extracted_text", T.StringType(), True),
         T.StructField("error", T.StringType(), True),
+        T.StructField("rule_id", T.StringType(), True),  # removal rows only
+        T.StructField("node_path", T.StringType(), True),
+        T.StructField("kept", T.BooleanType(), True),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("guard_ratio", T.DoubleType(), True),
     ]
 )
 

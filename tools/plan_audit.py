@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CHECKS = {
     "extract_words": [("MapInArrow", True), ("Exchange", None)],
+    # removals come from the SAME fused pass as words/envelopes: exactly
+    # one MapInArrow node, and no second python stage (int = exact count
+    # of plan-detail nodes '(n) <op>')
+    "extract_removals": [("MapInArrow", 1), ("MapInPandas", False)],
     "top_orders": [("BroadcastHashJoin", True)],
     "nation_revenue": [("BroadcastHashJoin", True), ("HashAggregate", True)],
     "pricing_summary": [("HashAggregate", True), ("PushedFilters", None)],
@@ -92,7 +96,16 @@ def main() -> None:
                 print(line[:120])
         for needle, required in CHECKS.get(name, []):
             # required=True: must appear; required=False: must NOT
-            # appear; required=None: informational only
+            # appear; required=None: informational only; required=int:
+            # exact count of plan-detail node headers '(n) <op>'
+            if isinstance(required, int) and not isinstance(required, bool):
+                count = len(re.findall(rf"\(\d+\) {re.escape(needle)}", plan))
+                bad = count != required
+                if bad:
+                    failures.append((name, needle))
+                print(f"  [{'MISS' if bad else 'OK '}] {needle}: "
+                      f"count {count} (want {required})")
+                continue
             present = needle in plan
             bad = (required is True and not present) or (required is False and present)
             if bad:
