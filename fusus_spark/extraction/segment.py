@@ -139,8 +139,20 @@ def segment_blocks(
     repair — the trimLine analog, applied BEFORE whitespace handling
     exactly as the reference applies rules before space insertion,
     lakhnawi.py:2405-2407), then whitespace collapse, then NFC.
+
+    Hot-loop fast paths (the flagship-throughput guard): the rewrite
+    engine's no-op check is hoisted to ONE C-level regex scan over the
+    document's concatenated text payloads — an anchor char present in
+    some line is necessarily present in some payload, so a clean
+    document (the overwhelming case for web text) skips the per-line
+    engine entirely; and NFC is skipped for pure-ASCII lines (identity
+    by definition — ASCII is NFC-closed).
     """
     events = walk_segments(root)
+    if rewrites is not None and rewrites.anchor_re.search(
+        "".join(p for k, p in events if k == 0)
+    ) is None:
+        rewrites = None
     blocks: list[list[str]] = []
     cur_block: list[str] = []
     cur_line: list[str] = []
@@ -150,7 +162,9 @@ def segment_blocks(
         cur_line.clear()
         if rewrites is not None:
             raw = apply_rewrites(raw, rewrites)
-        line = unicodedata.normalize("NFC", " ".join(raw.split()))
+        line = " ".join(raw.split())
+        if not line.isascii():
+            line = unicodedata.normalize("NFC", line)
         if line:
             cur_block.append(line)
 
