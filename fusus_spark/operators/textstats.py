@@ -196,13 +196,24 @@ def ngram_xent(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     model — the classic LM quality filter of large-scale text pipelines
     (outlier docs score far from the corpus distribution).
 
-    Two relational passes, no UDF: (1) bigram counts over the whole
-    corpus -> logprob per bigram (the 'model' — at most |charset|^2
-    rows, broadcast); (2) each doc's bigrams join the model and sum.
+    Two relational SCANS of the source, no UDF, no materialization:
+    (1) bigram counts aggregated straight off the source -> logprob per
+    bigram (the 'model' — at most |charset|^2 rows; the corpus total is
+    derived FROM the counts, not a third scan); (2) a second scan
+    re-derives each doc's bigrams and joins the broadcast model.
+
+    Scale trade, made explicit: round 2 ``localCheckpoint``ed the
+    exploded bigrams (~2x corpus characters as rows) so one explode fed
+    both consumers — but that is a corpus-sized, non-fault-tolerant
+    executor-local materialization (~200 TB of local disk at the 100-TB
+    design point, lost with any executor). Re-deriving the explode costs
+    one extra columnar scan + in-task compute and nothing else — at
+    10^12 docs two cheap scans beat one scan plus a corpus-sized spill.
+    Jobs that reuse bigrams across many queries should persist them to a
+    real table instead.
+
     Emits exact integers (sum of e6-scaled logprobs + bigram count) so
-    the oracle comparison never touches float summation order. The
-    bigram explode is materialized once (localCheckpoint) because it
-    feeds both the model aggregation and the per-doc join.
+    the oracle comparison never touches float summation order.
     """
     norm = norm_ws(text_col)
     grams = F.when(
@@ -212,11 +223,12 @@ def ngram_xent(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
             lambda i: norm.substr(i, F.lit(2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
-    ).localCheckpoint()
-    counts = bg.groupBy("g").agg(F.count("*").alias("cnt"))
-    total = bg.agg(F.count("*").alias("total"))
+
+    def bg():  # each call = an independent scan-and-explode of the source
+        return docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+
+    counts = bg().groupBy("g").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
     model = counts.crossJoin(F.broadcast(total)).select(
         "g",
         F.round(F.round(F.log(F.col("cnt") / F.col("total")), 6) * 1000000)
@@ -224,7 +236,7 @@ def ngram_xent(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         .alias("logp_e6"),
     )
     return (
-        bg.join(F.broadcast(model), "g")
+        bg().join(F.broadcast(model), "g")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),

@@ -41,6 +41,9 @@ CHECKS = {
         ("BroadcastNestedLoopJoin", False),
         ("CartesianProduct", False),
     ],
+    # the bigram model must come from scans of the SOURCE, not from a
+    # corpus-sized localCheckpoint (which would show as Scan ExistingRDD)
+    "quality_xent": [("Scan ExistingRDD", False), ("BroadcastHashJoin", True)],
     # SimHash: the candidate join must key on the Manku composite block
     # keys (block_key), with no all-pairs operator anywhere
     "dedup_simhash": [
