@@ -499,7 +499,13 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+# NB ordering: the driver's correctness run covers at most 50 registry
+# entries in iteration order — events_asof/lineitem_rollup sat last in
+# round 2 and fell off the end. The registry is now exactly 50 entries,
+# and the two formerly-skipped queries lead this dict defensively.
 RELATIONAL_QUERIES: dict = {
+    "events_asof": q_events_asof,
+    "lineitem_rollup": q_lineitem_rollup,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "nation_revenue": q_nation_revenue,
@@ -511,8 +517,6 @@ RELATIONAL_QUERIES: dict = {
     "top_events_per_user": q_top_events_per_user,
     "events_daily": q_events_daily,
     "levenshtein_pairs": q_levenshtein_pairs,
-    "events_asof": q_events_asof,
-    "lineitem_rollup": q_lineitem_rollup,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {

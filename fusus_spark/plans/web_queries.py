@@ -35,6 +35,13 @@ from fusus_spark.sources.testdata import (
 # normalize defensively). DuckDB regexp_replace needs the 'g' flag.
 _ORC_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 _ORC_TOKS = f"string_split({_ORC_NORM}, ' ')"
+# DuckDB string_split('', ' ') yields [''] (a phantom empty token);
+# the engine maps empty text to an empty token array — oracles that
+# reconstruct body tokens must use the guarded form to agree on
+# whitespace-only documents.
+_ORC_TOKS_SAFE = (
+    f"CASE WHEN length({_ORC_NORM}) = 0 THEN []::VARCHAR[] ELSE {_ORC_TOKS} END"
+)
 
 
 def _doc_id(df: DataFrame) -> DataFrame:
@@ -87,18 +94,10 @@ FROM toks
 
 
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stage = extract_all(docs_as_web(spark, sf_dir), num_partitions=32)
-    env = _doc_id(extracted_from_stage(stage))
-    return env.where(F.col("status") == "extracted").select("doc_id", "extracted_text")
-
-
-ORACLE_EXTRACT_TEXT = f"""
-SELECT doc_id, {_ORC_NORM} AS extracted_text
-FROM documents WHERE length({_ORC_NORM}) > 0
-"""
-
-
-def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-url envelope: status + counts + extracted_text for EVERY
+    input url (the round-2 `extract_stats` query folded in — one
+    envelope query hash-verifies both the text bytes and the counts,
+    freeing a slot in the driver's 50-query correctness budget)."""
     stage = extract_all(docs_as_web(spark, sf_dir), num_partitions=32)
     env = _doc_id(extracted_from_stage(stage))
     return env.select(
@@ -108,16 +107,18 @@ def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines").cast("int").alias("n_lines"),
         F.col("n_words").cast("int").alias("n_words"),
         F.col("n_removed").cast("int").alias("n_removed"),
+        "extracted_text",
     )
 
 
-ORACLE_EXTRACT_STATS = f"""
+ORACLE_EXTRACT_TEXT = f"""
 SELECT doc_id,
        CASE WHEN length({_ORC_NORM}) > 0 THEN 'extracted' ELSE 'empty' END AS status,
        CASE WHEN length({_ORC_NORM}) > 0 THEN 1 ELSE 0 END::INT AS n_blocks,
        CASE WHEN length({_ORC_NORM}) > 0 THEN 1 ELSE 0 END::INT AS n_lines,
-       len({_ORC_TOKS})::INT AS n_words,
-       {len(WRAP_REMOVED_RULES)}::INT AS n_removed
+       CASE WHEN length({_ORC_NORM}) > 0 THEN len({_ORC_TOKS}) ELSE 0 END::INT AS n_words,
+       {len(WRAP_REMOVED_RULES)}::INT AS n_removed,
+       CASE WHEN length({_ORC_NORM}) > 0 THEN {_ORC_NORM} ELSE NULL END AS extracted_text
 FROM documents
 """
 
@@ -154,7 +155,7 @@ def q_extract_text_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EXTRACT_TEXT_HARD = f"""
 WITH base AS (
-  SELECT doc_id, {_ORC_TOKS} AS t, 'doc ' || doc_id AS title FROM documents
+  SELECT doc_id, {_ORC_TOKS_SAFE} AS t, 'doc ' || doc_id AS title FROM documents
 )
 SELECT doc_id,
        title
@@ -188,7 +189,7 @@ def q_extract_words_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order regardless of the block split.
 ORACLE_EXTRACT_WORDS_HARD = f"""
 WITH base AS (
-  SELECT doc_id, {_ORC_TOKS} AS t, 'doc ' || doc_id AS title FROM documents
+  SELECT doc_id, {_ORC_TOKS_SAFE} AS t, 'doc ' || doc_id AS title FROM documents
 ),
 tok AS (
   SELECT doc_id, title,
@@ -909,33 +910,9 @@ FROM documents, (SELECT unnest(generate_series(0, 3)) AS j)
 """
 
 
-def q_translit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transliteration (T32 analog): per-word scalar character mapping.
-
-    The reference maps Arabic -> ascii/latin schemes per word
-    (fusus/tfFromTsv.py:633-636); here a fixed char table applied to the
-    token stream — JVM `translate`, no UDF needed (faster than the
-    reference's per-word Python)."""
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.posexplode(tokens("text")).alias("word_seq", "word"),
-    ).select(
-        "doc_id",
-        F.col("word_seq").cast("int").alias("word_seq"),
-        "word",
-        F.translate("word", "aeiou", "43105").alias("translit"),
-    )
-
-
-ORACLE_TRANSLIT = f"""
-SELECT doc_id, (generate_subscripts(t, 1) - 1)::INT AS word_seq,
-       unnest(t) AS word,
-       translate(unnest(t), 'aeiou', '43105') AS translit
-FROM (SELECT doc_id, {_ORC_TOKS} AS t FROM documents)
-WHERE len(t) > 0
-"""
-
+# (the round-1 toy single-table `translit_vowels` query was retired in
+# round 3: subsumed by the three-scheme `translit_schemes` below, and
+# the driver's correctness run covers at most 50 registry entries)
 
 # T32 real transliteration schemes (tfFromTsv.py:633-636 analog: the
 # reference derives ascii/latin/standard transliterations per word from
@@ -1468,7 +1445,6 @@ WEB_QUERIES: dict = {
     "align_stretches": q_align_stretches,
     "extract_words": q_extract_words,
     "extract_text": q_extract_text,
-    "extract_stats": q_extract_stats,
     "extract_removals": q_extract_removals,
     "extract_text_hard": q_extract_text_hard,
     "extract_words_hard": q_extract_words_hard,
@@ -1483,7 +1459,6 @@ WEB_QUERIES: dict = {
     "top_words": q_top_words,
     "word_freq_by_lang": q_word_freq_by_lang,
     "lang_distribution": q_lang_distribution,
-    "translit_vowels": q_translit,
     "normalize_rewrites": q_normalize_rewrites,
     "normalize_arabic": q_normalize_arabic,
     "translit_schemes": q_translit_schemes,
@@ -1506,7 +1481,6 @@ WEB_QUERIES: dict = {
 WEB_ORACLES: dict[str, str] = {
     "extract_words": ORACLE_EXTRACT_WORDS,
     "extract_text": ORACLE_EXTRACT_TEXT,
-    "extract_stats": ORACLE_EXTRACT_STATS,
     "extract_removals": ORACLE_EXTRACT_REMOVALS,
     "extract_text_hard": ORACLE_EXTRACT_TEXT_HARD,
     "extract_words_hard": ORACLE_EXTRACT_WORDS_HARD,
@@ -1521,7 +1495,6 @@ WEB_ORACLES: dict[str, str] = {
     "top_words": ORACLE_TOP_WORDS,
     "word_freq_by_lang": ORACLE_WORD_FREQ_BY_LANG,
     "lang_distribution": ORACLE_LANG_DISTRIBUTION,
-    "translit_vowels": ORACLE_TRANSLIT,
     "normalize_rewrites": ORACLE_NORMALIZE_REWRITES,
     "normalize_arabic": ORACLE_NORMALIZE_ARABIC,
     "translit_schemes": ORACLE_TRANSLIT_SCHEMES,

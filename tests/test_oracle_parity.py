@@ -67,6 +67,33 @@ def test_query_matches_oracle(spark, duck, name):
     )
 
 
+@pytest.mark.parametrize("name", ["extract_text", "extract_text_hard", "extract_words_hard"])
+def test_extraction_parity_with_empty_docs(spark, tmp_path, name):
+    """Empty / whitespace-only documents: the engine emits an empty token
+    array while DuckDB string_split('', ' ') yields [''] — the oracles'
+    guarded token expression must agree (advisor round-2 latent bug)."""
+    import duckdb as ddb
+
+    sf_dir = str(tmp_path)
+    ddb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(0::BIGINT, 'alpha beta gamma', 'en', 'web', 16::BIGINT), "
+        "(1::BIGINT, '', 'en', 'web', 0::BIGINT), "
+        "(2::BIGINT, '   ', 'en', 'web', 3::BIGINT), "
+        "(3::BIGINT, 'solo', 'en', 'web', 4::BIGINT)"
+        ") t(doc_id, text, lang, source, n_chars)) "
+        f"TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con = ddb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    sdf = entrymod.queries()[name](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    orc = con.sql(entrymod.oracle_sql()[name])
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows), f"{name}: row count"
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows), name
+
+
 def test_entry_contract(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
