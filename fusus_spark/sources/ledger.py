@@ -8,12 +8,18 @@ page, re-run only selected pages); ours is the **url-hash bucket**:
 * input is laid out partitioned by ``bucket = pmod(xxhash64(url, salt), N)``
   (at real scale: Iceberg ``days(warc_ts) + bucket(N, url)`` — reading
   one bucket prunes to one partition directory, never a full scan);
-* each bucket is processed independently and committed atomically:
-  output parquet written to ``out/bucket=k`` with dynamic partition
-  overwrite, THEN the ledger row is written via tmp-file + rename
-  (POSIX-atomic). A crash between the two leaves the bucket un-marked
-  and it is simply redone — idempotent because the overwrite replaces
-  the whole bucket;
+* each bucket is processed independently and committed atomically IN
+  TWO STAGES: output parquet is written to a staging dir
+  ``out.staging/bucket=k-<uuid>`` — a SIBLING tree, entirely outside
+  the reader's path, so a concurrent reader of ``out/`` can never see
+  a half-written bucket (Spark 4's partition inference trips even on
+  ``_``-prefixed dirs inside the table root, so staging must live
+  outside it) — then renamed to ``out/bucket=k`` (POSIX-atomic on one
+  filesystem — the Iceberg snapshot-commit analog), THEN the ledger row
+  is written via tmp-file + rename. A crash at any point leaves either
+  the old complete bucket or no bucket, never a partial one, and an
+  un-marked bucket is simply redone — idempotent because the rename
+  replaces the whole bucket;
 * resume = skip buckets whose ledger row says done AND whose recorded
   input lineage still matches.
 
@@ -114,13 +120,18 @@ def run_extraction_job(
     n_buckets: int,
     *,
     fail_after: int | None = None,
+    fail_before_commit: int | None = None,
     max_html_bytes: int = 4 * 1024 * 1024,
 ) -> dict:
     """Resumable bucket-at-a-time extraction job.
 
-    ``fail_after=k`` injects a crash after k buckets (for the
-    kill/resume acceptance test). Returns summary metrics.
+    ``fail_after=k`` injects a crash after k buckets; ``fail_before_
+    commit=k`` injects it on the k-th processed bucket AFTER the staging
+    write but BEFORE the atomic rename (for the kill-mid-write
+    acceptance test). Returns summary metrics.
     """
+    import shutil
+
     ledger = Ledger(ledger_path)
     done_now = 0
     skipped = 0
@@ -141,18 +152,37 @@ def run_extraction_job(
         stage = extract_stage(docs, max_html_bytes=max_html_bytes)
         words = words_from_stage(stage)
         out_dir = os.path.join(output_path, f"bucket={bucket}")
-        words.write.mode("overwrite").parquet(out_dir)  # idempotent per-bucket
+        # staged commit: write to the sibling staging tree, then one
+        # atomic rename — a crash mid-write leaves the previous complete
+        # bucket (or nothing) for readers, never a partial directory.
+        # Stale staging dirs from crashed attempts are swept first so
+        # retries don't accumulate them.
+        staging_root = output_path.rstrip("/") + ".staging"
+        os.makedirs(staging_root, exist_ok=True)
+        for stale in os.listdir(staging_root):
+            if stale.startswith(f"bucket={bucket}-"):
+                shutil.rmtree(os.path.join(staging_root, stale), ignore_errors=True)
+        tmp_dir = os.path.join(staging_root, f"bucket={bucket}-{uuid.uuid4().hex}")
+        words.write.mode("overwrite").parquet(tmp_dir)
+        if fail_before_commit is not None and done_now >= fail_before_commit:
+            raise RuntimeError(
+                f"injected failure between write and rename on bucket {bucket}"
+            )
         # rows_out from the parquet FOOTERS (metadata-only) — re-scanning
         # the bucket's data just to count it would double the read I/O
         import pyarrow.parquet as pq
 
         rows_out = 0
         bytes_out = 0
-        for f in os.listdir(out_dir):
+        for f in os.listdir(tmp_dir):
             if f.endswith(".parquet"):
-                p = os.path.join(out_dir, f)
+                p = os.path.join(tmp_dir, f)
                 rows_out += pq.ParquetFile(p).metadata.num_rows
                 bytes_out += os.path.getsize(p)
+        os.makedirs(output_path, exist_ok=True)
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)  # replaced wholesale; bucket unmarked until below
+        os.rename(tmp_dir, out_dir)  # atomic commit of the bucket
         ledger.mark_done(
             bucket,
             rows_in=stats["rows_in"],

@@ -96,6 +96,47 @@ def test_kill_and_resume_identical(spark, bucketed_input, tmp_path):
     assert summary3["skipped"] == N_BUCKETS
 
 
+def test_kill_between_write_and_rename(spark, bucketed_input, tmp_path):
+    """Crash AFTER the staging write but BEFORE the atomic rename: the
+    bucket must not be visible to readers (no partial dir under the
+    final name), the ledger must not mark it, and the resumed run must
+    converge to the byte-identical final state with no stale staging
+    dirs left behind."""
+    ref_out = str(tmp_path / "ref_out")
+    run_extraction_job(
+        spark, bucketed_input, ref_out, str(tmp_path / "ref_ledger"), N_BUCKETS
+    )
+    ref_hash = _corpus_hash(spark, ref_out + "/bucket=*")
+
+    out = str(tmp_path / "out")
+    ledger_path = str(tmp_path / "ledger")
+    with pytest.raises(RuntimeError, match="between write and rename"):
+        run_extraction_job(
+            spark, bucketed_input, out, ledger_path, N_BUCKETS,
+            fail_before_commit=1,
+        )
+    ledger = Ledger(ledger_path)
+    assert len(ledger.rows()) == 1  # only the bucket committed before the crash
+    committed = {r["partition_id"] for r in ledger.rows()}
+    # the crashed bucket left a dir in the SIBLING staging tree but no
+    # final dir — a concurrent reader of out/ sees only complete buckets
+    victims = [d for d in os.listdir(out + ".staging") if d.startswith("bucket=")]
+    assert len(victims) == 1
+    finals = set(os.listdir(out))
+    assert finals == committed
+    # the table root stays readable mid-crash (no partial/conflicting dirs)
+    visible = spark.read.parquet(out).count()
+    assert visible > 0
+
+    summary = run_extraction_job(spark, bucketed_input, out, ledger_path, N_BUCKETS)
+    assert summary["skipped"] == 1
+    assert summary["processed"] == N_BUCKETS - 1
+    assert _corpus_hash(spark, out + "/bucket=*") == ref_hash
+    # every staging dir was either swept (the crashed attempt) or
+    # renamed into the table — the staging tree drains to empty
+    assert os.listdir(out + ".staging") == []
+
+
 def test_lineage_invalidation(spark, bucketed_input, tmp_path):
     out = str(tmp_path / "out2")
     ledger_path = str(tmp_path / "ledger2")
