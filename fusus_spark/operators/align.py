@@ -109,8 +109,12 @@ def _find_combi(
     return None
 
 
+MANUAL_DISTANCE = -1  # distance marker for doCase-forced rows
+
+
 def align_sequences(
-    a: list[tuple[int, str]], b: list[tuple[int, str]]
+    a: list[tuple[int, str]], b: list[tuple[int, str]],
+    exceptions: dict[int, int] | None = None,
 ) -> list[tuple[int | None, str | None, int | None, float | None, str | None, int | None]]:
     """Align two (slot, word) sequences; every slot emitted exactly once.
 
@@ -119,11 +123,56 @@ def align_sequences(
     the n:m combinations — so a rung-1 combination beats a rung-2 direct
     match, exactly as in ``doDiffs``. Only then the bounded lookahead
     (jump + catch-up null padding) fires.
+
+    ``exceptions`` is the doCase analog (align.py:333-386): a
+    human-curated {slot_a: slot_b} override table consulted BEFORE the
+    ladder. When the walk reaches an excepted slot on either side and
+    its partner lies within the lookahead horizon ahead on the other
+    side, the skipped stretch is emitted as one-sided catch-up rows and
+    the pair is force-matched with ``distance = MANUAL_DISTANCE`` /
+    ``ratio = 1.0`` — real cross-edition work always ends with a handful
+    of manual cases no ladder can decide.
     """
+    exc_ab = exceptions or {}
+    exc_ba = {v: k for k, v in exc_ab.items()}
     out: list = []
     i, j = 0, 0
     na, nb = len(a), len(b)
+
+    def force_pair(ka: int, kb: int) -> None:
+        """Catch-up both sides to (i+ka, j+kb), then emit the manual pair."""
+        nonlocal i, j
+        for s in range(ka):
+            out.append((a[i + s][0], a[i + s][1], None, None, None, None))
+        for s in range(kb):
+            out.append((None, None, None, None, b[j + s][1], b[j + s][0]))
+        out.append((
+            a[i + ka][0], a[i + ka][1], MANUAL_DISTANCE, 1.0,
+            b[j + kb][1], b[j + kb][0],
+        ))
+        i += ka + 1
+        j += kb + 1
+
+    def try_manual() -> bool:
+        """doCase consult: fires when the current position on either
+        side is an excepted slot whose partner is within lookahead."""
+        target_b = exc_ab.get(a[i][0])
+        if target_b is not None:
+            for kb in range(min(MAX_LOOKAHEAD + 1, nb - j)):
+                if b[j + kb][0] == target_b:
+                    force_pair(0, kb)
+                    return True
+        target_a = exc_ba.get(b[j][0])
+        if target_a is not None:
+            for ka in range(min(MAX_LOOKAHEAD + 1, na - i)):
+                if a[i + ka][0] == target_a:
+                    force_pair(ka, 0)
+                    return True
+        return False
+
     while i < na and j < nb:
+        if exc_ab and try_manual():
+            continue
         matched = False
         for max_d, min_r in LADDER:
             m = _similar(a[i][1], b[j][1], max_d, min_r)
@@ -184,11 +233,24 @@ def align_sequences(
     return out
 
 
-def align_editions(edition_a: DataFrame, edition_b: DataFrame) -> DataFrame:
+def align_editions(
+    edition_a: DataFrame, edition_b: DataFrame,
+    exceptions: DataFrame | None = None,
+) -> DataFrame:
     """Align two word tables (url, slot, word) -> alignment rows per url.
 
     Plan: cogroup on url (one shuffle per side), Arrow applyInPandas.
+
+    ``exceptions``: optional (url, slot_a, slot_b) manual-override table
+    (the doCase analog, fusus/align.py:333-386). It is human-curated and
+    therefore tiny by definition, so it is collected driver-side and
+    shipped in the UDF closure — the one deliberate exception to the
+    no-collect rule, same as the mark catalog.
     """
+    exc_by_url: dict[str, dict[int, int]] = {}
+    if exceptions is not None:
+        for r in exceptions.select("url", "slot_a", "slot_b").collect():
+            exc_by_url.setdefault(r["url"], {})[r["slot_a"]] = r["slot_b"]
 
     def do_align(key: tuple, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
         url = key[0]
@@ -198,7 +260,7 @@ def align_editions(edition_a: DataFrame, edition_b: DataFrame) -> DataFrame:
         sb = list(
             pb.sort_values("slot")[["slot", "word"]].itertuples(index=False, name=None)
         )
-        rows = align_sequences(sa, sb)
+        rows = align_sequences(sa, sb, exc_by_url.get(url))
         return pd.DataFrame(
             rows, columns=["slot_a", "word_a", "distance", "ratio", "word_b", "slot_b"]
         ).assign(url=url)[

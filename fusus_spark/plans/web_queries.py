@@ -1057,8 +1057,11 @@ def q_align_editions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edition A = the documents' token streams; edition B = a
     deterministic perturbation (every 17th token dropped, every 23rd
     mutated) — the OCR-noise analog. Aligned per doc via
-    cogroup+applyInPandas. Rows-only check (inherently sequential
-    algorithm, no SQL equivalent); invariants in tests/test_align.py.
+    cogroup+applyInPandas, with a deterministic manual-exception table
+    (the doCase analog: docs 0-4 get a curated slot-5 -> slot-5
+    override, exercising the force-pair path end-to-end). Rows-only
+    check (inherently sequential algorithm, no SQL equivalent);
+    invariants in tests/test_align.py.
     """
     from fusus_spark.operators.align import align_editions
 
@@ -1081,7 +1084,11 @@ def q_align_editions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) - 1).cast("long"),
         )
     )
-    return align_editions(toks, ed_b)
+    exceptions = spark.createDataFrame(
+        [(str(d), 5, 5) for d in range(5)],
+        "url string, slot_a long, slot_b long",
+    )
+    return align_editions(toks, ed_b, exceptions=exceptions)
 
 
 # ---------------------------------------------------------------------------

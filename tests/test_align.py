@@ -122,6 +122,74 @@ def test_align_long_lookahead():
     assert any(r[1] == "needle" and r[4] == "needle" for r in matched)
 
 
+def test_align_manual_exception_forces_pair():
+    """doCase analog: words the ladder would NEVER match (disjoint
+    strings) are force-paired by the exception table, with the skipped
+    stretch emitted as one-sided catch-up rows."""
+    from fusus_spark.operators.align import MANUAL_DISTANCE
+
+    a = [(0, "alpha"), (1, "totally"), (2, "omega")]
+    b = [(0, "alpha"), (1, "noise"), (2, "different"), (3, "omega")]
+    # ladder alone: 'totally' vs 'noise'/'different' never match
+    base = align_sequences(a, b)
+    _check_invariants(base, a, b)
+    assert not any(r[0] == 1 and r[5] is not None for r in base)
+    # exception: A slot 1 corresponds to B slot 2
+    rows = align_sequences(a, b, exceptions={1: 2})
+    _check_invariants(rows, a, b)
+    forced = [r for r in rows if r[0] == 1][0]
+    assert forced[5] == 2 and forced[2] == MANUAL_DISTANCE and forced[3] == 1.0
+    # the skipped B slot 1 appears as a one-sided catch-up row
+    assert any(r[0] is None and r[5] == 1 for r in rows)
+
+
+def test_align_manual_exception_reverse_side():
+    """The consult is symmetric: an excepted B slot whose partner lies
+    AHEAD on the A side catches A up (catchupLK direction)."""
+    from fusus_spark.operators.align import MANUAL_DISTANCE
+
+    a = [(0, "alpha"), (1, "skipme"), (2, "strange"), (3, "tail")]
+    b = [(0, "alpha"), (1, "unrelated"), (2, "tail")]
+    rows = align_sequences(a, b, exceptions={2: 1})
+    _check_invariants(rows, a, b)
+    forced = [r for r in rows if r[5] == 1][0]
+    assert forced[0] == 2 and forced[2] == MANUAL_DISTANCE
+    assert any(r[0] == 1 and r[5] is None for r in rows)  # A slot 1 padded
+
+
+def test_align_manual_exception_out_of_reach_ignored():
+    """An exception whose partner never appears degrades gracefully to
+    the normal ladder walk (every slot still emitted exactly once)."""
+    a = [(i, w) for i, w in enumerate("one two three four".split())]
+    b = [(i, w) for i, w in enumerate("one two three four".split())]
+    rows = align_sequences(a, b, exceptions={1: 99})
+    _check_invariants(rows, a, b)
+    assert all(r[2] == 0 for r in rows if r[0] is not None and r[5] is not None)
+
+
+def test_align_editions_exception_table(spark):
+    """End-to-end: the (url, slot_a, slot_b) override table reaches the
+    cogrouped walk, per url."""
+    a = spark.createDataFrame(
+        [("u1", 0, "alpha"), ("u1", 1, "xxxx"), ("u1", 2, "omega"),
+         ("u2", 0, "alpha"), ("u2", 1, "xxxx"), ("u2", 2, "omega")],
+        "url string, slot long, word string",
+    )
+    b = spark.createDataFrame(
+        [("u1", 0, "alpha"), ("u1", 1, "yyyy"), ("u1", 2, "omega"),
+         ("u2", 0, "alpha"), ("u2", 1, "yyyy"), ("u2", 2, "omega")],
+        "url string, slot long, word string",
+    )
+    exc = spark.createDataFrame(
+        [("u1", 1, 1)], "url string, slot_a long, slot_b long"
+    )
+    rows = align_editions(a, b, exceptions=exc).collect()
+    u1 = [r for r in rows if r["url"] == "u1" and r["slot_a"] == 1][0]
+    u2 = [r for r in rows if r["url"] == "u2" and r["slot_a"] == 1][0]
+    assert u1["slot_b"] == 1 and u1["distance"] == -1  # overridden
+    assert u2["slot_b"] is None  # untouched url: ladder finds no match
+
+
 def test_align_spark_cogroup(spark):
     data_a, data_b = [], []
     for url in ("u1", "u2"):
