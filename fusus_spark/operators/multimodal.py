@@ -41,12 +41,45 @@ def sniff_media_type(payload: bytes) -> str:
 
 
 def decode_real(payload: bytes) -> tuple[int, int, list[float]]:
-    """The real decode path — requires PIL/cv2/ffmpeg, absent here."""
+    """The real decode path — requires PIL/cv2/ffmpeg, absent here.
+
+    One narrow REAL slice exists without those libs: PNG header decode
+    (``parse_png_ihdr`` below, pure stdlib) — ``media_features`` uses it
+    for width/height whenever the payload is a PNG. Pixel data /
+    feature extraction still needs the libraries."""
     raise NotImplementedError(
         "media decode requires an image/audio library not present in this "
         "container; production path: PIL.Image.open(io.BytesIO(payload)) "
         "or cv2.imdecode, then resize + feature extraction"
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_ihdr(payload: bytes) -> tuple[int, int] | None:
+    """REAL (pure-stdlib) PNG dimension decode: validate the 8-byte
+    signature, the IHDR chunk layout (first chunk, length 13) and its
+    CRC-32, then read big-endian width/height. Returns None for
+    anything that is not a well-formed PNG header — callers fall back
+    to the deterministic stub, so a truncated or corrupted payload can
+    never crash the stage (the never-raise extraction contract)."""
+    import struct
+    import zlib
+
+    if len(payload) < 33 or not payload.startswith(_PNG_SIG):
+        return None
+    length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR" or length != 13:
+        return None
+    data = payload[16:29]
+    (crc,) = struct.unpack(">I", payload[29:33])
+    if zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
+        return None
+    w, h = struct.unpack(">II", data[:8])
+    if w == 0 or h == 0 or w > 2**31 - 1 or h > 2**31 - 1:
+        return None
+    return int(w), int(h)
 
 
 def decode_stub(payload: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
@@ -68,7 +101,10 @@ def media_features(df: DataFrame, payload_col: str = "payload",
     """(url, payload binary) -> media metadata + feature vector.
 
     One fused mapInPandas pass (same physical shape as the HTML
-    extraction stage: binary in, struct-ish columns out).
+    extraction stage: binary in, struct-ish columns out). PNG payloads
+    get REAL width/height from the IHDR header (stdlib struct + CRC
+    check — no image lib needed); other formats use the decode stub (or
+    decode_real when use_stub=False and the libs exist).
     """
     pruned = df.select("url", F.col(payload_col).alias("payload"))
     decode = decode_stub if use_stub else decode_real
@@ -85,6 +121,9 @@ def media_features(df: DataFrame, payload_col: str = "payload",
                 rows["n_bytes"].append(len(payload))
                 rows["magic_hex"].append(payload[:4].hex().upper())
                 w, h, feat = decode(payload)
+                real_dims = parse_png_ihdr(payload)
+                if real_dims is not None:
+                    w, h = real_dims
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["feature"].append(feat)

@@ -20,6 +20,59 @@ def test_decode_stub_deterministic():
     assert len(a[2]) == 8 and all(0 <= v <= 1 for v in a[2])
 
 
+def _tiny_png(width: int, height: int) -> bytes:
+    """A minimal valid PNG (signature + IHDR + IDAT + IEND) built with
+    stdlib only — the test golden for the real header-decode path."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + b"\x7f" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_parse_png_ihdr_real_dims():
+    from fusus_spark.operators.multimodal import parse_png_ihdr
+
+    assert parse_png_ihdr(_tiny_png(7, 3)) == (7, 3)
+    assert parse_png_ihdr(_tiny_png(640, 480)) == (640, 480)
+    # corrupted CRC -> rejected (fall back to stub, never garbage dims)
+    good = bytearray(_tiny_png(7, 3))
+    good[20] ^= 0xFF
+    assert parse_png_ihdr(bytes(good)) is None
+    assert parse_png_ihdr(b"\x89PNG\r\n\x1a\n" + b"trunc") is None
+    assert parse_png_ihdr(b"not a png at all") is None
+
+
+def test_media_features_png_real_dims(spark):
+    """media_features: PNG payloads get REAL IHDR dims; non-PNG payloads
+    keep the deterministic stub dims."""
+    from fusus_spark.operators.multimodal import media_features
+
+    png = _tiny_png(320, 200)
+    other = b"plain bytes payload"
+    df = spark.createDataFrame(
+        [("png://a", bytearray(png)), ("txt://b", bytearray(other))],
+        "url string, payload binary",
+    )
+    got = {r["url"]: r for r in media_features(df).collect()}
+    assert got["png://a"]["media_type"] == "image/png"
+    assert (got["png://a"]["width"], got["png://a"]["height"]) == (320, 200)
+    w, h, _ = decode_stub(other)
+    assert (got["txt://b"]["width"], got["txt://b"]["height"]) == (w, h)
+
+
 def _simhash_reference(text: str) -> int:
     """Independent pure-python SimHash (cross-checks the numpy UDF)."""
     toks = text.split(" ") if text else []
