@@ -110,8 +110,12 @@ class CompiledRules:
         import re
 
         self.index = index
+        # empty table -> a never-matching pattern ('[]' would be a
+        # regex syntax error), so compile_rules(()) is a valid no-op
         self.anchor_re = re.compile(
             "[" + "".join(re.escape(a) for a in sorted(index)) + "]"
+            if index
+            else r"(?!x)x"
         )
 
 

@@ -5,8 +5,11 @@ Two training-pipeline streaming primitives on top of the same engine:
 * ``dedup_stream`` — exact in-stream deduplication on the content hash
   with ``dropDuplicatesWithinWatermark``: state is bounded by the
   watermark horizon (an unbounded ``dropDuplicates`` would grow state
-  forever at crawl scale), duplicates arriving within the horizon are
-  dropped exactly like the batch ``exact_duplicates`` keep-first rule;
+  forever at crawl scale). Same NOTION of duplicate as the batch
+  ``exact_duplicates`` (the md5 content hash) — but the survivor is the
+  first-ARRIVING row (file-processing order), not the batch rule's
+  deterministic min-doc_id representative; pipe the output through a
+  min-per-hash agg when a canonical representative matters;
 * ``user_counts_stream`` — a custom stateful operator via
   ``applyInPandasWithState``: per-user running event counts that
   survive across micro-batches (the W3 running-number analog in
@@ -33,11 +36,14 @@ def dedup_stream(
     watermark: str = "2 hours",
     max_files_per_trigger: int = 2,
 ):
-    """Streaming exact dedup: first document per content hash survives.
+    """Streaming exact dedup: the first-ARRIVING document per content
+    hash survives (arrival order = file-processing order — unlike the
+    batch rule's deterministic min-id representative).
 
     The hash is the SAME md5-of-normalized-text the batch exact dedup
-    uses, so batch and stream agree on what a duplicate is. Results in
-    an in-memory sink (append mode).
+    uses, so batch and stream agree on WHAT a duplicate is, and on the
+    surviving count; only which twin survives differs. Results in an
+    in-memory sink (append mode).
     """
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
@@ -63,7 +69,7 @@ def dedup_stream(
 
 
 _COUNT_OUT_SCHEMA = "user_id long, n_events bigint, sum_value_e4 bigint"
-_COUNT_STATE_SCHEMA = "n bigint, sv double"
+_COUNT_STATE_SCHEMA = "n bigint, sv_e4 bigint"
 
 
 def user_counts_stream(
@@ -79,6 +85,14 @@ def user_counts_stream(
     Each micro-batch updates one (count, sum) state struct per user and
     emits the new totals (update mode) — the canonical custom-stateful
     pattern for metrics a built-in agg cannot express incrementally.
+
+    Determinism contract: state accumulates PRE-SCALED integers — each
+    event's value is rounded to e4 (half away from zero, matching SQL
+    ``round``) BEFORE summation, so the total is exact int64 arithmetic
+    and independent of file/micro-batch arrival order. (A raw-float
+    running sum could flip the final e4 rounding depending on
+    summation order.) The semantics are therefore
+    ``sum(round(value * 10^4))``, not ``round(sum(value) * 10^4)``.
     """
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
@@ -87,16 +101,20 @@ def user_counts_stream(
     )
 
     def update(key, pdfs, state: GroupState):
-        n, sv = state.get if state.exists else (0, 0.0)
+        import numpy as np
+
+        n, sv_e4 = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            sv += float(pdf["value"].sum())
-        state.update((n, sv))
+            v = pdf["value"].to_numpy(dtype="float64")
+            # half away from zero at e4, then exact integer summation
+            sv_e4 += int(np.sum(np.sign(v) * np.floor(np.abs(v) * 10000.0 + 0.5)))
+        state.update((n, sv_e4))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "sum_value_e4": [round(sv * 10000)],
+                "sum_value_e4": [sv_e4],
             }
         )
 

@@ -120,3 +120,13 @@ def test_engine_equals_chained_replace_on_disjoint_corpus():
     for src, repl in sorted(DEFAULT_REWRITE_RULES, key=lambda r: (-len(r[0]), r[0])):
         chained = chained.replace(src, repl)
     assert apply_rewrites(text, DEFAULT_COMPILED) == chained
+
+
+def test_empty_rule_table_is_noop():
+    """compile_rules(()) must produce a valid no-op table, not a regex
+    syntax error from an empty character class."""
+    compiled = compile_rules(())
+    assert apply_rewrites("plain text", compiled) == "plain text"
+    assert apply_rewrites("", compiled) == ""
+    mojibake = "cafÃ©"  # a rule SOURCE for the default table
+    assert apply_rewrites(mojibake, compiled) == mojibake  # nothing fires

@@ -99,11 +99,13 @@ def test_user_counts_stream_matches_batch(spark, tmp_path):
         finals[r["user_id"]] = (r["n_events"], r["sum_value_e4"])
     from pyspark.sql import functions as F
 
+    # the contract is sum(round(value*1e4)) — per-event scaling keeps
+    # the total exact-integer and arrival-order independent
     want = {
         r["user_id"]: (r["n"], r["sv"])
         for r in ev.groupBy("user_id").agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value") * 10000).cast("bigint").alias("sv"),
+            F.sum(F.round(F.col("value") * 10000)).cast("bigint").alias("sv"),
         ).collect()
     }
     assert finals == want
