@@ -472,13 +472,18 @@ def embedding_lsh_pairs(
 
     Signatures are materialized (localCheckpoint) before the self-join:
     Catalyst does not reuse the exchange across join sides, and the
-    16-dot signature pipeline must run once, not twice.
+    16-dot signature pipeline must run once, not twice. Only the
+    (id, band, band_val) keys are checkpointed — the vector column is
+    NOT replicated per band nor materialized executor-locally (at 10^9
+    x 256 B vectors x 4 bands that would be a TB-scale local spill);
+    the exact-verify vectors come from two hash-joins back to the
+    columnar source, touching only the candidate ids.
     """
     from fusus_spark.operators.similarity import rp_banded, rp_planes
 
     planes = rp_planes(n_planes, dim, seed)
     banded = rp_banded(
-        emb, id_col, vec_col, planes, band_bits, keep_vec=True
+        emb, id_col, vec_col, planes, band_bits, keep_vec=False
     ).localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
@@ -492,10 +497,10 @@ def embedding_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .join(emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a")
+        .join(emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b")
     )
     sim = cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
     return (
