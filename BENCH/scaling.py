@@ -87,9 +87,19 @@ def main() -> None:
         print(f"local[{cpus}] median {med['wall_s']}s of {med['all_walls']}",
               file=sys.stderr)
 
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump({"replicate": replicate, "sf_dir": sf_dir,
-                   "runs": {str(c): runs[c] for c in CORE_SIZES}}, f, indent=1)
+    out_path = os.path.join(REPO, "BENCH", "scaling.json")
+    doc = {"replicate": replicate, "sf_dir": sf_dir,
+           "runs": {str(c): runs[c] for c in CORE_SIZES}}
+    # preserve the separately-measured volume-stability block across
+    # scaling re-runs (it is produced by manual bench.py --extract-only
+    # runs, not by this sweep)
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        if "volume" in prior:
+            doc["volume"] = prior["volume"]
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
     render(runs, replicate, sf_dir)
 
 
