@@ -88,7 +88,7 @@ def run_env(cpus: int, replicate: int) -> dict:
             urls = rb.column(cols["url"]).to_pylist()
             htmls = rb.column(cols["html"]).to_pylist()
             langs = rb.column(cols["lang"]).to_pylist()
-            _words_rb, env_rb = _extract_batches_arrow(
+            _words_rb, env_rb, _rem_rb = _extract_batches_arrow(
                 urls, htmls, langs, 4 * 1024 * 1024
             )
             yield env_rb  # identical Python work; words never cross Arrow
