@@ -376,6 +376,18 @@ def localcluster_section() -> str:
             "channels, 4 heaps, cross-process shuffle/cache transport), "
             "not the job's scalability. "
         )
+    pool_eff = None
+    knee_path = os.path.join(REPO, "BENCH", "knee.json")
+    if os.path.exists(knee_path):
+        with open(knee_path) as f:
+            knee = json.load(f)
+        pool_eff = knee.get("pairs", {}).get("8->32", {}).get("pool", {}).get("eff")
+    floor_clause = (
+        f"the one-socket sharing floor the knee ablation measures on a bare "
+        f"process pool (eff {pool_eff} at 8->32 with no Spark at all)"
+        if pool_eff is not None
+        else "the one-socket sharing floor the knee ablation measures on a bare process pool"
+    )
     return f"""
 ## N vs 4N executors, literally (local-cluster evidence, disclosed)
 
@@ -392,12 +404,11 @@ interleaved rounds, separate process per run:
 
 **Honest reading: on ONE host, no executor-process pair clears 0.8 —
 and the experiment shows exactly why that does not impeach the job.**
-{layout_note}Four co-resident executor JVMs pay BOTH the one-socket
-memory floor the knee ablation measures on a bare process pool (eff
-~0.68 with no Spark at all) AND per-process transport that thread-mode
+{layout_note}Four co-resident executor JVMs pay BOTH {floor_clause}
+AND per-process transport that thread-mode
 local[N] avoids; a real 4N-executor cluster pays neither (each node
 brings its own memory system, and driver<->executor traffic per node is
-unchanged). The thread-mode pairs above (1->4 = 0.96, 2->8 = 0.92),
+unchanged). The thread-mode small pairs in the headline above,
 which isolate the job's parallel structure from single-host multi-JVM
 artifacts, remain the faithful in-sandbox proxy for the >= 0.8 rule;
 this section exists so the executor-process axis is measured and
