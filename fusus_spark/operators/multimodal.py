@@ -142,11 +142,13 @@ def resize_images(df: DataFrame, target: int = 64, payload_col: str = "payload",
                   use_stub: bool = True) -> DataFrame:
     """(url, payload) -> resized thumbnails, aspect-preserving.
 
-    The geometry math (aspect-ratio fit to ``target`` px) is real; the
-    pixel resample is stubbed (deterministic bytes from md5 of payload +
-    target) since no image lib ships in this container — production
-    swaps ``_resample`` for PIL.Image.resize. One mapInPandas stage,
-    same Arrow batch shape as the real thing.
+    The geometry math (aspect-ratio fit to ``target`` px) is real, and
+    PNG payloads feed it their REAL IHDR dimensions (parse_png_ihdr,
+    same as media_features); the pixel resample is stubbed
+    (deterministic bytes from md5 of payload + target) since no image
+    lib ships in this container — production swaps ``_resample`` for
+    PIL.Image.resize. One mapInPandas stage, same Arrow batch shape as
+    the real thing.
     """
     pruned = df.select("url", F.col(payload_col).alias("payload"))
 
@@ -165,6 +167,9 @@ def resize_images(df: DataFrame, target: int = 64, payload_col: str = "payload",
             for url, payload in zip(pdf["url"].tolist(), pdf["payload"].tolist()):
                 payload = bytes(payload) if payload is not None else b""
                 w, h, _ = decode_stub(payload)
+                real_dims = parse_png_ihdr(payload)
+                if real_dims is not None:
+                    w, h = real_dims
                 # integer half-up fit: exact in any engine (float round()
                 # is banker's in python but half-away in SQL — a .5
                 # boundary would silently diverge from the oracle)

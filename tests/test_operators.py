@@ -55,6 +55,18 @@ def test_parse_png_ihdr_real_dims():
     assert parse_png_ihdr(b"not a png at all") is None
 
 
+def test_resize_images_png_real_dims(spark):
+    """resize_images feeds the aspect-fit geometry the REAL PNG dims."""
+    from fusus_spark.operators.multimodal import resize_images
+
+    png = _tiny_png(640, 160)  # 4:1 aspect
+    df = spark.createDataFrame([("png://a", bytearray(png))],
+                               "url string, payload binary")
+    r = resize_images(df, target=64).collect()[0]
+    assert (r["width"], r["height"]) == (640, 160)
+    assert (r["out_width"], r["out_height"]) == (64, 16)
+
+
 def test_media_features_png_real_dims(spark):
     """media_features: PNG payloads get REAL IHDR dims; non-PNG payloads
     keep the deterministic stub dims."""
