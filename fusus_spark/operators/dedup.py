@@ -93,6 +93,14 @@ def ngram_jaccard_pairs(
         )
         # materialize once: sh feeds the df agg, both self-join sides
         # and the size agg — Catalyst would recompute the explode 4x
+        # (it does not reuse exchanges across self-join sides). Scale
+        # note: this is a shingle-table-sized executor-local
+        # materialization; at the 100-TB design point a job would
+        # substitute a reliable checkpoint dir / persisted intermediate
+        # table (fault-tolerant storage) for localCheckpoint — the
+        # 4-consumer reuse itself is the right plan either way, unlike
+        # ngram_xent's 2-consumer case where re-deriving from the
+        # source is strictly cheaper.
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = sh.alias("a")
