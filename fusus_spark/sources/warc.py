@@ -1,0 +1,151 @@
+"""WARC ingest: Common-Crawl segment files -> the documents table shape.
+
+The north-star input is "an Iceberg table of Common-Crawl-style pages";
+this source is the step BEFORE that table exists — reading raw crawl
+segments (ISO 28500 WARC format, the format Common Crawl publishes) and
+producing rows in the mandated (url, warc_ts, html, text, lang) shape
+ready to be written into the partitioned/bucketed table.
+
+Physical design for 100-TB crawls:
+
+* **file-level parallelism** — WARC gzip members are not splittable at
+  arbitrary offsets, but a crawl ships as ~64k segment files of ~1 GB
+  (Common Crawl's actual layout), so ``spark.read.format("binaryFile")``
+  over the segment directory gives one task per file — tens of
+  thousands of independent tasks with zero coordination, which is the
+  standard ingestion plan for this format;
+* **streaming record walk inside the task** — ``mapInPandas`` over
+  (path, content) decompresses and walks records sequentially per
+  file; only `response` records with an http payload are emitted;
+* **bounded payloads** — bodies beyond ``max_body_bytes`` are truncated
+  at ingest (the same maxHits-guard recorded later as status='capped'
+  by the extraction stage's own cap).
+
+Parsing is pure stdlib (gzip/io/email-free manual header walk): record
+headers up to a blank line, ``Content-Length`` bytes of block, and for
+response records the http body after the first CRLFCRLF. Malformed
+records/files are skipped, never raised — at crawl scale a poison
+segment must not kill the job.
+
+Reference role analog: the imageFileList directory scan feeding per-page
+processing (/root/reference/fusus/book.py:189-240) — here the "directory"
+is a crawl segment listing and the per-item payload is a WARC record.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_DOCS_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+DEFAULT_MAX_BODY_BYTES = 4 * 1024 * 1024
+
+
+def _parse_headers(stream: io.BufferedIOBase) -> dict[str, str] | None:
+    """Read header lines up to a blank line; None on EOF before any."""
+    headers: dict[str, str] = {}
+    first = True
+    while True:
+        line = stream.readline()
+        if not line:
+            return None if first else headers
+        line = line.rstrip(b"\r\n")
+        if not line:
+            if first:  # tolerate inter-record blank lines
+                continue
+            return headers
+        first = False
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
+        # WARC/1.x version line and continuation junk are ignored
+    return headers
+
+
+def iter_warc_records(
+    payload: bytes, max_body_bytes: int = DEFAULT_MAX_BODY_BYTES
+) -> Iterator[tuple[str, str | None, bytes]]:
+    """Yield (target_uri, warc_date, http_body) for each response record.
+
+    Accepts plain or gzip (including multi-member, Common Crawl's
+    layout) payloads; malformed tails are dropped silently.
+    """
+    if payload[:2] == b"\x1f\x8b":
+        # GzipFile walks concatenated members transparently
+        stream: io.BufferedIOBase = gzip.GzipFile(fileobj=io.BytesIO(payload))
+    else:
+        stream = io.BytesIO(payload)
+    try:
+        while True:
+            headers = _parse_headers(stream)
+            if not headers:
+                return
+            try:
+                length = int(headers.get("content-length", "0"))
+            except ValueError:
+                return
+            block = stream.read(length)
+            if len(block) < length:
+                return  # truncated file tail
+            if (
+                headers.get("warc-type", "").lower() == "response"
+                and headers.get("warc-target-uri")
+            ):
+                # http payload: status line + headers, body after CRLFCRLF
+                sep = block.find(b"\r\n\r\n")
+                body = block[sep + 4 :] if sep != -1 else block
+                yield (
+                    headers["warc-target-uri"],
+                    headers.get("warc-date"),
+                    body[:max_body_bytes],
+                )
+    except (OSError, EOFError):
+        return  # corrupt gzip member: drop the rest of this segment
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_body_bytes: int = DEFAULT_MAX_BODY_BYTES,
+    lang: str | None = None,
+) -> DataFrame:
+    """Crawl segment files (``*.warc`` / ``*.warc.gz``) -> documents rows.
+
+    Output matches the input_hint shape (url, warc_ts, html, text,
+    lang): ``text`` is null (it is what extraction produces), ``lang``
+    is the optional crawl-level hint. One task per segment file.
+    """
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "url": [], "warc_ts": [], "html": [], "text": [], "lang": [],
+            }
+            for content in pdf["content"]:
+                payload = bytes(content) if content is not None else b""
+                for uri, date, body in iter_warc_records(payload, max_body_bytes):
+                    rows["url"].append(uri)
+                    rows["warc_ts"].append(
+                        pd.to_datetime(date, utc=True, errors="coerce")
+                        .tz_localize(None) if date else None
+                    )
+                    rows["html"].append(body)
+                    rows["text"].append(None)
+                    rows["lang"].append(lang)
+            yield pd.DataFrame(rows)
+
+    return binary.mapInPandas(run, schema=WARC_DOCS_SCHEMA)

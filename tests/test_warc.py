@@ -1,0 +1,106 @@
+"""WARC source tests: synthetic crawl segments -> documents rows ->
+full extraction (the Common-Crawl ingestion path, ISO 28500 layout)."""
+
+from __future__ import annotations
+
+import gzip
+
+from fusus_spark.sources.warc import iter_warc_records, read_warc
+
+
+def _record(wtype: str, uri: str | None, date: str, block: bytes) -> bytes:
+    head = [b"WARC/1.0", f"WARC-Type: {wtype}".encode()]
+    if uri:
+        head.append(f"WARC-Target-URI: {uri}".encode())
+    head.append(f"WARC-Date: {date}".encode())
+    head.append(f"Content-Length: {len(block)}".encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def _http(body: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+
+
+def _segment() -> bytes:
+    return (
+        _record("warcinfo", None, "2026-01-01T00:00:00Z", b"software: test\r\n")
+        + _record(
+            "request", "http://ex.com/a", "2026-01-01T00:00:01Z",
+            b"GET /a HTTP/1.1\r\n\r\n",
+        )
+        + _record(
+            "response", "http://ex.com/a", "2026-01-01T00:00:01Z",
+            _http(b"<html><body><nav><a>x</a></nav><main><p>alpha beta</p></main></body></html>"),
+        )
+        + _record(
+            "response", "http://ex.com/b", "2026-02-03T04:05:06Z",
+            _http(b"<html><body><p>gamma delta epsilon</p></body></html>"),
+        )
+    )
+
+
+def test_iter_warc_records_plain_and_gzip():
+    seg = _segment()
+    for payload in (seg, gzip.compress(seg)):
+        recs = list(iter_warc_records(payload))
+        assert [r[0] for r in recs] == ["http://ex.com/a", "http://ex.com/b"]
+        assert recs[0][1] == "2026-01-01T00:00:01Z"
+        assert recs[0][2].startswith(b"<html><body><nav>")
+        assert recs[1][2] == b"<html><body><p>gamma delta epsilon</p></body></html>"
+
+
+def test_iter_warc_records_robustness():
+    seg = _segment()
+    # truncated tail: complete records still come through
+    assert len(list(iter_warc_records(seg[: len(seg) - 40]))) >= 1
+    # corrupt gzip: no raise, empty or partial output
+    bad = bytearray(gzip.compress(seg))
+    bad[len(bad) // 2] ^= 0xFF
+    list(iter_warc_records(bytes(bad)))  # must not raise
+    assert list(iter_warc_records(b"")) == []
+    assert list(iter_warc_records(b"not a warc at all")) == []
+    # body cap applies at ingest
+    big = _record(
+        "response", "http://ex.com/big", "2026-01-01T00:00:00Z",
+        _http(b"x" * 1000),
+    )
+    recs = list(iter_warc_records(big, max_body_bytes=100))
+    assert len(recs[0][2]) == 100
+
+
+def test_read_warc_to_extraction(spark, tmp_path):
+    """End-to-end: segment files (.warc + .warc.gz) -> documents rows ->
+    the fused extraction stage, boilerplate stripped."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fusus_spark.extraction.pipeline import extract_all, extracted_from_stage
+
+    seg = _segment()
+    (tmp_path / "seg-00000.warc").write_bytes(seg)
+    (tmp_path / "seg-00001.warc.gz").write_bytes(gzip.compress(seg))
+    (tmp_path / "ignored.txt").write_bytes(b"junk")
+
+    docs = read_warc(spark, str(tmp_path), lang="en")
+    rows = docs.collect()
+    assert len(rows) == 4  # 2 responses x 2 segment files
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    assert set(by_url) == {"http://ex.com/a", "http://ex.com/b"}
+    assert by_url["http://ex.com/b"][0]["warc_ts"] == dt.datetime(2026, 2, 3, 4, 5, 6)
+    assert all(r["text"] is None and r["lang"] == "en" for r in rows)
+
+    env = extracted_from_stage(extract_all(docs, num_partitions=2))
+    got = {
+        (r["url"], r["extracted_text"])
+        for r in env.where(F.col("status") == "extracted").collect()
+    }
+    # nav chrome stripped from /a; both segments agree byte-identically
+    assert got == {
+        ("http://ex.com/a", "alpha beta"),
+        ("http://ex.com/b", "gamma delta epsilon"),
+    }
