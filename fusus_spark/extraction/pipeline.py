@@ -73,7 +73,8 @@ _F64 = pa.float64()
 
 
 def _extract_batches_arrow(
-    urls: list, htmls: list, langs: list, max_html_bytes: int
+    urls: list, htmls: list, langs: list, max_html_bytes: int,
+    emit_words: bool = True,
 ) -> tuple[pa.RecordBatch, pa.RecordBatch, pa.RecordBatch]:
     """One input batch of documents -> (word, envelope, removal rows).
 
@@ -82,7 +83,11 @@ def _extract_batches_arrow(
     (word_seq >= 0, envelope columns null), and one row per
     boilerplate-removal record (word_seq = -2, REMOVALS columns) — all
     from a SINGLE ``extract_document`` call, so a job consuming words +
-    stats + removals parses the corpus once, not three times. Arrays
+    stats + removals parses the corpus once, not three times.
+    ``emit_words=False`` skips building the word rows entirely (the
+    dominant accumulator + Arrow payload of the stage) for consumers
+    that only want envelopes/removals; counts on the envelope are
+    unaffected. Arrays
     are built directly with pyarrow (``pa.array`` on python lists +
     ``pa.nulls`` for the all-null stretches): at 10^12 scale the
     words-table materialization dominates this stage, and skipping the
@@ -124,7 +129,7 @@ def _extract_batches_arrow(
             r_score.append(score)
             r_guard.append(guard)
         rows = res["words"]
-        if rows:
+        if rows and emit_words:
             bl, ln, sq, wd, pc, cs, ce = zip(*rows)
             n = len(rows)
             w_url.extend([url] * n)
@@ -233,12 +238,17 @@ def extract_stage(
     docs: DataFrame,
     *,
     max_html_bytes: int = DEFAULT_MAX_HTML_BYTES,
+    emit_words: bool = True,
 ) -> DataFrame:
     """documents(url, warc_ts, html, text, lang) -> extraction stage rows.
 
     Only (url, html, lang) are read — column pruning keeps warc_ts/text
     out of the Arrow channel (the reference's minimal=True page handle
-    analog, fusus/page.py:98-99).
+    analog, fusus/page.py:98-99). ``emit_words=False`` drops the word
+    row kind at the source for envelope/removals-only consumers: the
+    words table dominates the stage's accumulator + Arrow cost, and a
+    removals query that builds it only to filter it out would pay the
+    whole bill at 100 TB.
     """
     pruned = docs.select("url", "html", "lang")
 
@@ -251,7 +261,7 @@ def extract_stage(
             htmls = rb.column(cols["html"]).to_pylist()
             langs = rb.column(cols["lang"]).to_pylist()
             words_rb, env_rb, rem_rb = _extract_batches_arrow(
-                urls, htmls, langs, max_html_bytes
+                urls, htmls, langs, max_html_bytes, emit_words
             )
             if words_rb.num_rows:
                 yield words_rb
@@ -309,7 +319,7 @@ def extract_removals(docs: DataFrame, *, max_html_bytes: int = DEFAULT_MAX_HTML_
     if "lang" not in docs.columns:
         pruned = docs.withColumn("lang", F.lit(None).cast("string"))
     return removals_from_stage(
-        extract_stage(pruned, max_html_bytes=max_html_bytes)
+        extract_stage(pruned, max_html_bytes=max_html_bytes, emit_words=False)
     )
 
 

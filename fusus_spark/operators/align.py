@@ -249,7 +249,16 @@ def align_editions(
     """
     exc_by_url: dict[str, dict[int, int]] = {}
     if exceptions is not None:
-        for r in exceptions.select("url", "slot_a", "slot_b").collect():
+        rows = exceptions.select("url", "slot_a", "slot_b").limit(100_001).collect()
+        if len(rows) > 100_000:
+            # the "tiny by definition" contract, enforced: beyond this a
+            # caller is feeding data, not curation, and the driver-side
+            # dict would become an OOM/serialization hazard
+            raise ValueError(
+                "align exception table exceeds 100k rows — it must be a "
+                "human-curated override list, not a data table"
+            )
+        for r in rows:
             exc_by_url.setdefault(r["url"], {})[r["slot_a"]] = r["slot_b"]
 
     def do_align(key: tuple, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:

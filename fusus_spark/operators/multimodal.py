@@ -44,9 +44,11 @@ def decode_real(payload: bytes) -> tuple[int, int, list[float]]:
     """The real decode path — requires PIL/cv2/ffmpeg, absent here.
 
     One narrow REAL slice exists without those libs: PNG header decode
-    (``parse_png_ihdr`` below, pure stdlib) — ``media_features`` uses it
-    for width/height whenever the payload is a PNG. Pixel data /
-    feature extraction still needs the libraries."""
+    (``parse_png_ihdr`` below, pure stdlib) — ``media_features`` and
+    ``resize_images`` override width/height with it for PNG payloads on
+    the stub path. With ``use_stub=False`` this function still raises
+    first: pixel data / feature extraction genuinely needs the
+    libraries, and half-real rows would be worse than an honest error."""
     raise NotImplementedError(
         "media decode requires an image/audio library not present in this "
         "container; production path: PIL.Image.open(io.BytesIO(payload)) "

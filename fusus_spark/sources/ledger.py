@@ -160,7 +160,7 @@ def run_extraction_job(
         staging_root = output_path.rstrip("/") + ".staging"
         os.makedirs(staging_root, exist_ok=True)
         for stale in os.listdir(staging_root):
-            if stale.startswith(f"bucket={bucket}-"):
+            if stale.startswith((f"bucket={bucket}-", f"trash-bucket={bucket}-")):
                 shutil.rmtree(os.path.join(staging_root, stale), ignore_errors=True)
         tmp_dir = os.path.join(staging_root, f"bucket={bucket}-{uuid.uuid4().hex}")
         words.write.mode("overwrite").parquet(tmp_dir)
@@ -181,8 +181,20 @@ def run_extraction_job(
                 bytes_out += os.path.getsize(p)
         os.makedirs(output_path, exist_ok=True)
         if os.path.isdir(out_dir):
-            shutil.rmtree(out_dir)  # replaced wholesale; bucket unmarked until below
-        os.rename(tmp_dir, out_dir)  # atomic commit of the bucket
+            # replacement must also be atomic for readers: move the old
+            # bucket ASIDE first (rename, atomic), commit the new one,
+            # THEN delete the old files — a reader never observes a
+            # partially-deleted directory under the final name, and a
+            # crash mid-sequence leaves either the old or the new
+            # complete bucket (plus sweepable trash in staging)
+            trash = os.path.join(
+                staging_root, f"trash-bucket={bucket}-{uuid.uuid4().hex}"
+            )
+            os.rename(out_dir, trash)
+            os.rename(tmp_dir, out_dir)
+            shutil.rmtree(trash, ignore_errors=True)
+        else:
+            os.rename(tmp_dir, out_dir)  # atomic commit of the bucket
         ledger.mark_done(
             bucket,
             rows_in=stats["rows_in"],

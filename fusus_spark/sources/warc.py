@@ -139,9 +139,13 @@ def read_warc(
                 payload = bytes(content) if content is not None else b""
                 for uri, date, body in iter_warc_records(payload, max_body_bytes):
                     rows["url"].append(uri)
+                    # keep the tz-aware UTC instant: a naive timestamp
+                    # would be re-interpreted in the session timezone
+                    # (ours pins UTC, but the instant must not depend
+                    # on that) — Arrow converts the aware value exactly
                     rows["warc_ts"].append(
                         pd.to_datetime(date, utc=True, errors="coerce")
-                        .tz_localize(None) if date else None
+                        if date else None
                     )
                     rows["html"].append(body)
                     rows["text"].append(None)

@@ -107,8 +107,15 @@ def user_counts_stream(
         for pdf in pdfs:
             n += len(pdf)
             v = pdf["value"].to_numpy(dtype="float64")
-            # half away from zero at e4, then exact integer summation
-            sv_e4 += int(np.sum(np.sign(v) * np.floor(np.abs(v) * 10000.0 + 0.5)))
+            # half away from zero at e4, matching SQL round() EXACTLY on
+            # the double product: compare the true binary fraction to
+            # 0.5 instead of adding 0.5 (x + 0.5 can round UP in float64
+            # for x just below 0.5, e.g. 0.49999999999999994); then sum
+            # in int64 so batch totals never pass through float
+            ax = np.abs(v) * 10000.0
+            fl = np.floor(ax)
+            r = fl + (ax - fl >= 0.5)
+            sv_e4 += int((np.sign(v) * r).astype(np.int64).sum())
         state.update((n, sv_e4))
         yield pd.DataFrame(
             {
