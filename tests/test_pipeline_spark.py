@@ -93,6 +93,26 @@ def test_removals_diagnostics(spark):
     assert kept >= 1  # the lookalike guard case
 
 
+def test_emit_words_false_keeps_envelope_counts(spark):
+    """extract_stage(emit_words=False): no word rows cross the Arrow
+    channel, but envelopes (incl. n_words) and removals are identical
+    to the full stage — the removals-only fast path contract."""
+    from fusus_spark.extraction.pipeline import extract_stage, removals_from_stage
+
+    docs = _docs_df(spark)
+    full = extract_stage(docs, max_html_bytes=CAP)
+    slim = extract_stage(docs, max_html_bytes=CAP, emit_words=False)
+    assert slim.where(F.col("word_seq") >= 0).count() == 0
+    assert full.where(F.col("word_seq") >= 0).count() > 0
+    env_cols = ["url", "status", "n_blocks", "n_lines", "n_words", "n_removed"]
+    a = extracted_from_stage(full).select(env_cols)
+    b = extracted_from_stage(slim).select(env_cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    ra = removals_from_stage(full)
+    rb = removals_from_stage(slim)
+    assert ra.exceptAll(rb).count() == 0 and rb.exceptAll(ra).count() == 0
+
+
 def test_size_route_matches_single_lane(spark):
     docs = _docs_df(spark)
     a = words_from_stage(extract_all(docs, num_partitions=4, max_html_bytes=CAP))
