@@ -2,7 +2,7 @@
 
 Sandbox runs are ``local[N]`` single-JVM; the same config block is what
 a ``spark-submit --py-files`` cluster launch would carry (see
-fusus_spark/sources/submit.py for the packaged entry point).
+fusus_spark/jobs/extract_job.py for the packaged entry point).
 """
 
 from __future__ import annotations
