@@ -14,6 +14,13 @@ The job is resumable: buckets already marked done in the ledger (with
 matching input lineage) are skipped; kill it at any point and re-submit
 with the same arguments to resume exactly (tests/test_resume.py).
 
+``--input-format warc`` accepts raw crawl segment files instead: the
+segments are ingested (fusus_spark.sources.warc — one task per file,
+the Common-Crawl layout) and laid out as the bucketed table first, then
+the same resumable per-bucket extraction runs. The ingest step is a
+single idempotent overwrite (re-submit redoes it); the extraction
+phase resumes per bucket as above.
+
 On a real cluster the input is an Iceberg table partitioned by
 ``days(warc_ts) + bucket(N, url)``; here the same layout is plain
 parquet ``bucket=k/`` directories (written by
@@ -26,30 +33,93 @@ import argparse
 import json
 import sys
 
+from pyspark.sql import SparkSession
+
+
+def run_job(
+    spark: SparkSession,
+    *,
+    input_path: str,
+    output_path: str,
+    ledger_path: str,
+    n_buckets: int,
+    input_format: str = "bucketed-parquet",
+    table_dir: str | None = None,
+    max_html_bytes: int = 4 * 1024 * 1024,
+) -> dict:
+    """The job body, session-agnostic (tests drive it directly)."""
+    from fusus_spark.sources.ledger import run_extraction_job, write_bucketed_input
+
+    if input_format == "warc":
+        import hashlib
+        import os
+
+        from fusus_spark.sources.warc import read_warc
+
+        table_dir = table_dir or output_path.rstrip("/") + ".table"
+        # idempotent ingest: re-writing the table would rename its
+        # parquet files and flip every bucket's input lineage, forcing a
+        # full redo on every re-submit. A fingerprint of the segment
+        # listing (names + sizes) gates the ingest — unchanged segments
+        # leave the table byte-identical so extraction resumes per
+        # bucket; changed segments re-ingest and the lineage flip
+        # correctly invalidates the affected buckets. The marker file's
+        # '_' prefix keeps it invisible to Spark's directory listing.
+        entries = []
+        for root, _dirs, files in os.walk(input_path):
+            for f in files:
+                if ".warc" in f:
+                    p = os.path.join(root, f)
+                    entries.append(
+                        f"{os.path.relpath(p, input_path)}:{os.path.getsize(p)}"
+                    )
+        fingerprint = hashlib.md5("|".join(sorted(entries)).encode()).hexdigest()
+        marker = os.path.join(table_dir, "_ingest.json")
+        prior = None
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                prior = json.load(fh).get("fingerprint")
+        if prior != fingerprint:
+            write_bucketed_input(read_warc(spark, input_path), table_dir, n_buckets)
+            with open(marker, "w") as fh:
+                json.dump({"fingerprint": fingerprint}, fh)
+        input_path = table_dir
+    return run_extraction_job(
+        spark,
+        input_path,
+        output_path,
+        ledger_path,
+        n_buckets,
+        max_html_bytes=max_html_bytes,
+    )
+
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="bucketed documents dir")
+    p.add_argument("--input", required=True,
+                   help="bucketed documents dir, or a crawl segment dir with --input-format warc")
     p.add_argument("--output", required=True, help="words output dir")
     p.add_argument("--ledger", required=True, help="progress ledger dir")
     p.add_argument("--buckets", type=int, required=True)
+    p.add_argument("--input-format", choices=("bucketed-parquet", "warc"),
+                   default="bucketed-parquet")
+    p.add_argument("--table-dir",
+                   help="bucketed table dir for warc ingest (default <output>.table)")
     p.add_argument("--max-html-bytes", type=int, default=4 * 1024 * 1024)
     args = p.parse_args(argv)
 
     # Under spark-submit, the session already exists; standalone, build one.
-    from pyspark.sql import SparkSession
-
     spark = SparkSession.builder.appName("fusus-extract").getOrCreate()
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
-    from fusus_spark.sources.ledger import run_extraction_job
-
-    summary = run_extraction_job(
+    summary = run_job(
         spark,
-        args.input,
-        args.output,
-        args.ledger,
-        args.buckets,
+        input_path=args.input,
+        output_path=args.output,
+        ledger_path=args.ledger,
+        n_buckets=args.buckets,
+        input_format=args.input_format,
+        table_dir=args.table_dir,
         max_html_bytes=args.max_html_bytes,
     )
     print(json.dumps(summary))

@@ -70,6 +70,52 @@ def test_iter_warc_records_robustness():
     assert len(recs[0][2]) == 100
 
 
+def test_extract_job_warc_input(spark, tmp_path):
+    """The spark-submit job body end-to-end in warc mode: segments ->
+    bucketed table -> resumable per-bucket extraction -> words table."""
+    from fusus_spark.jobs.extract_job import run_job
+
+    (tmp_path / "segs").mkdir()
+    (tmp_path / "segs" / "seg-0.warc.gz").write_bytes(gzip.compress(_segment()))
+    out = str(tmp_path / "words")
+    summary = run_job(
+        spark,
+        input_path=str(tmp_path / "segs"),
+        output_path=out,
+        ledger_path=str(tmp_path / "ledger"),
+        n_buckets=2,
+        input_format="warc",
+    )
+    assert summary["processed"] == 2
+    words = spark.read.parquet(out + "/bucket=*")
+    got = {(r["url"], r["word"]) for r in words.collect()}
+    assert ("http://ex.com/a", "alpha") in got
+    assert ("http://ex.com/b", "epsilon") in got
+    # re-run resumes: everything skipped
+    summary2 = run_job(
+        spark,
+        input_path=str(tmp_path / "segs"),
+        output_path=out,
+        ledger_path=str(tmp_path / "ledger"),
+        n_buckets=2,
+        input_format="warc",
+    )
+    assert summary2["skipped"] == 2 and summary2["processed"] == 0
+
+    # changed segments -> ingest redone, lineage flips, buckets redo
+    (tmp_path / "segs" / "seg-1.warc").write_bytes(_segment())
+    summary3 = run_job(
+        spark,
+        input_path=str(tmp_path / "segs"),
+        output_path=out,
+        ledger_path=str(tmp_path / "ledger"),
+        n_buckets=2,
+        input_format="warc",
+    )
+    assert summary3["processed"] == 2
+    assert spark.read.parquet(out + "/bucket=*").count() == 10  # 5 words x 2 files
+
+
 def test_read_warc_to_extraction(spark, tmp_path):
     """End-to-end: segment files (.warc + .warc.gz) -> documents rows ->
     the fused extraction stage, boilerplate stripped."""
