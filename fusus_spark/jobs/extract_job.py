@@ -45,6 +45,7 @@ def run_job(
     n_buckets: int,
     input_format: str = "bucketed-parquet",
     table_dir: str | None = None,
+    emit: tuple[str, ...] = ("words",),
     max_html_bytes: int = 4 * 1024 * 1024,
 ) -> dict:
     """The job body, session-agnostic (tests drive it directly)."""
@@ -90,6 +91,7 @@ def run_job(
         output_path,
         ledger_path,
         n_buckets,
+        emit=emit,
         max_html_bytes=max_html_bytes,
     )
 
@@ -105,6 +107,9 @@ def main(argv: list[str] | None = None) -> None:
                    default="bucketed-parquet")
     p.add_argument("--table-dir",
                    help="bucketed table dir for warc ingest (default <output>.table)")
+    p.add_argument("--emit", default="words",
+                   help="comma list of output tables from the one fused parse: "
+                        "words,extracted,removals (multi-kind layout: <output>/<kind>/bucket=k)")
     p.add_argument("--max-html-bytes", type=int, default=4 * 1024 * 1024)
     args = p.parse_args(argv)
 
@@ -120,6 +125,7 @@ def main(argv: list[str] | None = None) -> None:
         n_buckets=args.buckets,
         input_format=args.input_format,
         table_dir=args.table_dir,
+        emit=tuple(k.strip() for k in args.emit.split(",") if k.strip()),
         max_html_bytes=args.max_html_bytes,
     )
     print(json.dumps(summary))

@@ -112,6 +112,55 @@ class Ledger:
         return out
 
 
+_EMIT_KINDS = ("words", "extracted", "removals")
+
+
+def _sweep_staging(staging_root: str, bucket: int) -> None:
+    """Remove staging/trash leftovers of crashed attempts for a bucket."""
+    import shutil
+
+    os.makedirs(staging_root, exist_ok=True)
+    for stale in os.listdir(staging_root):
+        if stale.startswith((f"bucket={bucket}-", f"trash-bucket={bucket}-")):
+            shutil.rmtree(os.path.join(staging_root, stale), ignore_errors=True)
+
+
+def _footer_metrics(tmp_dir: str) -> tuple[int, int]:
+    """(rows, bytes) from the parquet FOOTERS (metadata-only) —
+    re-scanning the bucket's data just to count it would double the
+    read I/O."""
+    import pyarrow.parquet as pq
+
+    rows = 0
+    size = 0
+    for f in os.listdir(tmp_dir):
+        if f.endswith(".parquet"):
+            p = os.path.join(tmp_dir, f)
+            rows += pq.ParquetFile(p).metadata.num_rows
+            size += os.path.getsize(p)
+    return rows, size
+
+
+def _commit_bucket(tmp_dir: str, final_dir: str, staging_root: str, bucket: int) -> None:
+    """Atomically move a staged bucket dir under its final name.
+
+    Replacement moves the old bucket ASIDE first (rename, atomic),
+    commits the new one, THEN deletes the old files — a reader never
+    observes a partially-deleted directory under the final name, and a
+    crash at any point leaves either the old or the new complete bucket
+    (plus sweepable trash in staging)."""
+    import shutil
+
+    os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+    if os.path.isdir(final_dir):
+        trash = os.path.join(staging_root, f"trash-bucket={bucket}-{uuid.uuid4().hex}")
+        os.rename(final_dir, trash)
+        os.rename(tmp_dir, final_dir)
+        shutil.rmtree(trash, ignore_errors=True)
+    else:
+        os.rename(tmp_dir, final_dir)
+
+
 def run_extraction_job(
     spark: SparkSession,
     input_path: str,
@@ -119,18 +168,46 @@ def run_extraction_job(
     ledger_path: str,
     n_buckets: int,
     *,
+    emit: tuple[str, ...] = ("words",),
     fail_after: int | None = None,
     fail_before_commit: int | None = None,
     max_html_bytes: int = 4 * 1024 * 1024,
 ) -> dict:
     """Resumable bucket-at-a-time extraction job.
 
+    ``emit`` selects the output tables, all produced by ONE fused parse
+    per bucket (the stage is persisted across the writes when more than
+    one kind is requested — bounded by bucket sizing): ``words`` (the
+    default, legacy layout ``out/bucket=k``), plus ``extracted``
+    (per-url envelopes) and ``removals`` (boilerplate diagnostics).
+    With multiple kinds the layout becomes ``out/<kind>/bucket=k`` and
+    each kind's bucket dir is committed with the same staged atomic
+    rename; the ledger row is the source of truth for bucket
+    completeness across all kinds (it is written after every rename).
+
     ``fail_after=k`` injects a crash after k buckets; ``fail_before_
     commit=k`` injects it on the k-th processed bucket AFTER the staging
-    write but BEFORE the atomic rename (for the kill-mid-write
+    writes but BEFORE the atomic renames (for the kill-mid-write
     acceptance test). Returns summary metrics.
     """
-    import shutil
+    from fusus_spark.extraction.pipeline import (
+        extracted_from_stage,
+        removals_from_stage,
+    )
+
+    unknown = set(emit) - set(_EMIT_KINDS)
+    if not emit or unknown:
+        raise ValueError(f"emit must be a non-empty subset of {_EMIT_KINDS}: {unknown}")
+    splitters = {
+        "words": words_from_stage,
+        "extracted": extracted_from_stage,
+        "removals": removals_from_stage,
+    }
+    multi = len(emit) > 1
+    roots = {
+        kind: (os.path.join(output_path, kind) if multi else output_path)
+        for kind in emit
+    }
 
     ledger = Ledger(ledger_path)
     done_now = 0
@@ -149,60 +226,49 @@ def run_extraction_job(
             F.count("*").alias("rows_in"),
             F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).alias("bytes_in"),
         ).first()
-        stage = extract_stage(docs, max_html_bytes=max_html_bytes)
-        words = words_from_stage(stage)
-        out_dir = os.path.join(output_path, f"bucket={bucket}")
-        # staged commit: write to the sibling staging tree, then one
-        # atomic rename — a crash mid-write leaves the previous complete
-        # bucket (or nothing) for readers, never a partial directory.
-        # Stale staging dirs from crashed attempts are swept first so
-        # retries don't accumulate them.
-        staging_root = output_path.rstrip("/") + ".staging"
-        os.makedirs(staging_root, exist_ok=True)
-        for stale in os.listdir(staging_root):
-            if stale.startswith((f"bucket={bucket}-", f"trash-bucket={bucket}-")):
-                shutil.rmtree(os.path.join(staging_root, stale), ignore_errors=True)
-        tmp_dir = os.path.join(staging_root, f"bucket={bucket}-{uuid.uuid4().hex}")
-        words.write.mode("overwrite").parquet(tmp_dir)
+        stage = extract_stage(
+            docs,
+            max_html_bytes=max_html_bytes,
+            emit_words=("words" in emit),
+        )
+        if multi:
+            # one parse feeds every output table; a bucket is sized to
+            # fit executor memory, so the persisted stage is bounded
+            from pyspark import StorageLevel
+
+            stage = stage.persist(StorageLevel.MEMORY_AND_DISK)
+        staged: list[tuple[str, str, str]] = []  # (tmp, final, staging_root)
+        per_kind: dict[str, dict[str, int]] = {}
+        for kind in emit:
+            staging_root = roots[kind].rstrip("/") + ".staging"
+            _sweep_staging(staging_root, bucket)
+            tmp_dir = os.path.join(
+                staging_root, f"bucket={bucket}-{uuid.uuid4().hex}"
+            )
+            splitters[kind](stage).write.mode("overwrite").parquet(tmp_dir)
+            rows, size = _footer_metrics(tmp_dir)
+            per_kind[kind] = {"rows": rows, "bytes": size}
+            staged.append(
+                (tmp_dir, os.path.join(roots[kind], f"bucket={bucket}"), staging_root)
+            )
+        if multi:
+            stage.unpersist()
         if fail_before_commit is not None and done_now >= fail_before_commit:
             raise RuntimeError(
                 f"injected failure between write and rename on bucket {bucket}"
             )
-        # rows_out from the parquet FOOTERS (metadata-only) — re-scanning
-        # the bucket's data just to count it would double the read I/O
-        import pyarrow.parquet as pq
-
-        rows_out = 0
-        bytes_out = 0
-        for f in os.listdir(tmp_dir):
-            if f.endswith(".parquet"):
-                p = os.path.join(tmp_dir, f)
-                rows_out += pq.ParquetFile(p).metadata.num_rows
-                bytes_out += os.path.getsize(p)
-        os.makedirs(output_path, exist_ok=True)
-        if os.path.isdir(out_dir):
-            # replacement must also be atomic for readers: move the old
-            # bucket ASIDE first (rename, atomic), commit the new one,
-            # THEN delete the old files — a reader never observes a
-            # partially-deleted directory under the final name, and a
-            # crash mid-sequence leaves either the old or the new
-            # complete bucket (plus sweepable trash in staging)
-            trash = os.path.join(
-                staging_root, f"trash-bucket={bucket}-{uuid.uuid4().hex}"
-            )
-            os.rename(out_dir, trash)
-            os.rename(tmp_dir, out_dir)
-            shutil.rmtree(trash, ignore_errors=True)
-        else:
-            os.rename(tmp_dir, out_dir)  # atomic commit of the bucket
+        for tmp_dir, final_dir, staging_root in staged:
+            _commit_bucket(tmp_dir, final_dir, staging_root, bucket)
+        primary = per_kind.get("words") or per_kind[emit[0]]
         ledger.mark_done(
             bucket,
             rows_in=stats["rows_in"],
-            rows_out=rows_out,
+            rows_out=primary["rows"],
             bytes_in=stats["bytes_in"],
-            bytes_out=bytes_out,
+            bytes_out=primary["bytes"],
             input_snapshot_id=lineage,
             wall_ms=int((time.time() - t0) * 1000),
+            **({"outputs": per_kind} if multi else {}),
         )
         done_now += 1
     return {

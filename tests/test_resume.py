@@ -137,6 +137,50 @@ def test_kill_between_write_and_rename(spark, bucketed_input, tmp_path):
     assert os.listdir(out + ".staging") == []
 
 
+def test_multi_emit_one_parse_three_tables(spark, bucketed_input, tmp_path):
+    """emit=(words, extracted, removals): one fused parse per bucket
+    feeds all three tables, each bucket-committed atomically; the
+    contents match the batch accessors and a killed run resumes."""
+    from pyspark.sql import functions as F
+
+    from fusus_spark.extraction.pipeline import (
+        extract_all,
+        extract_removals,
+        extracted_from_stage,
+    )
+
+    out = str(tmp_path / "out3")
+    ledger_path = str(tmp_path / "ledger3")
+    emit = ("words", "extracted", "removals")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction_job(
+            spark, bucketed_input, out, ledger_path, N_BUCKETS,
+            emit=emit, fail_after=2,
+        )
+    summary = run_extraction_job(
+        spark, bucketed_input, out, ledger_path, N_BUCKETS, emit=emit
+    )
+    assert summary["processed"] == N_BUCKETS - 2 and summary["skipped"] == 2
+
+    docs = spark.read.parquet(bucketed_input).drop("bucket")
+    want_env = extracted_from_stage(extract_all(docs, num_partitions=4))
+    got_env = spark.read.parquet(out + "/extracted/bucket=*")
+    assert got_env.count() == want_env.count()
+    assert got_env.exceptAll(want_env).count() == 0
+
+    want_rem = extract_removals(docs).where(~F.col("kept")).count()
+    got_rem = (
+        spark.read.parquet(out + "/removals/bucket=*")
+        .where(~F.col("kept")).count()
+    )
+    assert got_rem == want_rem
+    assert spark.read.parquet(out + "/words/bucket=*").count() > 0
+
+    # ledger carries per-kind metrics
+    rows = Ledger(ledger_path).rows()
+    assert all(set(r["outputs"]) == set(emit) for r in rows)
+
+
 def test_lineage_invalidation(spark, bucketed_input, tmp_path):
     out = str(tmp_path / "out2")
     ledger_path = str(tmp_path / "ledger2")
