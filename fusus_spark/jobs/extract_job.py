@@ -16,10 +16,12 @@ with the same arguments to resume exactly (tests/test_resume.py).
 
 ``--input-format warc`` accepts raw crawl segment files instead: the
 segments are ingested (fusus_spark.sources.warc — one task per file,
-the Common-Crawl layout) and laid out as the bucketed table first, then
-the same resumable per-bucket extraction runs. The ingest step is a
-single idempotent overwrite (re-submit redoes it); the extraction
-phase resumes per bucket as above.
+the Common-Crawl layout, nested segment dirs included) and laid out as
+the bucketed table first, then the same resumable per-bucket extraction
+runs. The ingest is gated on a fingerprint of the segment listing
+(names + sizes + bucket count): an unchanged re-submit skips it so the
+table stays byte-identical and every bucket resumes; a changed listing
+re-ingests, and the lineage flip invalidates the affected buckets.
 
 On a real cluster the input is an Iceberg table partitioned by
 ``days(warc_ts) + bucket(N, url)``; here the same layout is plain
@@ -66,7 +68,7 @@ def run_job(
         # bucket; changed segments re-ingest and the lineage flip
         # correctly invalidates the affected buckets. The marker file's
         # '_' prefix keeps it invisible to Spark's directory listing.
-        entries = []
+        entries = [f"n_buckets={n_buckets}"]  # a bucket-count change must re-ingest
         for root, _dirs, files in os.walk(input_path):
             for f in files:
                 if ".warc" in f:
@@ -77,13 +79,19 @@ def run_job(
         fingerprint = hashlib.md5("|".join(sorted(entries)).encode()).hexdigest()
         marker = os.path.join(table_dir, "_ingest.json")
         prior = None
-        if os.path.exists(marker):
+        try:
             with open(marker) as fh:
                 prior = json.load(fh).get("fingerprint")
+        except (FileNotFoundError, json.JSONDecodeError):
+            prior = None  # absent or torn marker -> safe redo
         if prior != fingerprint:
             write_bucketed_input(read_warc(spark, input_path), table_dir, n_buckets)
-            with open(marker, "w") as fh:
+            # tmp + atomic replace: a crash mid-write must leave a
+            # missing/torn marker (redo), never a valid-looking lie
+            tmp_marker = marker + ".tmp"
+            with open(tmp_marker, "w") as fh:
                 json.dump({"fingerprint": fingerprint}, fh)
+            os.replace(tmp_marker, marker)
         input_path = table_dir
     return run_extraction_job(
         spark,

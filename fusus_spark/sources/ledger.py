@@ -196,8 +196,11 @@ def run_extraction_job(
     )
 
     unknown = set(emit) - set(_EMIT_KINDS)
-    if not emit or unknown:
-        raise ValueError(f"emit must be a non-empty subset of {_EMIT_KINDS}: {unknown}")
+    if not emit or unknown or len(set(emit)) != len(emit):
+        raise ValueError(
+            f"emit must be a non-empty, duplicate-free subset of {_EMIT_KINDS}: "
+            f"got {emit}"
+        )
     splitters = {
         "words": words_from_stage,
         "extracted": extracted_from_stage,
@@ -239,20 +242,22 @@ def run_extraction_job(
             stage = stage.persist(StorageLevel.MEMORY_AND_DISK)
         staged: list[tuple[str, str, str]] = []  # (tmp, final, staging_root)
         per_kind: dict[str, dict[str, int]] = {}
-        for kind in emit:
-            staging_root = roots[kind].rstrip("/") + ".staging"
-            _sweep_staging(staging_root, bucket)
-            tmp_dir = os.path.join(
-                staging_root, f"bucket={bucket}-{uuid.uuid4().hex}"
-            )
-            splitters[kind](stage).write.mode("overwrite").parquet(tmp_dir)
-            rows, size = _footer_metrics(tmp_dir)
-            per_kind[kind] = {"rows": rows, "bytes": size}
-            staged.append(
-                (tmp_dir, os.path.join(roots[kind], f"bucket={bucket}"), staging_root)
-            )
-        if multi:
-            stage.unpersist()
+        try:
+            for kind in emit:
+                staging_root = roots[kind].rstrip("/") + ".staging"
+                _sweep_staging(staging_root, bucket)
+                tmp_dir = os.path.join(
+                    staging_root, f"bucket={bucket}-{uuid.uuid4().hex}"
+                )
+                splitters[kind](stage).write.mode("overwrite").parquet(tmp_dir)
+                rows, size = _footer_metrics(tmp_dir)
+                per_kind[kind] = {"rows": rows, "bytes": size}
+                staged.append(
+                    (tmp_dir, os.path.join(roots[kind], f"bucket={bucket}"), staging_root)
+                )
+        finally:
+            if multi:
+                stage.unpersist()  # a failed write must not leak the cache
         if fail_before_commit is not None and done_now >= fail_before_commit:
             raise RuntimeError(
                 f"injected failure between write and rename on bucket {bucket}"

@@ -126,6 +126,9 @@ def read_warc(
     binary = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
+        # crawls nest segments in subdirectories (<segment>/warc/...);
+        # binaryFile lists only top-level files without this
+        .option("recursiveFileLookup", "true")
         .load(path)
         .select("path", "content")
     )

@@ -127,12 +127,16 @@ def test_read_warc_to_extraction(spark, tmp_path):
 
     seg = _segment()
     (tmp_path / "seg-00000.warc").write_bytes(seg)
-    (tmp_path / "seg-00001.warc.gz").write_bytes(gzip.compress(seg))
+    # nested segment dir — the real crawl layout (<segment>/warc/...)
+    (tmp_path / "segment-0" / "warc").mkdir(parents=True)
+    (tmp_path / "segment-0" / "warc" / "seg-00001.warc.gz").write_bytes(
+        gzip.compress(seg)
+    )
     (tmp_path / "ignored.txt").write_bytes(b"junk")
 
     docs = read_warc(spark, str(tmp_path), lang="en")
     rows = docs.collect()
-    assert len(rows) == 4  # 2 responses x 2 segment files
+    assert len(rows) == 4  # 2 responses x 2 segment files (one nested)
     by_url = {}
     for r in rows:
         by_url.setdefault(r["url"], []).append(r)
