@@ -1,0 +1,126 @@
+"""URL curation expressions: features, canonicalization, URL-level dedup.
+
+Large-scale training pipelines curate by URL before they ever parse a
+byte of HTML: domain allow/block lists, tracking-parameter stripping,
+and canonical-URL dedup (the same page fetched as http/https,
+with/without utm_* tags, with/without fragment). Everything here is a
+column EXPRESSION built from JVM regex/string functions — whole-stage
+codegen, zero Python, zero shuffle until the caller aggregates — and
+every pattern is RE2-compatible so a DuckDB oracle reproduces the
+results bit-for-bit (cross-checked in tests/test_url.py the same way
+the registry queries are driver-checked).
+
+Reference role analog: the page-selection/filtering front door of the
+reference's book scan (fusus/book.py:189-240 file filtering) — here the
+"file name" is the url.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# scheme://host[:port]/path?query#fragment — RE2-safe piecewise extracts.
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def url_host(url) -> Column:
+    """Lowercased registrable host (userinfo/port stripped)."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def url_path(url) -> Column:
+    """Path component ('' for bare host urls)."""
+    return F.regexp_extract(url, _PATH_RE, 1)
+
+
+def url_domain(url) -> Column:
+    """Last-two-labels domain heuristic (example.co -> example.co,
+    a.b.example.com -> example.com). A real deployment swaps in the
+    public-suffix list; the heuristic keeps the expression pure-JVM and
+    oracle-reproducible."""
+    return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
+
+
+def url_path_depth(url) -> Column:
+    """Number of non-empty path segments."""
+    p = url_path(url)
+    return F.size(F.filter(F.split(p, "/"), lambda s: s != "")).cast("int")
+
+
+def url_query_param_count(url) -> Column:
+    q = F.regexp_extract(url, _QUERY_RE, 1)
+    return F.when(q == "", F.lit(0)).otherwise(
+        F.size(F.filter(F.split(q, "&"), lambda s: s != ""))
+    ).cast("int")
+
+
+def url_has_tracking(url) -> Column:
+    """Any utm_* / gclid / fbclid style tracking parameter present."""
+    return F.regexp_extract(
+        url, r"[?&](utm_[a-z]+|gclid|fbclid|mc_cid|mc_eid)=", 1
+    ) != ""
+
+
+def canonical_url(url) -> Column:
+    """Canonical form for URL-level dedup:
+
+    1. scheme + host lowercased, https normalized to http (protocol
+       twins are the same document);
+    2. default ports stripped (:80 / :443);
+    3. tracking parameters removed (utm_*, gclid, fbclid, mc_cid/eid),
+       with the separator healed and a dangling '?'/'&' dropped;
+    4. fragment removed;
+    5. trailing slash dropped from non-root paths.
+
+    Pure regexp_replace chain — one codegen'd projection per row.
+    """
+    # lowercase scheme+authority only (path/query are case-sensitive)
+    c = F.concat(
+        F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
+        F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
+    )
+    c = F.regexp_replace(c, r"^https://", "http://")
+    # RE2-safe default-port strip (no lookahead: capture the boundary)
+    c = F.regexp_replace(c, r"^(http://[^/?#:]+):(?:80|443)([/?#])", r"$1$2")
+    c = F.regexp_replace(c, r"^(http://[^/?#:]+):(?:80|443)$", r"$1")
+    c = F.regexp_replace(c, r"#[^#]*$", "")  # fragment
+    # tracking params: kill key=value, then heal separators
+    c = F.regexp_replace(
+        c, r"(utm_[a-zA-Z]+|gclid|fbclid|mc_cid|mc_eid)=[^&#]*&?", ""
+    )
+    c = F.regexp_replace(c, r"[?&]$", "")  # dangling separator
+    c = F.regexp_replace(c, r"\?&", "?")  # ?&rest -> ?rest
+    c = F.regexp_replace(c, r"(.)/$", r"$1")  # trailing slash (non-root)
+    return c
+
+
+def url_features(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-url curation features, one codegen'd projection."""
+    u = F.col(url_col)
+    return docs.select(
+        u.alias("url"),
+        url_host(u).alias("host"),
+        url_domain(u).alias("domain"),
+        url_path_depth(u).alias("path_depth"),
+        url_query_param_count(u).alias("n_params"),
+        url_has_tracking(u).alias("has_tracking"),
+        canonical_url(u).alias("canonical"),
+    )
+
+
+def dedup_by_canonical_url(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-level exact dedup: (url, canonical, rep_url, group_size);
+    rep_url = min url of the canonical group. One shuffle on the
+    canonical key — the cheapest dedup tier, run BEFORE any content
+    hashing at crawl scale."""
+    c = docs.select(
+        F.col(url_col).alias("url"), canonical_url(F.col(url_col)).alias("canonical")
+    )
+    groups = c.groupBy("canonical").agg(
+        F.min("url").alias("rep_url"), F.count("*").alias("group_size")
+    )
+    return c.join(groups, "canonical").select(
+        "url", "canonical", "rep_url", "group_size"
+    )

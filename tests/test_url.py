@@ -1,0 +1,141 @@
+"""URL curation tests: hand-pinned canonical forms + a DuckDB oracle
+cross-check (the same hash-verification discipline as the registry
+queries, run in-test since the driver registry is capped at 50)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from fusus_spark.functions.url import dedup_by_canonical_url, url_features
+from tools.parity import value_hash
+
+CASES = [
+    # (url, canonical)
+    ("http://Example.COM/a/b", "http://example.com/a/b"),
+    ("https://example.com/a/b", "http://example.com/a/b"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("http://example.com/a/b/", "http://example.com/a/b"),
+    ("http://example.com/", "http://example.com"),
+    ("http://example.com/a#frag", "http://example.com/a"),
+    ("http://example.com/a?utm_source=x", "http://example.com/a"),
+    ("http://example.com/a?utm_source=x&q=1", "http://example.com/a?q=1"),
+    ("http://example.com/a?q=1&utm_medium=y", "http://example.com/a?q=1"),
+    ("http://example.com/a?gclid=123&fbclid=456", "http://example.com/a"),
+    ("http://example.com/a?q=1&r=2", "http://example.com/a?q=1&r=2"),
+    ("http://user:pw@example.com/a", "http://user:pw@example.com/a"),
+    ("http://example.com/A/B?Q=Case", "http://example.com/A/B?Q=Case"),
+]
+
+
+def test_canonical_url_hand_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got = {r["url"]: r["canonical"] for r in url_features(df).collect()}
+    for url, want in CASES:
+        assert got[url] == want, url
+
+
+def test_url_features_hand_cases(spark):
+    df = spark.createDataFrame(
+        [("https://User@a.b.Example.com:8443/x/y/z?a=1&utm_source=s#f",)],
+        "url string",
+    )
+    r = url_features(df).collect()[0]
+    assert r["host"] == "a.b.example.com"
+    assert r["domain"] == "example.com"
+    assert r["path_depth"] == 3
+    assert r["n_params"] == 2
+    assert r["has_tracking"] is True
+
+
+def _synthetic_urls() -> list[str]:
+    """Deterministic corpus mixing every curation axis."""
+    out = []
+    hosts = ["example.com", "News.Site.org", "sub.a.example.com", "x.io"]
+    for i in range(200):
+        h = hosts[i % len(hosts)]
+        scheme = "https" if i % 3 == 0 else "http"
+        port = ":443" if i % 7 == 0 and scheme == "https" else (
+            ":8080" if i % 11 == 0 else "")
+        path = "/".join(f"p{j}" for j in range(i % 4))
+        q = ""
+        if i % 5 == 0:
+            q = f"?q={i}&utm_source=feed"
+        elif i % 5 == 1:
+            q = f"?id={i}"
+        frag = f"#sec{i}" if i % 6 == 0 else ""
+        slash = "/" if i % 2 == 0 and path else ""
+        out.append(f"{scheme}://{h}{port}/{path}{slash}{q}{frag}")
+    return out
+
+
+@pytest.fixture(scope="module")
+def duck_urls():
+    con = duckdb.connect()
+    con.sql("CREATE TABLE urls (url VARCHAR)")
+    con.executemany("INSERT INTO urls VALUES (?)", [(u,) for u in _synthetic_urls()])
+    return con
+
+
+# canonical_url as a DuckDB expression — same RE2-safe patterns,
+# DuckDB backref syntax (\\1) and explicit 'g' for the global replaces.
+_ORC_CANON = r"""
+regexp_replace(
+ regexp_replace(
+  regexp_replace(
+   regexp_replace(
+    regexp_replace(
+     regexp_replace(
+      regexp_replace(
+       regexp_replace(
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+          || regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+        '^https://', 'http://'),
+       '^(http://[^/?#:]+):(?:80|443)([/?#])', '\1\2'),
+      '^(http://[^/?#:]+):(?:80|443)$', '\1'),
+     '#[^#]*$', ''),
+    '(utm_[a-zA-Z]+|gclid|fbclid|mc_cid|mc_eid)=[^&#]*&?', '', 'g'),
+   '[?&]$', ''),
+  '\?&', '?'),
+ '(.)/$', '\1')
+"""
+
+
+def test_url_features_match_duckdb_oracle(spark, duck_urls):
+    df = spark.createDataFrame([(u,) for u in _synthetic_urls()], "url string")
+    sdf = url_features(df)
+    srows = [tuple(r) for r in sdf.collect()]
+    orc = duck_urls.sql(f"""
+SELECT url,
+       lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+       regexp_extract(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), '([^.]+\\.[^.]+)$', 1) AS domain,
+       len(list_filter(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'), s -> s != ''))::INT AS path_depth,
+       CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN 0
+            ELSE len(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'), s -> s != '')) END::INT AS n_params,
+       regexp_extract(url, '[?&](utm_[a-z]+|gclid|fbclid|mc_cid|mc_eid)=', 1) != '' AS has_tracking,
+       {_ORC_CANON} AS canonical
+FROM urls
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+def test_dedup_by_canonical_url(spark):
+    urls = [
+        "http://example.com/a",
+        "https://example.com/a",                 # protocol twin
+        "http://EXAMPLE.com:80/a#x",             # case + port + fragment twin
+        "http://example.com/a?utm_source=feed",  # tracking twin
+        "http://example.com/b",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = {r["url"]: r for r in dedup_by_canonical_url(df).collect()}
+    a_group = {u for u in urls[:4]}
+    reps = {out[u]["rep_url"] for u in a_group}
+    assert reps == {"http://EXAMPLE.com:80/a#x"}  # min-url representative
+    assert all(out[u]["group_size"] == 4 for u in a_group)
+    assert out["http://example.com/b"]["group_size"] == 1
