@@ -124,6 +124,21 @@ FROM urls
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
 
 
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — the property that makes
+    the canonical key a stable dedup identity."""
+    from pyspark.sql import functions as F
+
+    from fusus_spark.functions.url import canonical_url
+
+    urls = [u for u, _ in CASES] + _synthetic_urls()
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(canonical_url(F.col("url")).alias("c1")).select(
+        "c1", canonical_url(F.col("c1")).alias("c2")
+    )
+    assert out.where(F.col("c1") != F.col("c2")).count() == 0
+
+
 def test_dedup_by_canonical_url(spark):
     urls = [
         "http://example.com/a",
