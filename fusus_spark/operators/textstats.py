@@ -14,6 +14,7 @@ from fusus_spark.functions.text import (
     LANG_STOPWORDS,
     fingerprint,
     norm_ws,
+    shingles,
     stopword_hits,
     token_count,
     tokens,
@@ -242,6 +243,90 @@ def ngram_xent(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
             F.count("*").cast("bigint").alias("n_bigrams"),
             F.sum("logp_e6").cast("bigint").alias("sum_logprob_e6"),
         )
+    )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    share of the document owned by its most frequent word and by its
+    most frequent word 2-gram. Machine-generated/spam text shows
+    top-heavy distributions; the classic filter drops docs whose top
+    2-gram exceeds ~20% of tokens.
+
+    Pure built-ins, one pass, no shuffle: each doc's tokens live in one
+    row's array, so the mode multiplicity is the longest equal-run of
+    the SORTED array — array_sort + one aggregate fold, O(n log n) per
+    doc (an explode+groupBy would shuffle ~token-count rows for a
+    per-doc scalar, and counting each distinct element against the
+    array would be quadratic on long docs). Emits e6-scaled integers
+    for oracle-stable comparison.
+    """
+    t = tokens(text_col)
+    big = F.when(
+        F.size(t) >= 2,
+        shingles(t, 2),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def top_share(arr):
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        best = F.aggregate(F.array_sort(arr), zero, step)["best"]
+        return F.when(F.size(arr) > 0, best / F.size(arr)).otherwise(F.lit(0.0))
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(t).alias("n_tokens"),
+        F.round(top_share(t) * 1000000).cast("bigint").alias("top_word_share_e6"),
+        F.round(top_share(big) * 1000000).cast("bigint").alias("top_bigram_share_e6"),
+    )
+
+
+def compression_ratio(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc zlib compression ratio — the RefinedWeb/MassiveText-style
+    redundancy signal (highly compressible text = boilerplate/repetition;
+    near-incompressible = binary junk or high-entropy spam).
+
+    zlib is not expressible in SQL, so this is the repo's standard
+    Arrow-batched pandas UDF shape (whole-batch loop over the C-level
+    compressor; no SQL oracle — pinned against direct zlib in pytest).
+    Ratio is e6-scaled; empty docs emit ratio 0.
+    """
+    import pandas as pd
+
+    pruned = docs.select(F.col(id_col).alias("doc_id"), norm_ws(text_col).alias("t"))
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            texts = pdf["t"].tolist()
+            ratios = []
+            sizes = []
+            for s in texts:
+                raw = (s or "").encode("utf-8")
+                sizes.append(len(raw))
+                ratios.append(
+                    round(len(zlib.compress(raw, 6)) / len(raw) * 1000000)
+                    if raw else 0
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_bytes": sizes, "ratio_e6": ratios}
+            )
+
+    return pruned.mapInPandas(
+        run, schema="doc_id long, n_bytes long, ratio_e6 bigint"
     )
 
 
