@@ -1,5 +1,6 @@
-"""Composed curation gate: the keep/drop decision of a training-data
-pipeline, with machine-readable reasons.
+"""Corpus-curation operators: the keep/drop decision of a training-data
+pipeline (with machine-readable reasons), eval-set decontamination,
+corpus-level line dedup, and PII redaction.
 
 Combines the repo's quality signals into one verdict per document —
 the Gopher-rules shape (Rae et al. 2021 §A1.1): token-count bounds,
@@ -100,3 +101,165 @@ def curation_gate(
         (F.size(reasons) == 0).alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Eval-set n-gram decontamination report (the GPT-3 appendix-C /
+    PaLM-style check): flag training documents sharing any word
+    ``n``-gram with a benchmark/eval set, case-folded.
+
+    Returns one row PER CONTAMINATED document:
+    (doc_id, n_ngrams, n_hit_ngrams, hit_ratio_e6); clean documents emit
+    no row. At 10^12 docs the *report* is the distributable artifact —
+    callers drop flagged docs with a broadcast anti-join against it
+    (reports are small because eval sets are), never a full left join of
+    the corpus.
+
+    Plan shape: the eval side (config-sized by definition) collapses to
+    its DISTINCT n-gram md5s and is broadcast; the training side
+    explodes each doc's DISTINCT n-gram hashes map-side and inner-joins
+    the broadcast set, so the only shuffle carries HIT rows (corpus-
+    tiny). ``n_ngrams`` rides the explode as a group key — no second
+    join back to the source. md5 keeps hashes bit-identical in the
+    DuckDB oracle.
+    """
+    def gram_hashes(text):
+        t = tokens(F.lower(text))
+        return F.array_distinct(F.transform(shingles(t, n), lambda g: F.md5(g)))
+
+    eval_grams = eval_docs.select(
+        F.explode(gram_hashes(F.col(eval_text_col))).alias("gh")
+    ).distinct()
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(gram_hashes(F.col(text_col))).alias("n_ngrams"),
+        F.explode(gram_hashes(F.col(text_col))).alias("gh"),
+    )
+    return (
+        doc_grams.join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count("*").cast("int").alias("n_hit_ngrams"))
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_hit_ngrams",
+            F.round(F.col("n_hit_ngrams") / F.col("n_ngrams") * 1000000)
+            .cast("bigint")
+            .alias("hit_ratio_e6"),
+        )
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    min_dup_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level duplicated-line removal (the CCNet / RefinedWeb
+    boilerplate pass): a line whose trimmed text appears in >=
+    ``min_dup_docs`` DISTINCT documents is dropped from every document;
+    surviving lines are reassembled in order.
+
+    Returns (doc_id, n_lines, n_kept, text_dedup).
+
+    Plan shape and skew defense: blank lines are the corpus's hottest
+    key by orders of magnitude, so they NEVER enter the count or the
+    dup join — they bypass on a narrow union and are always kept (they
+    carry document structure, not boilerplate). Non-blank lines take
+    one groupBy(line-md5) -> distinct-doc count (partial-agg shuffle),
+    the >= threshold filter shrinks that to the dup-line set, and a
+    left join FLAGS (not filters) dup lines; residual hot boilerplate
+    keys in that join are exactly the dup lines themselves, which AQE
+    skew-join splits. Because dropped lines are flagged rather than
+    filtered, every document reaches the reconstruction groupBy and
+    none vanishes — an all-boilerplate doc emits n_kept = 0 and empty
+    text. Reconstruction is one groupBy(doc_id) with an in-group
+    array_sort on position (collect_list skips the null'd dropped
+    lines).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lt", F.trim(F.col("line")))
+    nonblank = lines.where(F.length("lt") > 0)
+    blank = lines.where(F.length("lt") == 0)
+    dup_hashes = (
+        nonblank.select(F.md5("lt").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(min_dup_docs))
+        .select("h", F.lit(True).alias("dropped"))
+    )
+    flagged_nb = (
+        nonblank.withColumn("h", F.md5("lt"))
+        .join(dup_hashes, "h", "left")
+        .drop("h")
+    )
+    flagged = flagged_nb.unionByName(
+        blank.withColumn("dropped", F.lit(None).cast("boolean"))
+    ).withColumn("dropped", F.coalesce("dropped", F.lit(False)))
+    return flagged.groupBy("doc_id", "n_lines").agg(
+        F.count_if(~F.col("dropped")).cast("int").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("dropped"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text_dedup"),
+    ).select("doc_id", F.col("n_lines").cast("int").alias("n_lines"), "n_kept", "text_dedup")
+
+
+# PII patterns, constrained to syntax Java regex and RE2 (DuckDB) parse
+# identically: no lookarounds, no backrefs. Applied in list order; each
+# count is taken on the text AFTER the previous replacements so both
+# engines see the same intermediate strings.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction for training corpora: emails, IPv4 addresses and
+    international-format phone numbers replaced by typed placeholder
+    tokens, with per-doc match counts for the redaction audit.
+
+    Returns (doc_id, n_email, n_ipv4, n_phone, text_redacted).
+
+    Whole-stage codegen end to end: each pattern is one JVM
+    regexp_extract_all (count) + regexp_replace (rewrite) pair chained
+    in a fixed order — no UDF, no shuffle, linear scans only. Patterns
+    deliberately avoid lookarounds so the DuckDB oracle's RE2 engine
+    tokenizes identically.
+    """
+    # chain stepwise so each count sees the prior patterns' rewrites
+    step = docs.withColumn("__pii_cur__", F.coalesce(F.col(text_col), F.lit("")))
+    selected = [F.col(id_col).alias("doc_id")]
+    for name, pat, token in PII_PATTERNS:
+        step = step.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col("__pii_cur__"), F.lit(pat), F.lit(0)))
+            .cast("int"),
+        ).withColumn(
+            "__pii_cur__", F.regexp_replace(F.col("__pii_cur__"), pat, token)
+        )
+        selected.append(F.col(f"n_{name}"))
+    selected.append(F.col("__pii_cur__").alias("text_redacted"))
+    return step.select(*selected)

@@ -1,0 +1,226 @@
+"""Decontamination / line-dedup / PII-redaction tests: hand-pinned
+behavior + DuckDB oracle hash cross-checks (these operators live outside
+the driver's 50-query registry budget, so the oracle runs in-test)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from fusus_spark.operators.curate import dedup_lines, decontaminate, redact_pii
+from tools.parity import value_hash
+
+
+# ---------------------------------------------------------------- decontam
+
+EVAL_SET = [
+    (0, "the capital of France is Paris"),
+    (1, "photosynthesis converts light energy into chemical energy"),
+]
+
+
+def _train_corpus() -> list[tuple[int, str]]:
+    rows = [
+        (0, "students learn that The Capital Of FRANCE is paris early on"),  # hit (case-folded)
+        (1, "totally unrelated text about cooking pasta with garlic"),
+        (2, "photosynthesis converts light energy into chemical energy, as we all know"),  # hit
+        (3, "capital of germany was bonn then berlin"),  # no shared 3-gram
+        (4, ""),
+        (5, "capital France of"),  # shared tokens but no shared 3-gram
+    ]
+    for i in range(6, 40):
+        rows.append((i, " ".join(f"tok{(j * i) % 17}" for j in range(25))))
+    return rows
+
+
+def test_decontaminate_hand_cases(spark):
+    docs = spark.createDataFrame(_train_corpus(), "doc_id long, text string")
+    ev = spark.createDataFrame(EVAL_SET, "eval_id long, text string")
+    got = {r["doc_id"]: r for r in decontaminate(docs, ev, n=3).collect()}
+    # only the two true-overlap docs are reported
+    assert set(got) == {0, 2}
+    # doc 0 shares exactly the 3-grams inside "the capital of france is paris"
+    # → 4 of its distinct 3-grams hit
+    assert got[0]["n_hit_ngrams"] == 4
+    assert got[0]["hit_ratio_e6"] == round(4 / got[0]["n_ngrams"] * 1e6)
+    assert got[2]["n_hit_ngrams"] > 0
+
+
+def test_decontaminate_matches_duckdb_oracle(spark):
+    docs = spark.createDataFrame(_train_corpus(), "doc_id long, text string")
+    ev = spark.createDataFrame(EVAL_SET, "eval_id long, text string")
+    sdf = decontaminate(docs, ev, n=3)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", _train_corpus())
+    con.sql("CREATE TABLE evals (eval_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO evals VALUES (?, ?)", EVAL_SET)
+    orc = con.sql("""
+WITH dt AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+  WHERE length(trim(text)) > 0
+),
+dg AS (
+  SELECT DISTINCT doc_id, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gh
+  FROM dt, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+dn AS (
+  SELECT doc_id, count(*) AS n_ngrams FROM dg GROUP BY doc_id
+),
+et AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM evals
+),
+eg AS (
+  SELECT DISTINCT md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gh
+  FROM et, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+)
+SELECT dg.doc_id,
+       any_value(dn.n_ngrams)::INT AS n_ngrams,
+       count(*)::INT AS n_hit_ngrams,
+       round(count(*) / any_value(dn.n_ngrams) * 1000000)::BIGINT AS hit_ratio_e6
+FROM dg JOIN eg USING (gh) JOIN dn USING (doc_id)
+GROUP BY dg.doc_id
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+# -------------------------------------------------------------- dedup_lines
+
+BOILER = "Subscribe to our newsletter!"
+
+
+def _line_corpus() -> list[tuple[int, str]]:
+    rows = [
+        (0, f"Unique opening line.\n{BOILER}\n\nBody of document zero."),
+        (1, f"{BOILER}\nAnother body entirely.\nCopyright 2026 Example Corp"),
+        (2, f"Third doc body text.\nCopyright 2026 Example Corp\n   \n{BOILER}"),
+        (3, "Only unique material here.\nNothing shared with anyone."),
+        (4, ""),
+        (5, f"{BOILER}\n{BOILER}"),  # doc made entirely of boilerplate
+        (6, "repeated inside\nrepeated inside\nbut only in this doc"),  # in-doc repeat: kept
+    ]
+    for i in range(7, 30):
+        rows.append((i, f"filler head {i}\nfiller body {i * 7}\nfiller tail {i * 13}"))
+    return rows
+
+
+def test_dedup_lines_hand_cases(spark):
+    docs = spark.createDataFrame(_line_corpus(), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert len(got) == len(_line_corpus())  # no doc vanishes
+    # boilerplate + shared copyright line removed everywhere
+    assert got[0]["text_dedup"] == "Unique opening line.\n\nBody of document zero."
+    assert got[1]["text_dedup"] == "Another body entirely."
+    assert got[2]["text_dedup"] == "Third doc body text.\n   "
+    # untouched doc round-trips byte-identically
+    assert got[3]["text_dedup"] == _line_corpus()[3][1]
+    assert got[3]["n_kept"] == got[3]["n_lines"] == 2
+    # empty doc survives as one blank line
+    assert got[4]["n_lines"] == 1 and got[4]["text_dedup"] == ""
+    # all-boilerplate doc collapses to empty but still emits a row
+    assert got[5]["text_dedup"] == "" and got[5]["n_kept"] == 0
+    # a line repeated only WITHIN one doc is not corpus-duplicated
+    assert got[6]["n_kept"] == 3
+
+
+def test_dedup_lines_matches_duckdb_oracle(spark):
+    docs = spark.createDataFrame(_line_corpus(), "doc_id long, text string")
+    sdf = dedup_lines(docs)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", _line_corpus())
+    orc = con.sql("""
+WITH lines AS (
+  SELECT doc_id, len(l)::INT AS n_lines, i AS pos, l[i] AS line, trim(l[i]) AS lt
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
+       unnest(generate_series(1, len(l))) AS u(i)
+),
+dups AS (
+  SELECT md5(lt) AS h FROM lines WHERE length(lt) > 0
+  GROUP BY md5(lt) HAVING count(DISTINCT doc_id) >= 2
+),
+marked AS (
+  SELECT l.*,
+         (length(lt) > 0 AND md5(lt) IN (SELECT h FROM dups)) AS dropped
+  FROM lines l
+)
+SELECT doc_id, any_value(n_lines) AS n_lines,
+       sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END)::INT AS n_kept,
+       COALESCE(string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY pos), '') AS text_dedup
+FROM marked GROUP BY doc_id
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+# --------------------------------------------------------------- redact_pii
+
+
+def _pii_corpus() -> list[tuple[int, str]]:
+    rows = [
+        (0, "Contact alice@example.com or bob.smith+tag@mail.co for info"),
+        (1, "Server at 192.168.0.1 and 10.0.0.255 responded"),
+        (2, "Call +1 (555) 123-4567 or +44 20 7946 0958 today"),
+        (3, "Mixed: eve@corp.io from 127.0.0.1 dialed +33 1 23 45 67 89"),
+        (4, "No pii here, just text with numbers 12345 and dots..."),
+        (5, ""),
+        (6, "version 1.2.3 is not an ip but 8.8.8.8 is"),
+    ]
+    for i in range(7, 30):
+        rows.append((i, f"user{i}@host{i % 3}.org logged in from 10.1.{i % 256}.{(i * 3) % 256}"))
+    return rows
+
+
+def test_redact_pii_hand_cases(spark):
+    docs = spark.createDataFrame(_pii_corpus(), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[0]["n_email"] == 2 and got[0]["n_ipv4"] == 0 and got[0]["n_phone"] == 0
+    assert got[0]["text_redacted"] == "Contact <EMAIL> or <EMAIL> for info"
+    assert got[1]["n_ipv4"] == 2
+    assert got[1]["text_redacted"] == "Server at <IP> and <IP> responded"
+    assert got[2]["n_phone"] == 2
+    assert got[2]["text_redacted"] == "Call <PHONE> or <PHONE> today"
+    assert (got[3]["n_email"], got[3]["n_ipv4"], got[3]["n_phone"]) == (1, 1, 1)
+    assert got[4]["text_redacted"] == _pii_corpus()[4][1]  # untouched
+    assert got[5]["text_redacted"] == ""
+    # "1.2.3" lacks a 4th octet; "8.8.8.8" is redacted
+    assert got[6]["n_ipv4"] == 1 and "8.8.8.8" not in got[6]["text_redacted"]
+
+
+def test_redact_pii_matches_duckdb_oracle(spark):
+    from fusus_spark.operators.curate import PII_PATTERNS
+
+    docs = spark.createDataFrame(_pii_corpus(), "doc_id long, text string")
+    sdf = redact_pii(docs)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", _pii_corpus())
+    # DuckDB string literals keep backslashes verbatim — patterns go in as-is
+    (em, ip, ph) = [p[1] for p in PII_PATTERNS]
+    orc = con.sql(f"""
+WITH s0 AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t, '{em}'))::INT AS n_email,
+              regexp_replace(t, '{em}', '<EMAIL>', 'g') AS t FROM s0),
+s2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '{ip}'))::INT AS n_ipv4,
+              regexp_replace(t, '{ip}', '<IP>', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+              len(regexp_extract_all(t, '{ph}'))::INT AS n_phone,
+              regexp_replace(t, '{ph}', '<PHONE>', 'g') AS t FROM s2)
+SELECT doc_id, n_email, n_ipv4, n_phone, t AS text_redacted FROM s3
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
