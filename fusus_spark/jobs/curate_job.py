@@ -1,0 +1,172 @@
+"""Corpus curation job — the training-data pipeline composed end to end,
+``spark-submit --py-files`` launchable like the extraction job:
+
+    spark-submit --py-files dist/fusus_spark.zip \\
+        fusus_spark/jobs/curate_job.py \\
+        --input  <documents parquet dir> \\
+        --output <curated corpus dir> \\
+        [--eval <benchmark/eval parquet dir>]
+
+Tier order is cheapest-signal-first so every tier shrinks the next
+tier's input (the CCNet / RefinedWeb macro shape):
+
+    1. canonical-URL dedup       (one shuffle on the canonical key)
+    2. exact content dedup       (one shuffle on md5(text))
+    3. corpus-level line dedup   (rewrites text; drops no document)
+    4. quality gate              (map-side Gopher rules, audit reasons)
+    5. eval-set decontamination  (broadcast n-gram report, anti-join)
+    6. PII redaction             (zero-shuffle regexp chain)
+
+Every tier writes an AUDIT table under ``<output>/audit/`` and the
+summary is derived from those written tables — the job never re-runs a
+tier's lineage just to count it. The rewritten-text intermediate after
+line dedup is materialized to ``<output>/stage/deduped`` and read back,
+truncating lineage so the gate/decontam/PII tiers re-plan from columnar
+parquet instead of re-executing three shuffles per downstream action.
+
+Scale notes: the keep-set joins (url, doc_id) are large-with-large and
+shuffle by design; on a real deployment both sides come from the same
+bucketed/Iceberg layout as the extraction job, so they co-locate.
+Restartability here is per-stage (each tier's output is an idempotent
+overwrite); per-bucket lineage a la jobs/extract_job.py applies
+unchanged if a tier needs finer restart units at 100 TB.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def run_job(
+    spark: SparkSession,
+    *,
+    input_path: str,
+    output_path: str,
+    eval_path: str | None = None,
+    min_dup_docs: int = 2,
+    decontam_n: int = 13,
+    stop_lang: str = "en",
+) -> dict:
+    """The job body, session-agnostic (tests drive it directly).
+
+    Input: parquet with at least (doc_id, text); ``url`` enables tier 1.
+    Returns the summary dict (also printed by main as one JSON line).
+    """
+    from fusus_spark.functions.url import dedup_by_canonical_url
+    from fusus_spark.operators.curate import (
+        curation_gate,
+        decontaminate,
+        dedup_lines,
+        redact_pii,
+    )
+    from fusus_spark.operators.dedup import exact_duplicates
+
+    out = output_path.rstrip("/")
+    docs = spark.read.parquet(input_path)
+    summary: dict = {"n_input": docs.count()}
+
+    # 1. canonical-URL dedup (cheapest tier; only if a url column exists)
+    if "url" in docs.columns:
+        url_audit = dedup_by_canonical_url(docs)
+        url_audit.write.mode("overwrite").parquet(f"{out}/audit/url_dedup")
+        url_audit = spark.read.parquet(f"{out}/audit/url_dedup")
+        keep_urls = url_audit.where(F.col("url") == F.col("rep_url")).select("url")
+        docs = docs.join(keep_urls, "url")
+        summary["n_after_url_dedup"] = keep_urls.count()
+
+    # 2. exact content dedup (keep the min-id representative)
+    ex_audit = exact_duplicates(docs)
+    ex_audit.write.mode("overwrite").parquet(f"{out}/audit/exact_dedup")
+    ex_audit = spark.read.parquet(f"{out}/audit/exact_dedup")
+    docs = docs.join(
+        ex_audit.where(F.col("doc_id") == F.col("rep_id")).select("doc_id"), "doc_id"
+    )
+    summary["n_after_exact_dedup"] = ex_audit.where(
+        F.col("doc_id") == F.col("rep_id")
+    ).count()
+
+    # 3. corpus-level line dedup -> rewritten text, materialized
+    ld = dedup_lines(docs, min_dup_docs=min_dup_docs)
+    passthrough = [c for c in docs.columns if c != "text"]
+    docs.select(*passthrough).join(
+        ld.select(
+            "doc_id", "n_lines", "n_kept", F.col("text_dedup").alias("text")
+        ),
+        "doc_id",
+    ).write.mode("overwrite").parquet(f"{out}/stage/deduped")
+    staged = spark.read.parquet(f"{out}/stage/deduped")
+    summary["n_dup_lines_removed"] = staged.agg(
+        F.sum(F.col("n_lines") - F.col("n_kept"))
+    ).collect()[0][0] or 0
+
+    # 4. quality gate on the deduped text
+    gate = curation_gate(staged, stop_lang=stop_lang)
+    gate.write.mode("overwrite").parquet(f"{out}/audit/gate")
+    gate = spark.read.parquet(f"{out}/audit/gate")
+    kept = staged.join(gate.where("keep").select("doc_id"), "doc_id")
+    summary["n_after_gate"] = gate.where("keep").count()
+
+    # 5. eval-set decontamination (optional)
+    summary["n_contaminated"] = 0
+    if eval_path is not None:
+        ev = spark.read.parquet(eval_path)
+        report = decontaminate(kept, ev, n=decontam_n)
+        report.write.mode("overwrite").parquet(f"{out}/audit/contamination")
+        report = spark.read.parquet(f"{out}/audit/contamination")
+        kept = kept.join(
+            F.broadcast(report.select("doc_id")), "doc_id", "left_anti"
+        )
+        summary["n_contaminated"] = report.count()
+
+    # 6. PII redaction -> final corpus
+    red = redact_pii(kept)
+    final_cols = [c for c in kept.columns if c != "text"]
+    kept.select(*final_cols).join(
+        red.select(
+            "doc_id", "n_email", "n_ipv4", "n_phone",
+            F.col("text_redacted").alias("text"),
+        ),
+        "doc_id",
+    ).write.mode("overwrite").parquet(f"{out}/corpus")
+    corpus = spark.read.parquet(f"{out}/corpus")
+    agg = corpus.agg(
+        F.count("*").alias("n"),
+        F.sum("n_email").alias("e"),
+        F.sum("n_ipv4").alias("i"),
+        F.sum("n_phone").alias("p"),
+    ).collect()[0]
+    summary["n_final"] = agg["n"]
+    summary["n_pii_redacted"] = int((agg["e"] or 0) + (agg["i"] or 0) + (agg["p"] or 0))
+    return summary
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="documents parquet dir")
+    p.add_argument("--output", required=True, help="curated corpus output dir")
+    p.add_argument("--eval", help="benchmark/eval parquet dir for decontamination")
+    p.add_argument("--min-dup-docs", type=int, default=2)
+    p.add_argument("--decontam-n", type=int, default=13)
+    p.add_argument("--stop-lang", default="en")
+    args = p.parse_args(argv)
+
+    spark = SparkSession.builder.appName("fusus-curate").getOrCreate()
+    summary = run_job(
+        spark,
+        input_path=args.input,
+        output_path=args.output,
+        eval_path=args.eval,
+        min_dup_docs=args.min_dup_docs,
+        decontam_n=args.decontam_n,
+        stop_lang=args.stop_lang,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

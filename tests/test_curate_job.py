@@ -1,0 +1,87 @@
+"""End-to-end curation job: all six tiers composed over one tiny corpus,
+with every tier exercised by at least one document."""
+
+from __future__ import annotations
+
+from fusus_spark.jobs.curate_job import run_job
+
+BOILER = "Subscribe now!"
+
+ROWS = [
+    (1, "https://ex.com/a",
+     f"the cat sat on the mat and it was happy today\n{BOILER}", "en"),
+    # URL-duplicate of doc 1 (tracking param) — dropped at tier 1
+    (2, "https://ex.com/a?utm_source=feed",
+     "different body that is for the reader and it is fine", "en"),
+    (3, "https://ex.com/b",
+     "the dog ran in the park and it was sunny today", "en"),
+    # exact text duplicate of doc 3 — dropped at tier 2 (min-id rep kept)
+    (4, "https://ex.com/c",
+     "the dog ran in the park and it was sunny today", "en"),
+    (5, "https://ex.com/d",
+     f"the fish swam in the sea for a while today\n{BOILER}", "en"),
+    # 1 token: fails the quality gate at tier 4
+    (6, "https://ex.com/e", "short", "en"),
+    # shares 3-grams with the eval set — dropped at tier 5
+    (7, "https://ex.com/f",
+     "the capital of france is paris and everyone knows it", "en"),
+    # email redacted at tier 6
+    (8, "https://ex.com/g",
+     "write to alice@example.com for the details about it all", "en"),
+]
+
+EVAL_ROWS = [(0, "the capital of france is paris")]
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    inp = str(tmp_path / "docs")
+    ev = str(tmp_path / "eval")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        ROWS, "doc_id long, url string, text string, lang string"
+    ).write.parquet(inp)
+    spark.createDataFrame(EVAL_ROWS, "eval_id long, text string").write.parquet(ev)
+
+    summary = run_job(
+        spark, input_path=inp, output_path=out, eval_path=ev, decontam_n=3
+    )
+
+    assert summary == {
+        "n_input": 8,
+        "n_after_url_dedup": 7,        # doc 2 folded into doc 1's canonical
+        "n_after_exact_dedup": 6,      # doc 4 folded into doc 3
+        "n_dup_lines_removed": 2,      # BOILER stripped from docs 1 and 5
+        "n_after_gate": 5,             # doc 6 too short
+        "n_contaminated": 1,           # doc 7
+        "n_final": 4,
+        "n_pii_redacted": 1,           # doc 8's email
+    }
+
+    corpus = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert set(corpus) == {1, 3, 5, 8}
+    # line dedup rewrote the text; survivors carry their cleaned bodies
+    assert corpus[1]["text"] == "the cat sat on the mat and it was happy today"
+    assert corpus[5]["text"] == "the fish swam in the sea for a while today"
+    assert "<EMAIL>" in corpus[8]["text"] and "alice@" not in corpus[8]["text"]
+    assert corpus[3]["n_email"] == 0
+
+    # audit tables exist and carry the tier decisions
+    gate = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/audit/gate").collect()}
+    assert gate[6]["keep"] is False and "too_few_tokens" in gate[6]["reasons"]
+    contam = spark.read.parquet(f"{out}/audit/contamination").collect()
+    assert [r["doc_id"] for r in contam] == [7]
+
+
+def test_curate_job_without_url_or_eval(spark, tmp_path):
+    """Tiers degrade cleanly: no url column -> tier 1 skipped; no eval
+    path -> tier 5 skipped."""
+    inp = str(tmp_path / "docs2")
+    out = str(tmp_path / "out2")
+    rows = [(i, f"the quick document number {i} is here and it works fine", "en")
+            for i in range(6)]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(inp)
+
+    summary = run_job(spark, input_path=inp, output_path=out)
+    assert "n_after_url_dedup" not in summary
+    assert summary["n_input"] == summary["n_final"] == 6
+    assert summary["n_contaminated"] == 0
