@@ -61,7 +61,47 @@ CHECKS = {
     # covered by the oracle instead)
     # merged sink: cogrouped aligner + forward-fill window
     "align_merged": [("FlatMapCoGroupsInPandas", True), ("Window", True)],
+    # decontamination: the gram join must be broadcast (eval side is
+    # config-sized), never a shuffle or all-pairs join
+    "decontaminate": [
+        ("BroadcastHashJoin", True),
+        ("SortMergeJoin", False),
+        ("CartesianProduct", False),
+    ],
+    # line dedup: bounded-key equi-joins only
+    "dedup_lines": [
+        ("HashAggregate", True),
+        ("BroadcastNestedLoopJoin", False),
+        ("CartesianProduct", False),
+    ],
+    # PII redaction claims ZERO shuffle: the only Exchange is the
+    # small-file round-robin inside sources.testdata.load
+    "redact_pii": [("Exchange", 1), ("codegen id", True)],
 }
+
+
+def _extra_frames():
+    """Non-registry operator frames audited alongside the 50 registry
+    queries (the driver registry is capped; plans still get checked)."""
+    from pyspark.sql import functions as F
+
+    from fusus_spark.operators.curate import (
+        decontaminate, dedup_lines, redact_pii)
+    from fusus_spark.sources.testdata import load
+
+    def f_decontam(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents")
+        ev = docs.limit(5).select(F.col("doc_id").alias("eval_id"), "text")
+        return decontaminate(docs, ev, n=5)
+
+    def f_lines(spark, sf_dir):
+        return dedup_lines(load(spark, sf_dir, "documents"))
+
+    def f_pii(spark, sf_dir):
+        return redact_pii(load(spark, sf_dir, "documents"))
+
+    return {"decontaminate": f_decontam, "dedup_lines": f_lines,
+            "redact_pii": f_pii}
 
 
 def main() -> None:
@@ -82,12 +122,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    extra = _extra_frames()
     failures = []
     import contextlib
     import io
 
     for name in only:
-        df = qs[name](spark, sf_dir)
+        df = (qs[name] if name in qs else extra[name])(spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
