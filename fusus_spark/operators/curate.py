@@ -263,3 +263,54 @@ def redact_pii(
         selected.append(F.col(f"n_{name}"))
     selected.append(F.col("__pii_cur__").alias("text_redacted"))
     return step.select(*selected)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions_ppm: dict[str, int],
+    default_ppm: int = 0,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling — the corpus-mixing step of
+    a training-data pipeline (down-weight overrepresented languages /
+    domains to a target mixture), reproducible across runs and engines.
+
+    Keeps a document iff the first 5 hex chars of
+    ``md5(stratum || ':' || doc_id)`` are lexicographically below the
+    stratum's threshold, where the threshold encodes ``ppm`` (parts per
+    million) in 16^5 space. Equal-length lowercase-hex string
+    comparison IS numeric comparison, so the rule runs identically in
+    Spark and the DuckDB oracle with zero integer-conversion glue;
+    resolution is 1/16^5 (~1 ppm). No RNG, no seed state: membership is
+    a pure function of (stratum, doc_id), so a re-run, a resumed job,
+    or an oracle re-check selects the byte-identical subset.
+
+    Map-side only: the fraction table is config-sized and folds into
+    the plan as a literal map; no shuffle, no sampling operator.
+    Returns (doc_id, <strata_col>, sample_key) for the kept rows.
+    """
+    space = 16 ** 5
+
+    def hex5(ppm: int) -> str:
+        v = max(0, round(ppm * space / 1_000_000))
+        # 'g' sorts above every hex digit: a >=100% threshold keeps all
+        # (format()'s 6-char '100000' would sort BELOW most 5-char keys)
+        return "g" if v >= space else format(v, "05x")
+
+    thresholds = F.create_map(
+        *[F.lit(x) for kv in fractions_ppm.items() for x in (kv[0], hex5(kv[1]))]
+    )
+    key = F.substring(
+        F.md5(F.concat(F.col(strata_col), F.lit(":"), F.col(id_col).cast("string"))),
+        1,
+        5,
+    )
+    thr = F.coalesce(
+        thresholds[F.col(strata_col)], F.lit(hex5(default_ppm))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col),
+        key.alias("sample_key"),
+    ).where(F.col("sample_key") < thr)

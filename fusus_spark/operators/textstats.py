@@ -372,3 +372,87 @@ def winnow_fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def xent_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    sample_prefix: str = "0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    corpus into head / middle / tail by per-doc cross-entropy against
+    the corpus bigram model (head = lowest xent = most fluent).
+
+    Returns (doc_id, xent_e6, bucket, label); docs with < 2 chars have
+    no bigrams, hence no xent, and are absent (same contract as
+    ``ngram_xent``).
+
+    Scale design — NO global sort/ntile (a corpus-wide window is a
+    single-partition scale-killer at 10^12 docs). Instead the exact
+    two-pass sampled-threshold shape:
+      1. a DETERMINISTIC hash sample (md5(doc_id) hex prefix ==
+         ``sample_prefix``; len-1 prefix = 1/16 of docs — lengthen the
+         prefix as the corpus grows so the sample stays
+         single-partition-sized) is ranked once, and the (n_buckets-1)
+         boundary elements are taken at ranks ceil(k*n/B);
+      2. every doc is bucketed MAP-SIDE against the broadcast boundary
+         array with a strict (xent, doc_id) tuple comparison — exact,
+         deterministic, shuffle-free.
+    Bucket populations are approximately equal (sampling error only);
+    boundaries themselves are exact rank statistics of the sample, so
+    the result is bit-reproducible and oracle-checkable.
+    """
+    scores = ngram_xent(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id",
+        F.round(-F.col("sum_logprob_e6") / F.col("n_bigrams"))
+        .cast("bigint")
+        .alias("xent_e6"),
+    )
+    sample = scores.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, len(sample_prefix))
+        == F.lit(sample_prefix)
+    )
+    # rank the sample once; the window is bounded by the sample size by
+    # construction (non-foldable constant partition key, see CLAUDE.md)
+    w = Window.partitionBy(F.pmod(F.col("xent_e6"), F.lit(1))).orderBy(
+        "xent_e6", "doc_id"
+    )
+    ranked = sample.select(
+        "doc_id", "xent_e6", F.row_number().over(w).alias("rn")
+    ).withColumn("n", F.count("*").over(Window.partitionBy(F.pmod(F.col("xent_e6"), F.lit(1)))))
+    bounds = (
+        ranked.where(
+            F.exists(
+                F.sequence(F.lit(1), F.lit(n_buckets - 1)),
+                lambda k: F.col("rn") == F.ceil(k * F.col("n") / n_buckets),
+            )
+        )
+        .select(F.struct(F.col("xent_e6").alias("s"), F.col("doc_id").alias("d")).alias("b"))
+        .agg(F.array_sort(F.collect_list("b")).alias("bounds"))
+    )
+    labels = {1: "head", n_buckets: "tail"}
+    return (
+        scores.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "xent_e6",
+            (
+                1
+                + F.size(
+                    F.filter(
+                        F.col("bounds"),
+                        lambda b: (F.col("xent_e6") > b["s"])
+                        | ((F.col("xent_e6") == b["s"]) & (F.col("doc_id") > b["d"])),
+                    )
+                )
+            ).cast("int").alias("bucket"),
+        )
+        .withColumn(
+            "label",
+            F.when(F.col("bucket") == 1, F.lit(labels.get(1)))
+            .when(F.col("bucket") == n_buckets, F.lit(labels.get(n_buckets)))
+            .otherwise(F.lit("middle")),
+        )
+    )

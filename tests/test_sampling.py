@@ -1,0 +1,161 @@
+"""Stratified-sampling + perplexity-bucketing tests: hand-pinned
+behavior + DuckDB oracle hash cross-checks (these operators live outside
+the driver's 50-query registry budget, so the oracle runs in-test)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from fusus_spark.operators.curate import stratified_sample
+from fusus_spark.operators.textstats import xent_buckets
+from tools.parity import value_hash
+
+SPACE = 16 ** 5
+
+
+def _hex5(ppm: int) -> str:
+    v = max(0, round(ppm * SPACE / 1_000_000))
+    return "g" if v >= SPACE else format(v, "05x")
+
+
+# --------------------------------------------------------- stratified_sample
+
+FRACTIONS = {"en": 100_000, "de": 1_000_000, "fr": 0}
+
+
+def _lang_corpus() -> list[tuple[int, str]]:
+    rows = []
+    did = 0
+    for lang, n in (("en", 1000), ("de", 100), ("fr", 50), ("xx", 40)):
+        for _ in range(n):
+            rows.append((did, lang))
+            did += 1
+    return rows
+
+
+def test_stratified_sample_hand_cases(spark):
+    docs = spark.createDataFrame(_lang_corpus(), "doc_id long, lang string")
+    out = stratified_sample(docs, FRACTIONS, default_ppm=500_000)
+    by_lang = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    # ppm=1e6 keeps the whole stratum (the 'g' sentinel, not '100000')
+    assert by_lang["de"] == 100
+    # ppm=0 keeps nothing
+    assert "fr" not in by_lang
+    # 10% of en: deterministic, binomially near 100
+    assert 60 <= by_lang["en"] <= 140
+    # stratum absent from the map falls back to default_ppm (50%)
+    assert 12 <= by_lang["xx"] <= 28
+    # membership is a pure function of (stratum, doc_id): re-run identical
+    again = stratified_sample(docs, FRACTIONS, default_ppm=500_000)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_stratified_sample_matches_duckdb_oracle(spark):
+    docs = spark.createDataFrame(_lang_corpus(), "doc_id long, lang string")
+    sdf = stratified_sample(docs, FRACTIONS, default_ppm=500_000)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", _lang_corpus())
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{_hex5(ppm)}'" for lang, ppm in FRACTIONS.items()
+    )
+    orc = con.sql(f"""
+WITH k AS (
+  SELECT doc_id, lang,
+         substr(md5(lang || ':' || doc_id::VARCHAR), 1, 5) AS sample_key,
+         CASE lang {cases} ELSE '{_hex5(500_000)}' END AS thr
+  FROM documents
+)
+SELECT doc_id, lang, sample_key FROM k WHERE sample_key < thr
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+# -------------------------------------------------------------- xent_buckets
+
+
+def _xent_corpus() -> list[tuple[int, str]]:
+    """~200 docs with a smooth fluency gradient: mostly common-bigram
+    prose, with per-doc varying amounts of rare-bigram junk mixed in."""
+    rows = []
+    for i in range(200):
+        base = "the cat sat on the mat and then ran off to the barn " * 3
+        junk = " ".join("zq xv qj zx"[j % 11] * 2 for j in range(i % 23))
+        rows.append((i, (base + junk).strip()))
+    rows.append((900, "x"))  # <2 chars after norm: no bigrams, excluded
+    return rows
+
+
+def test_xent_buckets_hand_cases(spark):
+    docs = spark.createDataFrame(_xent_corpus(), "doc_id long, text string")
+    out = xent_buckets(docs, n_buckets=3).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert 900 not in got  # no-bigram doc absent, like ngram_xent
+    assert len(got) == 200
+    labels = {r["label"] for r in out}
+    assert labels == {"head", "middle", "tail"}
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # sampled thresholds: populations approximately equal (not exact)
+    for b in (1, 2, 3):
+        assert 20 <= len(by_bucket[b]) <= 140, {k: len(v) for k, v in by_bucket.items()}
+    # the bucketing is an exact rank cut: xent ranges never interleave
+    assert max(r["xent_e6"] for r in by_bucket[1]) <= min(r["xent_e6"] for r in by_bucket[2])
+    assert max(r["xent_e6"] for r in by_bucket[2]) <= min(r["xent_e6"] for r in by_bucket[3])
+    # head is the fluent end (lowest cross-entropy)
+    assert by_bucket[1][0]["label"] == "head" and by_bucket[3][0]["label"] == "tail"
+
+
+def test_xent_buckets_matches_duckdb_oracle(spark):
+    docs = spark.createDataFrame(_xent_corpus(), "doc_id long, text string")
+    sdf = xent_buckets(docs, n_buckets=3)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", _xent_corpus())
+    # mirrors ORACLE_QUALITY_XENT's model, then the sampled-threshold cut
+    orc = con.sql("""
+WITH n AS (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents),
+bg AS (
+  SELECT doc_id, substr(t, u.i, 2) AS g
+  FROM n, unnest(generate_series(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 2
+),
+model AS (
+  SELECT g, round(round(ln(count(*) / (SELECT count(*) FROM bg)::DOUBLE), 6)
+                  * 1000000)::BIGINT AS logp_e6
+  FROM bg GROUP BY g
+),
+scores AS (
+  SELECT doc_id, round(-sum(logp_e6) / count(*))::BIGINT AS xent_e6
+  FROM bg JOIN model USING (g) GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, xent_e6,
+         row_number() OVER (ORDER BY xent_e6, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM scores WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'
+),
+bounds AS (
+  SELECT xent_e6 AS s, doc_id AS d FROM ranked
+  WHERE rn = ceil(1 * n / 3.0) OR rn = ceil(2 * n / 3.0)
+)
+SELECT doc_id, xent_e6,
+       (1 + (SELECT count(*) FROM bounds b
+             WHERE scores.xent_e6 > b.s
+                OR (scores.xent_e6 = b.s AND scores.doc_id > b.d)))::INT AS bucket,
+       CASE (1 + (SELECT count(*) FROM bounds b
+                  WHERE scores.xent_e6 > b.s
+                     OR (scores.xent_e6 = b.s AND scores.doc_id > b.d)))
+            WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS label
+FROM scores
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
