@@ -223,6 +223,109 @@ def dedup_lines(
     ).select("doc_id", F.col("n_lines").cast("int").alias("n_lines"), "n_kept", "text_dedup")
 
 
+def dedup_passages(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-passage removal — the exact-substring dedup tier of a
+    training-data pipeline (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"), reformulated from the paper's
+    suffix-array formulation into a linear window-hash plan that Spark
+    can shuffle: any run of ``n`` consecutive tokens occurring MORE THAN
+    ONCE in the corpus (across documents or within one) is a duplicated
+    window; one canonical occurrence per window is kept (the
+    min-(doc_id, pos) owner) and every token covered by a NON-owner
+    occurrence of some duplicated window is removed.
+
+    Returns (doc_id, n_tokens, n_removed, text_dedup); every input
+    document emits exactly one row (clean docs pass through verbatim,
+    sub-``n``-token docs are never candidates).
+
+    Plan shape, piece by piece:
+
+    1. **window hashes** — each doc's token n-grams come from one
+       map-side ``shingles`` projection (JVM slice+concat, no UDF);
+       posexplode yields (doc_id, pos, md5(gram)). Linear in corpus
+       tokens — the same inverted-index scale already paid by
+       ngram_jaccard_pairs and decontaminate, and the md5 keys make the
+       in-test DuckDB oracle bit-identical.
+    2. **duplicated-window set** — one groupBy(hash) with partial
+       aggregation computes count and the owner = min(struct(doc_id,
+       pos)); the ``count >= 2`` filter shrinks it to actual dups
+       before anything is joined.
+    3. **non-owner hits** — wins ⋈ dups on the hash; only hit rows
+       (duplicated, not the owner) survive the join, so the shuffle
+       out of this stage carries dup occurrences, not the corpus.
+    4. **coverage** — hit starts expand to covered token positions via
+       ``explode(sequence(pos, pos+n-1))`` (an n-fold blowup of HIT
+       rows only) and collapse to one sorted positions array per
+       affected doc.
+    5. **reconstruction** — docs left-join the covered table on doc_id
+       and drop covered tokens with a map-side ``filter(tokens,
+       (tok, i) -> ...)`` over the in-row array. This join is the one
+       corpus-wide shuffle (same as dedup_lines' reconstruction
+       groupBy); it cannot broadcast in general because at 10^12 docs
+       boilerplate incidence makes the covered table corpus-scale.
+
+    Removal-rule fine print (deterministic by construction): the owner
+    occurrence protects only its OWN window's tokens — a token inside
+    the kept copy is still removed if a different, non-owner duplicated
+    window also covers it. That is the same once-per-corpus guarantee
+    the suffix-array method gives, at window (not byte) granularity.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    )
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(F.transform(shingles(F.col("t"), n), lambda g: F.md5(g))).alias(
+            "pos", "h"
+        ),
+    )
+    dups = (
+        wins.groupBy("h")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("owner"),
+        )
+        .where(F.col("cnt") >= 2)
+        .select("h", "owner")
+    )
+    hits = (
+        wins.join(dups, "h")
+        .where(
+            (F.col("doc_id") != F.col("owner.doc_id"))
+            | (F.col("pos") != F.col("owner.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    covered = (
+        hits.select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("cpos")
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("cpos")).alias("covered"))
+    )
+    out = toks.join(covered, "doc_id", "left")
+    # NB: the TWO-parameter lambda is deliberate here — pyspark passes
+    # the (element, index) form, and the 0-based index is exactly the
+    # posexplode position the covered array was built from.
+    kept = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.array_contains(
+            F.coalesce(F.col("covered"), F.array().cast("array<int>")), i
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.size("t").cast("int").alias("n_tokens"),
+        F.coalesce(F.size("covered"), F.lit(0)).cast("int").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text_dedup"),
+    )
+
+
 # PII patterns, constrained to syntax Java regex and RE2 (DuckDB) parse
 # identically: no lookarounds, no backrefs. Applied in list order; each
 # count is taken on the text AFTER the previous replacements so both

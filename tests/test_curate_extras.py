@@ -6,7 +6,12 @@ from __future__ import annotations
 
 import duckdb
 
-from fusus_spark.operators.curate import dedup_lines, decontaminate, redact_pii
+from fusus_spark.operators.curate import (
+    dedup_lines,
+    dedup_passages,
+    decontaminate,
+    redact_pii,
+)
 from tools.parity import value_hash
 
 
@@ -157,6 +162,115 @@ SELECT doc_id, any_value(n_lines) AS n_lines,
        sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END)::INT AS n_kept,
        COALESCE(string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY pos), '') AS text_dedup
 FROM marked GROUP BY doc_id
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+# ----------------------------------------------------------- dedup_passages
+
+PASSAGE = "please subscribe to our newsletter for daily updates"  # 8 tokens
+
+
+def _passage_corpus() -> list[tuple[int, str]]:
+    rows = [
+        (0, f"alpha beta {PASSAGE} gamma delta"),          # owner: keeps it
+        (1, f"{PASSAGE} entirely different tail here"),    # loses it
+        (2, f"some lead in words then {PASSAGE}"),         # loses it
+        (3, "wholly original content with no shared runs at all"),
+        (4, ""),
+        (5, "tiny doc"),                                   # < n tokens: untouched
+        # both occurrences are non-owner copies of docs 0-2's passage
+        (6, f"{PASSAGE} filler one two three four five six {PASSAGE}"),
+        # in-doc-only repeat: first occurrence is the owner, second removed
+        (7, "zig zag zoom zap quux mid a b c zig zag zoom zap quux tail"),
+    ]
+    for i in range(8, 30):
+        rows.append((i, " ".join(f"w{(j * (i + 3)) % 41}" for j in range(20))))
+    return rows
+
+
+def test_dedup_passages_hand_cases(spark):
+    docs = spark.createDataFrame(_passage_corpus(), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_passages(docs, n=4).collect()}
+    assert len(got) == len(_passage_corpus())  # every doc emits one row
+    # the min-(doc_id, pos) owner keeps the passage; the others lose all 8 tokens
+    assert PASSAGE in got[0]["text_dedup"]
+    assert got[0]["n_removed"] == 0
+    assert got[1]["text_dedup"] == "entirely different tail here"
+    assert got[1]["n_removed"] == 8
+    assert got[2]["text_dedup"] == "some lead in words then"
+    assert got[2]["n_removed"] == 8
+    # untouched docs round-trip (tokens rejoined with single spaces)
+    assert got[3]["text_dedup"] == _passage_corpus()[3][1]
+    assert got[4]["text_dedup"] == "" and got[4]["n_tokens"] == 0
+    assert got[5]["text_dedup"] == "tiny doc" and got[5]["n_removed"] == 0
+    # doc 6's passage copies are both non-owner (doc 0 owns the windows),
+    # so BOTH occurrences go — once-per-corpus, not once-per-doc
+    assert got[6]["n_removed"] == 16
+    assert got[6]["text_dedup"] == "filler one two three four five six"
+    # in-doc-only repeat: the min-pos occurrence is the owner and stays
+    assert got[7]["n_removed"] == 5
+    assert got[7]["text_dedup"] == "zig zag zoom zap quux mid a b c tail"
+
+
+def test_dedup_passages_matches_duckdb_oracle(spark):
+    docs = spark.createDataFrame(_passage_corpus(), "doc_id long, text string")
+    sdf = dedup_passages(docs, n=4)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", _passage_corpus())
+    # owner = min(struct(doc_id, pos)) expressed as min(doc_id*C + pos),
+    # equivalent while pos < C
+    orc = con.sql("""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN []::VARCHAR[]
+              ELSE string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+         END AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+3], ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 4
+),
+dups AS (
+  SELECT h, min(doc_id * 10000000 + pos) AS owner_key
+  FROM wins GROUP BY h HAVING count(*) >= 2
+),
+hits AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN dups d USING (h)
+  WHERE w.doc_id * 10000000 + w.pos <> d.owner_key
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS cpos
+  FROM hits, unnest(generate_series(0, 3)) AS u(j)
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS p, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+  WHERE len(t) >= 1
+),
+cov_per_doc AS (SELECT doc_id, count(*)::INT AS n_removed FROM covered GROUP BY doc_id),
+text_per_doc AS (
+  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.p) AS text_dedup
+  FROM tokpos tp
+  LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.cpos
+  WHERE c.cpos IS NULL
+  GROUP BY tp.doc_id
+)
+SELECT t.doc_id,
+       len(t.t)::INT AS n_tokens,
+       COALESCE(c.n_removed, 0)::INT AS n_removed,
+       COALESCE(x.text_dedup, '') AS text_dedup
+FROM toks t
+LEFT JOIN cov_per_doc c USING (doc_id)
+LEFT JOIN text_per_doc x USING (doc_id)
 """)
     orows = [tuple(r) for r in orc.fetchall()]
     assert len(srows) == len(orows)
