@@ -13,6 +13,8 @@ tier's input (the CCNet / RefinedWeb macro shape):
     1. canonical-URL dedup       (one shuffle on the canonical key)
     2. exact content dedup       (one shuffle on md5(text))
     3. corpus-level line dedup   (rewrites text; drops no document)
+    3b. passage dedup (optional) (Lee-et-al window-hash substring dedup;
+                                  rewrites text; drops no document)
     4. quality gate              (map-side Gopher rules, audit reasons)
     5. eval-set decontamination  (broadcast n-gram report, anti-join)
     6. PII redaction             (zero-shuffle regexp chain)
@@ -48,6 +50,7 @@ def run_job(
     output_path: str,
     eval_path: str | None = None,
     min_dup_docs: int = 2,
+    passage_n: int | None = None,
     decontam_n: int = 13,
     stop_lang: str = "en",
 ) -> dict:
@@ -61,6 +64,7 @@ def run_job(
         curation_gate,
         decontaminate,
         dedup_lines,
+        dedup_passages,
         redact_pii,
     )
     from fusus_spark.operators.dedup import exact_duplicates
@@ -102,6 +106,25 @@ def run_job(
     summary["n_dup_lines_removed"] = staged.agg(
         F.sum(F.col("n_lines") - F.col("n_kept"))
     ).collect()[0][0] or 0
+
+    # 3b. optional passage dedup on the line-deduped text (off by
+    # default: the window-hash index costs a corpus-tokens-sized shuffle,
+    # so the tier is opt-in where exact substring dedup is wanted)
+    if passage_n is not None:
+        pdup = dedup_passages(staged, n=passage_n)
+        passthrough = [c for c in staged.columns if c != "text"]
+        staged.select(*passthrough).join(
+            pdup.select(
+                "doc_id",
+                F.col("n_removed").alias("n_passage_removed"),
+                F.col("text_dedup").alias("text"),
+            ),
+            "doc_id",
+        ).write.mode("overwrite").parquet(f"{out}/stage/passage_deduped")
+        staged = spark.read.parquet(f"{out}/stage/passage_deduped")
+        summary["n_passage_tokens_removed"] = int(
+            staged.agg(F.sum("n_passage_removed")).collect()[0][0] or 0
+        )
 
     # 4. quality gate on the deduped text
     gate = curation_gate(staged, stop_lang=stop_lang)
@@ -150,6 +173,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--output", required=True, help="curated corpus output dir")
     p.add_argument("--eval", help="benchmark/eval parquet dir for decontamination")
     p.add_argument("--min-dup-docs", type=int, default=2)
+    p.add_argument(
+        "--passage-n", type=int, default=None,
+        help="token-window size for the optional passage-dedup tier (off when absent)",
+    )
     p.add_argument("--decontam-n", type=int, default=13)
     p.add_argument("--stop-lang", default="en")
     args = p.parse_args(argv)
@@ -161,6 +188,7 @@ def main(argv: list[str] | None = None) -> None:
         output_path=args.output,
         eval_path=args.eval,
         min_dup_docs=args.min_dup_docs,
+        passage_n=args.passage_n,
         decontam_n=args.decontam_n,
         stop_lang=args.stop_lang,
     )

@@ -72,6 +72,29 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert [r["doc_id"] for r in contam] == [7]
 
 
+def test_curate_job_passage_tier(spark, tmp_path):
+    """Opt-in tier 3b: the shared 6-token passage is removed from the
+    non-owner doc, the owner keeps its copy, summaries count tokens."""
+    inp = str(tmp_path / "docs3")
+    out = str(tmp_path / "out3")
+    rows = [
+        (1, "the story begins right here with common passage words shared across docs today", "en"),
+        (2, "another opening line then common passage words shared across docs and more tail text", "en"),
+        (3, "a wholly different document that is about other things entirely today", "en"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(inp)
+
+    summary = run_job(spark, input_path=inp, output_path=out, passage_n=4)
+    assert summary["n_passage_tokens_removed"] == 6
+    assert summary["n_final"] == 3  # passage dedup rewrites, never drops
+
+    corpus = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert "common passage words shared across docs" in corpus[1]["text"]
+    assert corpus[2]["text"] == "another opening line then and more tail text"
+    assert corpus[2]["n_passage_removed"] == 6
+    assert corpus[3]["n_passage_removed"] == 0
+
+
 def test_curate_job_without_url_or_eval(spark, tmp_path):
     """Tiers degrade cleanly: no url column -> tier 1 skipped; no eval
     path -> tier 5 skipped."""
