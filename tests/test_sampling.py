@@ -159,3 +159,92 @@ FROM scores
     assert len(srows) == len(orows)
     assert sorted(sdf.columns) == sorted(orc.columns)
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+# ------------------------------------------------------------ pack_sequences
+
+
+def _pack_corpus() -> list[tuple[int, str]]:
+    rows = []
+    for i in range(120):
+        # token counts cycle 3..17 — plenty of bins at target 24
+        rows.append((i, " ".join(f"t{j}" for j in range(3 + (i * 7) % 15))))
+    rows.append((200, " ".join(f"big{j}" for j in range(40))))  # oversize (> 24)
+    rows.append((201, ""))  # zero-token doc still packs
+    return rows
+
+
+def test_pack_sequences_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from fusus_spark.operators.curate import pack_sequences
+
+    docs = spark.createDataFrame(_pack_corpus(), "doc_id long, text string")
+    out = pack_sequences(docs, target_tokens=24, shards=4).cache()
+    rows = out.collect()
+    # every doc exactly once
+    assert sorted(r["doc_id"] for r in rows) == sorted(d for d, _ in _pack_corpus())
+    # bin totals bounded by target + (largest member - 1)
+    bins = (
+        out.groupBy("shard", "seq_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"),
+             F.count("*").alias("cnt"))
+        .collect()
+    )
+    assert all(b["tot"] <= 24 + b["mx"] - 1 or b["cnt"] == 1 for b in bins)
+    # an oversize doc sits alone in its bin
+    big = next(r for r in rows if r["doc_id"] == 200)
+    assert [b["cnt"] for b in bins if (b["shard"], b["seq_id"]) == (big["shard"], big["seq_id"])] == [1]
+    # seq_pos is 1..cnt within each bin
+    pos = {}
+    for r in rows:
+        pos.setdefault((r["shard"], r["seq_id"]), []).append(r["seq_pos"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in pos.values())
+    # deterministic: a second run packs identically
+    again = pack_sequences(docs, target_tokens=24, shards=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_matches_duckdb_oracle(spark):
+    from pyspark.sql import functions as F
+
+    from fusus_spark.operators.curate import pack_sequences
+
+    docs = spark.createDataFrame(_pack_corpus(), "doc_id long, text string")
+    # portable shard key so DuckDB reproduces the assignment exactly
+    sdf = pack_sequences(
+        docs, target_tokens=24, shards=4, shard_expr=F.pmod(F.col("doc_id"), F.lit(4))
+    )
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", _pack_corpus())
+    orc = con.sql("""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+         END::INT AS n_tokens,
+         (doc_id % 4)::INT AS shard
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n_tokens, shard,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM t
+),
+p AS (
+  SELECT doc_id, n_tokens, shard,
+         floor((cum - n_tokens) / 24)::INT AS seq_id, rn
+  FROM w
+)
+SELECT doc_id, n_tokens, shard, seq_id,
+       row_number() OVER (PARTITION BY shard, seq_id ORDER BY rn)::INT AS seq_pos
+FROM p
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
