@@ -368,6 +368,109 @@ def redact_pii(
     return step.select(*selected)
 
 
+def host_stats(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-host corpus statistics — the aggregation behind domain-level
+    curation decisions (RefinedWeb/C4 cap-and-block policies are made
+    per host, not per document).
+
+    Returns (host, n_docs, total_tokens, mean_tokens_e4,
+    n_distinct_texts, dup_ratio_e6): one groupBy(host) with partial
+    aggregation; the text dedup signal rides as count_distinct of the
+    md5 so raw text never reaches the shuffle.
+    """
+    from fusus_spark.functions.url import url_host
+
+    h = docs.select(
+        url_host(F.col(url_col)).alias("host"),
+        token_count(text_col).alias("n_tok"),
+        F.md5(F.col(text_col)).alias("th"),
+    )
+    return h.groupBy("host").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tok") * 10000).cast("bigint").alias("mean_tokens_e4"),
+        F.count_distinct("th").cast("int").alias("n_distinct_texts"),
+        F.round((1 - F.count_distinct("th") / F.count("*")) * 1000000)
+        .cast("bigint")
+        .alias("dup_ratio_e6"),
+    )
+
+
+_CAP_SPACE = 16 ** 5
+
+
+def apply_host_policy(
+    docs: DataFrame,
+    block_domains: DataFrame | None = None,
+    cap_per_host: int | None = None,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-level curation policy: drop blocklisted domains, then cap
+    any single host's contribution to ~``cap_per_host`` documents.
+
+    * **blocklist** — ``block_domains`` is a 1-column (domain) table,
+      config-sized by nature; applied as a broadcast anti-join on the
+      last-two-labels domain.
+    * **per-host cap** — the scale-honest formulation: an exact
+      "first N per host" needs a per-host sort, and the hosts that NEED
+      capping are precisely the hosts big enough to make that window a
+      straggler task. Instead each doc carries a deterministic
+      position key (first 5 md5 hex chars of host:doc_id — the
+      stratified_sample trick) and survives iff its key falls below
+      ``floor(cap * 16^5 / n_docs(host))`` in 16^5 space. Only the
+      per-host counts shuffle (one partial agg); over-cap membership is
+      a map-side comparison after a join on host. Kept count is
+      binomial around the cap (documented approximation), and the
+      selection is a pure function of (host, doc_id) — rerun-stable and
+      oracle-reproducible.
+
+    Returns the surviving rows of ``docs`` unchanged in schema.
+    """
+    from fusus_spark.functions.url import url_domain, url_host
+
+    out = docs
+    if block_domains is not None:
+        out = out.join(
+            F.broadcast(
+                block_domains.select(F.col(block_domains.columns[0]).alias("__blk__"))
+            ),
+            url_domain(F.col(url_col)) == F.col("__blk__"),
+            "left_anti",
+        )
+    if cap_per_host is not None:
+        host = url_host(F.col(url_col))
+        counts = (
+            out.groupBy(host.alias("__host__"))
+            .agg(F.count("*").alias("__n__"))
+            .where(F.col("__n__") > cap_per_host)
+            .withColumn(
+                "__thr__",
+                F.lower(
+                    F.lpad(
+                        F.hex(
+                            F.floor(F.lit(cap_per_host * _CAP_SPACE) / F.col("__n__"))
+                        ),
+                        5,
+                        "0",
+                    )
+                ),
+            )
+            .select("__host__", "__thr__")
+        )
+        key = F.substring(
+            F.md5(F.concat(host, F.lit(":"), F.col(id_col).cast("string"))), 1, 5
+        )
+        out = (
+            out.join(counts, host == F.col("__host__"), "left")
+            .where(F.col("__thr__").isNull() | (key < F.col("__thr__")))
+            .drop("__host__", "__thr__")
+        )
+    return out
+
+
 def pack_sequences(
     docs: DataFrame,
     target_tokens: int = 2048,

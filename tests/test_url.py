@@ -154,3 +154,98 @@ def test_dedup_by_canonical_url(spark):
     assert reps == {"http://EXAMPLE.com:80/a#x"}  # min-url representative
     assert all(out[u]["group_size"] == 4 for u in a_group)
     assert out["http://example.com/b"]["group_size"] == 1
+
+
+# ------------------------------------------------- host stats + host policy
+
+_HOST_ORC = "lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
+
+
+def _host_corpus() -> list[tuple[int, str, str]]:
+    rows = []
+    did = 0
+    for i in range(60):  # big host, every third text a duplicate
+        txt = f"unique body {i} with words" if i % 3 else "the shared mirror body text"
+        rows.append((did, f"http://big.com/page/{i}", txt)); did += 1
+    for i in range(5):
+        rows.append((did, f"https://small.org/a{i}", f"small doc {i} body")); did += 1
+    for i in range(3):
+        rows.append((did, f"http://ads.blocked.net/x{i}", f"spam doc {i}")); did += 1
+    return rows
+
+
+def test_host_stats_hand_and_oracle(spark):
+    from fusus_spark.operators.curate import host_stats
+
+    docs = spark.createDataFrame(_host_corpus(), "doc_id long, url string, text string")
+    sdf = host_stats(docs)
+    got = {r["host"]: r for r in sdf.collect()}
+    assert got["big.com"]["n_docs"] == 60
+    # 40 unique bodies + 1 shared mirror body
+    assert got["big.com"]["n_distinct_texts"] == 41
+    assert got["big.com"]["dup_ratio_e6"] == round((1 - 41 / 60) * 1e6)
+    assert got["small.org"]["dup_ratio_e6"] == 0
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, url VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", _host_corpus())
+    orc = con.sql(f"""
+WITH d AS (
+  SELECT {_HOST_ORC} AS host,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+         END AS n_tok,
+         md5(text) AS th
+  FROM documents
+)
+SELECT host, count(*)::INT AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
+       round(avg(n_tok) * 10000)::BIGINT AS mean_tokens_e4,
+       count(DISTINCT th)::INT AS n_distinct_texts,
+       round((1 - count(DISTINCT th) / count(*)) * 1000000)::BIGINT AS dup_ratio_e6
+FROM d GROUP BY host
+""")
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+def test_apply_host_policy(spark):
+    from pyspark.sql import functions as F
+
+    from fusus_spark.operators.curate import apply_host_policy
+
+    docs = spark.createDataFrame(_host_corpus(), "doc_id long, url string, text string")
+    block = spark.createDataFrame([("blocked.net",)], "domain string")
+    out = apply_host_policy(docs, block_domains=block, cap_per_host=20).cache()
+    kept = [r["doc_id"] for r in out.select("doc_id").collect()]
+    # blocklist kills the subdomain too (last-two-labels domain match)
+    assert all(d < 65 for d in kept)
+    # small host untouched; big host capped ~20 (deterministic binomial draw)
+    assert sum(1 for d in kept if d >= 60) == 5
+    n_big = sum(1 for d in kept if d < 60)
+    assert 8 <= n_big <= 34
+    # schema passes through unchanged and the selection is rerun-stable
+    assert out.columns == docs.columns
+    again = [r["doc_id"] for r in
+             apply_host_policy(docs, block_domains=block, cap_per_host=20)
+             .select("doc_id").collect()]
+    assert sorted(kept) == sorted(again)
+
+    # DuckDB oracle reproduces the exact surviving set
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, url VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", _host_corpus())
+    orows = con.sql(f"""
+WITH d AS (
+  SELECT doc_id, {_HOST_ORC} AS host,
+         regexp_extract({_HOST_ORC}, '([^.]+\\.[^.]+)$', 1) AS domain
+  FROM documents
+),
+b AS (SELECT d.* FROM d WHERE domain != 'blocked.net'),
+c AS (SELECT host AS h, count(*) AS n FROM b GROUP BY host HAVING count(*) > 20),
+t AS (SELECT h, printf('%05x', (20 * 1048576) // n) AS thr FROM c)
+SELECT b.doc_id FROM b LEFT JOIN t ON b.host = t.h
+WHERE t.thr IS NULL OR substring(md5(b.host || ':' || b.doc_id), 1, 5) < t.thr
+""").fetchall()
+    assert sorted(kept) == sorted(r[0] for r in orows)
