@@ -516,3 +516,194 @@ def embedding_lsh_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new crawl vs the accumulated corpus snapshot.
+#
+# A training pipeline rarely dedups one crawl in isolation — crawl N+1
+# must drop content already in crawls 1..N without re-shuffling the
+# whole historical corpus every run. Three pieces:
+#
+#   write_hash_store  — persist the snapshot's content hashes PARTITIONED
+#                       BY HASH PREFIX (256 dirs), so later verify joins
+#                       prune to the directories that can possibly match;
+#   build_hash_bloom  — a bloom filter over the snapshot, built
+#                       DISTRIBUTED (positions -> word/bit -> one
+#                       bit_or groupBy), only the finished bitmap
+#                       (m/8 bytes) ever reaches the driver;
+#   incremental_dedup — flag each new doc as seen/unseen: map-side bloom
+#                       prefilter passes definite-new docs untouched,
+#                       and only the "maybe" rows (true dups + the fpp
+#                       tail) meet the hash store in a partition-pruned
+#                       exact join, so false positives can never drop a
+#                       novel document.
+#
+# Scale honesty: the driver-held bitmap gates at _BLOOM_MAX_BITS (1 GiB
+# ~ 10^9 hashes at 1% fpp). Beyond that, skip the bloom and rely on the
+# prefix-partitioned store alone — the exact join is then a standard
+# co-partitioned anti-join, which is how 10^12-row dedup actually ships;
+# the bloom is the fast path for the common "snapshot fits a bitmap"
+# regime, not a requirement.
+
+_BLOOM_MAX_BITS = 1 << 33
+
+
+class HashBloom:
+    """Driver-held bloom bitmap over md5-hex content hashes.
+
+    Probe position i of hash h = int(md5(f"{i}:{h}")[:13 hex], 16) % m —
+    chosen because BOTH sides can compute it exactly: the builder as a
+    JVM conv(substring(md5(...)))) expression, the prober as three lines
+    of hashlib in an Arrow-batched UDF.
+    """
+
+    def __init__(self, words: "list[int]", m_bits: int, k: int):
+        import numpy as np
+
+        self.words = np.asarray(words, dtype=np.int64)
+        self.m_bits = m_bits
+        self.k = k
+
+    def maybe_contains(self, h: str) -> bool:
+        import hashlib
+
+        for i in range(self.k):
+            pos = int(hashlib.md5(f"{i}:{h}".encode()).hexdigest()[:13], 16) % self.m_bits
+            if not (int(self.words[pos >> 6]) >> (pos & 63)) & 1:
+                return False
+        return True
+
+
+def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Textbook sizing: m = -n ln p / ln^2 2 (rounded up to whole
+    64-bit words), k = (m/n) ln 2."""
+    import math
+
+    n = max(1, expected_items)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    if m > _BLOOM_MAX_BITS:
+        raise ValueError(
+            f"bloom of {m} bits exceeds the driver-held cap ({_BLOOM_MAX_BITS}); "
+            "use the prefix-partitioned store without a bloom at this scale"
+        )
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def build_hash_bloom(
+    hashes: DataFrame, expected_items: int, fpp: float = 0.01, col: str = "content_hash"
+) -> HashBloom:
+    """Build the bloom distributed: each hash emits its k probe
+    positions map-side; positions fold to (word_idx, or-of-bits) in ONE
+    bit_or groupBy (partial-agg'd, so the shuffle carries at most
+    m/64 rows per task); only the finished words reach the driver."""
+    m, k = bloom_params(expected_items, fpp)
+    pos_cols = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col(col))), 1, 13), 16, 10
+            ).cast("long")
+            % m
+        ).alias(f"p{i}")
+        for i in range(k)
+    ]
+    pos = hashes.select(F.explode(F.array(*pos_cols)).alias("pos"))
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (m // 64)
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    return HashBloom(arr, m, k)
+
+
+def write_hash_store(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text",
+    mode: str = "append",
+) -> None:
+    """Persist (prefix, content_hash, doc_id) partitioned by the first
+    two hex chars — 256 directories, so incremental verify joins read
+    only the slices that can match. ``mode='append'`` accumulates
+    snapshots; rewriting a snapshot is the ledger's atomic-rename job."""
+    h = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(norm_ws(text_col)).alias("content_hash")
+    ).withColumn("prefix", F.substring("content_hash", 1, 2))
+    h.write.mode(mode).partitionBy("prefix").parquet(path)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    bloom: HashBloom | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag new-crawl docs against the accumulated hash store:
+    (doc_id, content_hash, is_seen). Callers drop ``is_seen`` rows (and
+    then exact-dedup WITHIN the batch via exact_duplicates — this
+    operator is the cross-snapshot tier, not the in-batch one).
+
+    With a bloom: definite-new docs are decided entirely map-side; only
+    maybe rows join the store. The verify join is partition-pruned to
+    the maybe rows' prefixes (collected — at most 256 values), so the
+    scan touches only matching directories; bloom false positives come
+    back is_seen=false from the exact join, never dropped.
+    """
+    spark = new_docs.sparkSession
+    h = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(norm_ws(text_col)).alias("content_hash")
+    )
+    if bloom is not None:
+        words, m_bits, k = bloom.words, bloom.m_bits, bloom.k
+
+        @F.pandas_udf("boolean")
+        def maybe(s: pd.Series) -> pd.Series:
+            import hashlib
+
+            def probe(v: str) -> bool:
+                for i in range(k):
+                    pos = int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:13], 16) % m_bits
+                    if not (int(words[pos >> 6]) >> (pos & 63)) & 1:
+                        return False
+                return True
+
+            return s.map(probe)
+
+        h = h.withColumn("__maybe__", maybe("content_hash")).localCheckpoint()
+        definite_new = h.where(~F.col("__maybe__")).select(
+            "doc_id", "content_hash", F.lit(False).alias("is_seen")
+        )
+        maybes = h.where(F.col("__maybe__")).drop("__maybe__")
+    else:
+        definite_new = None
+        maybes = h
+    prefixes = [
+        r["p"] for r in maybes.select(F.substring("content_hash", 1, 2).alias("p")).distinct().collect()
+    ]
+    if prefixes:
+        store = (
+            spark.read.parquet(store_path)
+            .where(F.col("prefix").isin(prefixes))  # directory-pruned scan
+            .select("content_hash").distinct()
+            .withColumn("__seen__", F.lit(True))
+        )
+        checked = (
+            maybes.join(store, "content_hash", "left")
+            .select(
+                "doc_id", "content_hash",
+                F.coalesce("__seen__", F.lit(False)).alias("is_seen"),
+            )
+        )
+    else:
+        checked = maybes.select(
+            "doc_id", "content_hash", F.lit(False).alias("is_seen")
+        )
+    return checked if definite_new is None else definite_new.unionByName(checked)
