@@ -77,6 +77,24 @@ CHECKS = {
     # PII redaction claims ZERO shuffle: the only Exchange is the
     # small-file round-robin inside sources.testdata.load
     "redact_pii": [("Exchange", 1), ("codegen id", True)],
+    # passage dedup: window-hash inverted index — bounded equi-joins
+    # only, never an all-pairs operator
+    "dedup_passages": [
+        ("HashAggregate", True),
+        ("BroadcastNestedLoopJoin", False),
+        ("CartesianProduct", False),
+    ],
+    # packing must window PER SHARD — a global cumsum would show as an
+    # Exchange SinglePartition feeding the Window
+    "pack_sequences": [("Window", True), ("Exchange SinglePartition", False)],
+    # host policy: blocklist is a broadcast anti-join; no all-pairs
+    "apply_host_policy": [
+        ("BroadcastHashJoin", True),
+        ("CartesianProduct", False),
+    ],
+    # incremental verify scan must carry the prefix partition filter
+    # (directory pruning), not read all 256 store partitions
+    "incremental_dedup": [("PartitionFilters: [prefix", True)],
 }
 
 
@@ -100,8 +118,39 @@ def _extra_frames():
     def f_pii(spark, sf_dir):
         return redact_pii(load(spark, sf_dir, "documents"))
 
+    def f_passages(spark, sf_dir):
+        from fusus_spark.operators.curate import dedup_passages
+
+        return dedup_passages(load(spark, sf_dir, "documents"))
+
+    def f_pack(spark, sf_dir):
+        from fusus_spark.operators.curate import pack_sequences
+
+        return pack_sequences(load(spark, sf_dir, "documents"))
+
+    def f_host_policy(spark, sf_dir):
+        from fusus_spark.operators.curate import apply_host_policy
+
+        docs = load(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)), F.lit(".com/p/"), "doc_id")
+        )
+        block = spark.createDataFrame([("h3.com",)], "domain string")
+        return apply_host_policy(docs, block_domains=block, cap_per_host=10)
+
+    def f_incremental(spark, sf_dir):
+        import tempfile
+
+        from fusus_spark.operators.dedup import incremental_dedup, write_hash_store
+
+        docs = load(spark, sf_dir, "documents")
+        store = tempfile.mkdtemp() + "/store"
+        write_hash_store(docs.limit(50), store)
+        return incremental_dedup(docs, store)
+
     return {"decontaminate": f_decontam, "dedup_lines": f_lines,
-            "redact_pii": f_pii}
+            "redact_pii": f_pii, "dedup_passages": f_passages,
+            "pack_sequences": f_pack, "apply_host_policy": f_host_policy,
+            "incremental_dedup": f_incremental}
 
 
 def main() -> None:
