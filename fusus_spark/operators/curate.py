@@ -240,8 +240,11 @@ def dedup_passages(
     occurrence of some duplicated window is removed.
 
     Returns (doc_id, n_tokens, n_removed, text_dedup); every input
-    document emits exactly one row (clean docs pass through verbatim,
-    sub-``n``-token docs are never candidates).
+    document emits exactly one row. Clean docs (n_removed = 0) pass
+    through BYTE-VERBATIM — original newlines and spacing intact; docs
+    a window was cut from are reassembled at token granularity, i.e.
+    single-space joined (offset-preserving byte surgery would need
+    char-span tokenization; the dedup decision itself is identical).
 
     Plan shape, piece by piece:
 
@@ -276,10 +279,12 @@ def dedup_passages(
     the suffix-array method gives, at window (not byte) granularity.
     """
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__orig__"),
+        tokens(text_col).alias("t"),
     )
     wins = toks.select(
-        "doc_id",
+        "doc_id",  # __orig__ pruned: the index never carries raw text
         F.posexplode(F.transform(shingles(F.col("t"), n), lambda g: F.md5(g))).alias(
             "pos", "h"
         ),
@@ -322,7 +327,12 @@ def dedup_passages(
         "doc_id",
         F.size("t").cast("int").alias("n_tokens"),
         F.coalesce(F.size("covered"), F.lit(0)).cast("int").alias("n_removed"),
-        F.concat_ws(" ", kept).alias("text_dedup"),
+        # untouched docs keep their ORIGINAL text byte-identically
+        # (newlines, runs of spaces and all); only docs a window was cut
+        # from are re-joined at token granularity
+        F.when(F.col("covered").isNull(), F.coalesce("__orig__", F.lit("")))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("text_dedup"),
     )
 
 
@@ -369,7 +379,7 @@ def redact_pii(
 
 
 def host_stats(
-    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, url_col: str = "url", text_col: str = "text"
 ) -> DataFrame:
     """Per-host corpus statistics — the aggregation behind domain-level
     curation decisions (RefinedWeb/C4 cap-and-block policies are made
@@ -426,6 +436,13 @@ def apply_host_policy(
       binomial around the cap (documented approximation), and the
       selection is a pure function of (host, doc_id) — rerun-stable and
       oracle-reproducible.
+    * **unattributable urls** — NULL urls and urls the host regex cannot
+      parse (no scheme, relative paths) have no real host to attribute:
+      pooling them would throttle thousands of unrelated sources as one
+      fake '' host, so they BYPASS the cap (kept, like hosts under the
+      cap) and are never blocklist-matched (no domain). Callers who want
+      them gone filter on ``url_host(url) == ''`` explicitly — a policy
+      decision, not a side effect of capping.
 
     Returns the surviving rows of ``docs`` unchanged in schema.
     """
@@ -443,7 +460,8 @@ def apply_host_policy(
     if cap_per_host is not None:
         host = url_host(F.col(url_col))
         counts = (
-            out.groupBy(host.alias("__host__"))
+            out.where(host != "")  # parseable hosts only; NULL != '' is null -> excluded
+            .groupBy(host.alias("__host__"))
             .agg(F.count("*").alias("__n__"))
             .where(F.col("__n__") > cap_per_host)
             .withColumn(

@@ -530,8 +530,9 @@ def embedding_lsh_pairs(
 #                       prune to the directories that can possibly match;
 #   build_hash_bloom  — a bloom filter over the snapshot, built
 #                       DISTRIBUTED (positions -> word/bit -> one
-#                       bit_or groupBy), only the finished bitmap
-#                       (m/8 bytes) ever reaches the driver;
+#                       bit_or groupBy); only the finished nonzero
+#                       (word, bits) pairs reach the driver, via Arrow
+#                       (columnar, no per-row Row objects);
 #   incremental_dedup — flag each new doc as seen/unseen: map-side bloom
 #                       prefilter passes definite-new docs untouched,
 #                       and only the "maybe" rows (true dups + the fpp
@@ -539,14 +540,16 @@ def embedding_lsh_pairs(
 #                       exact join, so false positives can never drop a
 #                       novel document.
 #
-# Scale honesty: the driver-held bitmap gates at _BLOOM_MAX_BITS (1 GiB
-# ~ 10^9 hashes at 1% fpp). Beyond that, skip the bloom and rely on the
+# Scale honesty: the driver-held bitmap gates at _BLOOM_MAX_BITS
+# (128 MiB bitmap ~ 10^8 hashes at 1% fpp; the Arrow transfer of the
+# nonzero words runs ~2x that transiently, which is why the gate is NOT
+# 1 GiB). Beyond the gate, skip the bloom and rely on the
 # prefix-partitioned store alone — the exact join is then a standard
 # co-partitioned anti-join, which is how 10^12-row dedup actually ships;
 # the bloom is the fast path for the common "snapshot fits a bitmap"
 # regime, not a requirement.
 
-_BLOOM_MAX_BITS = 1 << 33
+_BLOOM_MAX_BITS = 1 << 30
 
 
 class HashBloom:
@@ -598,7 +601,9 @@ def build_hash_bloom(
     """Build the bloom distributed: each hash emits its k probe
     positions map-side; positions fold to (word_idx, or-of-bits) in ONE
     bit_or groupBy (partial-agg'd, so the shuffle carries at most
-    m/64 rows per task); only the finished words reach the driver."""
+    m/64 rows per task); the finished nonzero words reach the driver as
+    TWO Arrow int64 columns (no per-row Row materialization — at the
+    size gate that difference is tens of GB vs ~256 MB transient)."""
     m, k = bloom_params(expected_items, fpp)
     pos_cols = [
         (
@@ -610,6 +615,8 @@ def build_hash_bloom(
         for i in range(k)
     ]
     pos = hashes.select(F.explode(F.array(*pos_cols)).alias("pos"))
+    import numpy as np
+
     words = (
         pos.select(
             (F.col("pos") / 64).cast("long").alias("w"),
@@ -617,11 +624,10 @@ def build_hash_bloom(
         )
         .groupBy("w")
         .agg(F.bit_or("b").alias("bits"))
-        .collect()
+        .toPandas()  # Arrow path: two int64 numpy columns
     )
-    arr = [0] * (m // 64)
-    for r in words:
-        arr[r["w"]] = r["bits"]
+    arr = np.zeros(m // 64, dtype=np.int64)
+    arr[words["w"].to_numpy()] = words["bits"].to_numpy()
     return HashBloom(arr, m, k)
 
 
@@ -652,58 +658,50 @@ def incremental_dedup(
     operator is the cross-snapshot tier, not the in-batch one).
 
     With a bloom: definite-new docs are decided entirely map-side; only
-    maybe rows join the store. The verify join is partition-pruned to
-    the maybe rows' prefixes (collected — at most 256 values), so the
-    scan touches only matching directories; bloom false positives come
-    back is_seen=false from the exact join, never dropped.
+    maybe rows join the store, and the verify join is partition-pruned
+    to the maybe rows' prefixes (collected — at most 256 values, and few
+    when the bloom filters well), so the scan touches only matching
+    directories. Bloom false positives come back is_seen=false from the
+    exact join, never dropped. WITHOUT a bloom every row is a maybe, so
+    a prefix-collect job would scan the batch once just to learn "all
+    256" — the bloom-less path therefore joins the full store directly
+    (one pass over each side, the standard co-partitioned shape).
     """
     spark = new_docs.sparkSession
     h = new_docs.select(
         F.col(id_col).alias("doc_id"), F.md5(norm_ws(text_col)).alias("content_hash")
     )
+    store = spark.read.parquet(store_path)
     if bloom is not None:
-        words, m_bits, k = bloom.words, bloom.m_bits, bloom.k
 
         @F.pandas_udf("boolean")
         def maybe(s: pd.Series) -> pd.Series:
-            import hashlib
+            # one probe-logic implementation: HashBloom.maybe_contains
+            # (bloom pickles into the closure as bitmap + 2 ints)
+            return s.map(bloom.maybe_contains)
 
-            def probe(v: str) -> bool:
-                for i in range(k):
-                    pos = int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:13], 16) % m_bits
-                    if not (int(words[pos >> 6]) >> (pos & 63)) & 1:
-                        return False
-                return True
-
-            return s.map(probe)
-
+        # checkpoint: h feeds both branches; without it the scan + UDF
+        # run once per consumer
         h = h.withColumn("__maybe__", maybe("content_hash")).localCheckpoint()
         definite_new = h.where(~F.col("__maybe__")).select(
             "doc_id", "content_hash", F.lit(False).alias("is_seen")
         )
         maybes = h.where(F.col("__maybe__")).drop("__maybe__")
+        prefixes = [
+            r["p"]
+            for r in maybes.select(
+                F.substring("content_hash", 1, 2).alias("p")
+            ).distinct().collect()
+        ]
+        if not prefixes:
+            return definite_new
+        store = store.where(F.col("prefix").isin(prefixes))  # pruned scan
     else:
         definite_new = None
         maybes = h
-    prefixes = [
-        r["p"] for r in maybes.select(F.substring("content_hash", 1, 2).alias("p")).distinct().collect()
-    ]
-    if prefixes:
-        store = (
-            spark.read.parquet(store_path)
-            .where(F.col("prefix").isin(prefixes))  # directory-pruned scan
-            .select("content_hash").distinct()
-            .withColumn("__seen__", F.lit(True))
-        )
-        checked = (
-            maybes.join(store, "content_hash", "left")
-            .select(
-                "doc_id", "content_hash",
-                F.coalesce("__seen__", F.lit(False)).alias("is_seen"),
-            )
-        )
-    else:
-        checked = maybes.select(
-            "doc_id", "content_hash", F.lit(False).alias("is_seen")
-        )
+    seen = store.select("content_hash").distinct().withColumn("__seen__", F.lit(True))
+    checked = maybes.join(seen, "content_hash", "left").select(
+        "doc_id", "content_hash",
+        F.coalesce("__seen__", F.lit(False)).alias("is_seen"),
+    )
     return checked if definite_new is None else definite_new.unionByName(checked)

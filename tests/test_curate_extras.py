@@ -186,8 +186,10 @@ def _passage_corpus() -> list[tuple[int, str]]:
         (6, f"{PASSAGE} filler one two three four five six {PASSAGE}"),
         # in-doc-only repeat: first occurrence is the owner, second removed
         (7, "zig zag zoom zap quux mid a b c zig zag zoom zap quux tail"),
+        # untouched doc with structure: must round-trip byte-identically
+        (8, "newline\npreserved doc\n\nuntouched  entirely"),
     ]
-    for i in range(8, 30):
+    for i in range(9, 30):
         rows.append((i, " ".join(f"w{(j * (i + 3)) % 41}" for j in range(20))))
     return rows
 
@@ -214,6 +216,8 @@ def test_dedup_passages_hand_cases(spark):
     # in-doc-only repeat: the min-pos occurrence is the owner and stays
     assert got[7]["n_removed"] == 5
     assert got[7]["text_dedup"] == "zig zag zoom zap quux mid a b c tail"
+    # untouched docs keep newlines / double spaces byte-identically
+    assert got[8]["text_dedup"] == "newline\npreserved doc\n\nuntouched  entirely"
 
 
 def test_dedup_passages_matches_duckdb_oracle(spark):
@@ -267,8 +271,10 @@ text_per_doc AS (
 SELECT t.doc_id,
        len(t.t)::INT AS n_tokens,
        COALESCE(c.n_removed, 0)::INT AS n_removed,
-       COALESCE(x.text_dedup, '') AS text_dedup
+       CASE WHEN c.n_removed IS NULL THEN COALESCE(d.text, '')
+            ELSE COALESCE(x.text_dedup, '') END AS text_dedup
 FROM toks t
+JOIN documents d USING (doc_id)
 LEFT JOIN cov_per_doc c USING (doc_id)
 LEFT JOIN text_per_doc x USING (doc_id)
 """)

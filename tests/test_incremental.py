@@ -98,12 +98,17 @@ def test_incremental_verify_scan_is_partition_pruned(spark, tmp_path):
     write_hash_store(
         spark.createDataFrame(_snapshot_rows(0, 500), "doc_id long, text string"), store
     )
-    # a single maybe row -> the verify scan must carry a prefix
-    # PartitionFilter, not read all 256 directories
+    # bloom path with a single maybe row -> the verify scan must carry a
+    # prefix PartitionFilter, not read all 256 directories (the
+    # bloom-less path deliberately skips pruning: every row is a maybe)
+    snap_hashes = spark.createDataFrame(
+        _snapshot_rows(0, 500), "doc_id long, text string"
+    ).select(F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("content_hash"))
+    bloom = build_hash_bloom(snap_hashes, expected_items=500)
     new = spark.createDataFrame(
         [(1, "snapshot document number 5 body text with words")], "doc_id long, text string"
     )
-    df = incremental_dedup(new, store)
+    df = incremental_dedup(new, store, bloom=bloom)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(True)

@@ -232,6 +232,17 @@ def test_apply_host_policy(spark):
              .select("doc_id").collect()]
     assert sorted(kept) == sorted(again)
 
+    # unattributable urls (NULL / no scheme) bypass the cap by policy —
+    # they are kept, not pooled into a fake '' host and mass-dropped
+    weird = spark.createDataFrame(
+        [(1000 + i, None if i % 2 else f"relative/path/{i}", f"text {i}") for i in range(40)],
+        "doc_id long, url string, text string",
+    )
+    mixed = docs.unionByName(weird)
+    out2 = apply_host_policy(mixed, cap_per_host=20)
+    kept2 = {r["doc_id"] for r in out2.select("doc_id").collect()}
+    assert all(1000 + i in kept2 for i in range(40))
+
     # DuckDB oracle reproduces the exact surviving set
     con = duckdb.connect()
     con.sql("CREATE TABLE documents (doc_id BIGINT, url VARCHAR, text VARCHAR)")

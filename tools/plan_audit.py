@@ -140,12 +140,19 @@ def _extra_frames():
     def f_incremental(spark, sf_dir):
         import tempfile
 
-        from fusus_spark.operators.dedup import incremental_dedup, write_hash_store
+        from fusus_spark.operators.dedup import (
+            build_hash_bloom, incremental_dedup, write_hash_store)
 
         docs = load(spark, sf_dir, "documents")
         store = tempfile.mkdtemp() + "/store"
         write_hash_store(docs.limit(50), store)
-        return incremental_dedup(docs, store)
+        bloom = build_hash_bloom(
+            docs.limit(50).select(
+                F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("content_hash")
+            ),
+            expected_items=50,
+        )
+        return incremental_dedup(docs, store, bloom=bloom)
 
     return {"decontaminate": f_decontam, "dedup_lines": f_lines,
             "redact_pii": f_pii, "dedup_passages": f_passages,
