@@ -558,6 +558,112 @@ def pack_sequences(
     )
 
 
+def split_oversize(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    overlap: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents longer than ``max_tokens`` into overlapping
+    token-window chunks — the downstream half of pack_sequences'
+    "oversize docs are the caller's cue to split" contract (and the
+    standard long-document treatment before packing/training).
+
+    Returns (doc_id, chunk_id, n_chunks, tok_start, tok_end,
+    text_chunk): chunk c covers tokens [c*stride, c*stride+max_tokens)
+    with stride = max_tokens - overlap; tok_end is exclusive; the last
+    chunk is the only short one. Docs at or under the limit pass
+    through as chunk 0 with their ORIGINAL text byte-verbatim; split
+    chunks are single-space token joins (same fine print as
+    dedup_passages).
+
+    Entirely map-side: token array + posexplode of a chunk-index
+    sequence + slice — zero shuffle, zero UDF; the chunk fan-out is the
+    only row growth (bounded by n/stride per doc).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    t = tokens(text_col)
+    n = F.size(t)
+    # ceil((n - max)/stride) via integer arithmetic; the branch is only
+    # evaluated when n > max so the numerator is strictly positive
+    extra = ((n - F.lit(max_tokens) + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    n_chunks = F.when(n > max_tokens, extra + 1).otherwise(F.lit(1))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__orig__"),
+        t.alias("t"),
+        n.alias("n"),
+        n_chunks.cast("int").alias("n_chunks"),
+    )
+    chunks = base.select(
+        "doc_id",
+        "__orig__",
+        "t",
+        "n",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    end = F.least(start + max_tokens, F.col("n"))
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunks",
+        start.cast("int").alias("tok_start"),
+        end.cast("int").alias("tok_end"),
+        F.when(F.col("n_chunks") == 1, F.col("__orig__"))
+        .otherwise(
+            F.concat_ws(" ", F.slice(F.col("t"), start + 1, end - start))
+        )
+        .alias("text_chunk"),
+    )
+
+
+def assign_split(
+    docs: DataFrame,
+    splits_ppm: dict[str, int] | None = None,
+    salt: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — every document gets
+    exactly one split label, as a pure function of (salt, doc_id), so
+    the same corpus splits identically across runs, engines and
+    machines (no RNG, no seed state to lose).
+
+    ``splits_ppm`` maps label -> parts-per-million and must sum to
+    exactly 1_000_000 (default 98/1/1). Assignment: the first 5 hex
+    chars of md5(salt:doc_id) land in [0, 16^5); cumulative ppm
+    thresholds cut that space into contiguous bands, label = the band
+    the key falls in (the last label absorbs the residual sliver of
+    16^5 that ppm resolution cannot address). Equal-length lowercase
+    hex comparison IS numeric comparison — the same zero-glue trick as
+    stratified_sample — so the DuckDB oracle reproduces the split
+    bit-identically. Map-side only; returns (doc_id, split).
+    """
+    splits = splits_ppm or {"train": 980_000, "val": 10_000, "test": 10_000}
+    if sum(splits.values()) != 1_000_000:
+        raise ValueError("splits_ppm must sum to exactly 1_000_000")
+    if len(splits) < 1:
+        raise ValueError("need at least one split")
+    space = 16 ** 5
+    key = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 5
+    )
+    names = list(splits)
+    expr = None
+    cum = 0
+    for name in names[:-1]:
+        cum += splits[name]
+        thr = format(round(cum * space / 1_000_000), "05x")
+        branch = (key < F.lit(thr), F.lit(name))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    label = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return docs.select(F.col(id_col).alias("doc_id"), label.alias("split"))
+
+
 def stratified_sample(
     docs: DataFrame,
     fractions_ppm: dict[str, int],

@@ -248,3 +248,140 @@ FROM p
     assert len(srows) == len(orows)
     assert sorted(sdf.columns) == sorted(orc.columns)
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+# ------------------------------------------------------------ split_oversize
+
+
+def _split_corpus() -> list[tuple[int, str]]:
+    rows = [
+        (0, " ".join(f"w{j}" for j in range(10))),   # 3 full chunks at max4/ov1
+        (1, " ".join(f"w{j}" for j in range(9))),    # short last chunk
+        (2, "small doc here"),                        # passthrough
+        (3, "keeps\nnewlines  and  runs"),            # passthrough, verbatim
+        (4, ""),                                      # empty -> 1 empty chunk
+        (5, " ".join(f"w{j}" for j in range(4))),     # exactly max: passthrough
+    ]
+    for i in range(6, 30):
+        rows.append((i, " ".join(f"x{j}" for j in range(i % 13))))
+    return rows
+
+
+def test_split_oversize_hand_cases(spark):
+    from fusus_spark.operators.curate import split_oversize
+
+    docs = spark.createDataFrame(_split_corpus(), "doc_id long, text string")
+    out = split_oversize(docs, max_tokens=4, overlap=1)
+    rows = sorted(
+        ([tuple(r) for r in out.collect()]), key=lambda r: (r[0], r[1])
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r[0], []).append(r)
+    # doc 0: 10 tokens -> chunks [0,4) [3,7) [6,10)
+    assert [(r[3], r[4]) for r in by_doc[0]] == [(0, 4), (3, 7), (6, 10)]
+    assert by_doc[0][1][5] == "w3 w4 w5 w6"
+    # doc 1: 9 tokens -> last chunk short [6,9)
+    assert [(r[3], r[4]) for r in by_doc[1]] == [(0, 4), (3, 7), (6, 9)]
+    # chunk windows tile the doc: every token index covered
+    for d, n_tok in ((0, 10), (1, 9)):
+        covered = set()
+        for r in by_doc[d]:
+            covered |= set(range(r[3], r[4]))
+        assert covered == set(range(n_tok))
+    # passthrough docs: 1 chunk, byte-verbatim text
+    assert by_doc[3] == [(3, 0, 1, 0, 4, "keeps\nnewlines  and  runs")]
+    assert by_doc[4] == [(4, 0, 1, 0, 0, "")]
+    assert by_doc[5][0][1:3] == (0, 1)  # exactly max -> no split
+
+
+def test_split_oversize_matches_duckdb_oracle(spark):
+    from fusus_spark.operators.curate import split_oversize
+
+    docs = spark.createDataFrame(_split_corpus(), "doc_id long, text string")
+    sdf = split_oversize(docs, max_tokens=4, overlap=1)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", _split_corpus())
+    orc = con.sql("""
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+              THEN []::VARCHAR[]
+              ELSE string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+         END AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id, text, t, len(t) AS n,
+         CASE WHEN len(t) > 4 THEN ((len(t) - 4 + 2) // 3) + 1 ELSE 1 END AS n_chunks
+  FROM toks
+),
+c AS (
+  SELECT doc_id, text, t, n, n_chunks, i AS chunk_id
+  FROM b, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+)
+SELECT doc_id, chunk_id::INT AS chunk_id, n_chunks::INT AS n_chunks,
+       (chunk_id * 3)::INT AS tok_start,
+       least(chunk_id * 3 + 4, n)::INT AS tok_end,
+       CASE WHEN n_chunks = 1 THEN COALESCE(text, '')
+            ELSE array_to_string(t[chunk_id*3 + 1 : least(chunk_id*3 + 4, n)], ' ')
+       END AS text_chunk
+FROM c
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+# -------------------------------------------------------------- assign_split
+
+
+def test_assign_split_properties(spark):
+    import pytest
+
+    from fusus_spark.operators.curate import assign_split
+
+    docs = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    out = assign_split(docs, {"train": 800_000, "val": 100_000, "test": 100_000})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 5000          # exhaustive, one label each
+    assert 3800 < counts["train"] < 4200         # ~80% (binomial, ±~4 sd)
+    assert 380 < counts["val"] < 620
+    assert 380 < counts["test"] < 620
+    # deterministic across runs, and a different salt reshuffles
+    again = {r["doc_id"]: r["split"] for r in
+             assign_split(docs, {"train": 800_000, "val": 100_000, "test": 100_000}).collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+    other = {r["doc_id"]: r["split"] for r in
+             assign_split(docs, {"train": 800_000, "val": 100_000, "test": 100_000},
+                          salt="fold2").collect()}
+    assert first != other
+    with pytest.raises(ValueError):
+        assign_split(docs, {"train": 999_999})
+
+
+def test_assign_split_matches_duckdb_oracle(spark):
+    from fusus_spark.operators.curate import assign_split
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    sdf = assign_split(docs, {"train": 800_000, "val": 100_000, "test": 100_000})
+    srows = [tuple(r) for r in sdf.collect()]
+    space = 16 ** 5
+    t1 = format(round(800_000 * space / 1_000_000), "05x")
+    t2 = format(round(900_000 * space / 1_000_000), "05x")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(i,) for i in range(2000)])
+    orc = con.sql(f"""
+SELECT doc_id,
+       CASE WHEN substring(md5('split:' || doc_id), 1, 5) < '{t1}' THEN 'train'
+            WHEN substring(md5('split:' || doc_id), 1, 5) < '{t2}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)

@@ -95,6 +95,10 @@ CHECKS = {
     # incremental verify scan must carry the prefix partition filter
     # (directory pruning), not read all 256 store partitions
     "incremental_dedup": [("PartitionFilters: [prefix", True)],
+    # splitting claims zero shuffle beyond the testdata-load repartition
+    "split_oversize": [("Exchange", 1), ("Generate", True)],
+    # split assignment is one map-side projection: no shuffle, no join
+    "assign_split": [("Exchange", 1), ("SortMergeJoin", False)],
 }
 
 
@@ -154,10 +158,21 @@ def _extra_frames():
         )
         return incremental_dedup(docs, store, bloom=bloom)
 
+    def f_split(spark, sf_dir):
+        from fusus_spark.operators.curate import split_oversize
+
+        return split_oversize(load(spark, sf_dir, "documents"), max_tokens=64, overlap=8)
+
+    def f_assign(spark, sf_dir):
+        from fusus_spark.operators.curate import assign_split
+
+        return assign_split(load(spark, sf_dir, "documents"))
+
     return {"decontaminate": f_decontam, "dedup_lines": f_lines,
             "redact_pii": f_pii, "dedup_passages": f_passages,
             "pack_sequences": f_pack, "apply_host_policy": f_host_policy,
-            "incremental_dedup": f_incremental}
+            "incremental_dedup": f_incremental, "split_oversize": f_split,
+            "assign_split": f_assign}
 
 
 def main() -> None:
