@@ -25,8 +25,11 @@ re-ingests, and the lineage flip invalidates the affected buckets.
 
 On a real cluster the input is an Iceberg table partitioned by
 ``days(warc_ts) + bucket(N, url)``; here the same layout is plain
-parquet ``bucket=k/`` directories (written by
-fusus_spark.sources.ledger.write_bucketed_input).
+parquet — ``bucket=k/`` directories, or with ``--by-date`` the full
+``crawl_date=D/bucket=k/`` grid (written by
+fusus_spark.sources.ledger.write_bucketed_input with date_col), where
+restart/reprocess units are (crawl_date, bucket) and ``--dates`` limits
+a run to chosen crawl drops.
 """
 
 from __future__ import annotations
@@ -49,9 +52,21 @@ def run_job(
     table_dir: str | None = None,
     emit: tuple[str, ...] = ("words",),
     max_html_bytes: int = 4 * 1024 * 1024,
+    by_date: bool = False,
+    dates: list[str] | None = None,
 ) -> dict:
-    """The job body, session-agnostic (tests drive it directly)."""
-    from fusus_spark.sources.ledger import run_extraction_job, write_bucketed_input
+    """The job body, session-agnostic (tests drive it directly).
+
+    ``by_date=True`` expects the ``crawl_date=D/bucket=K`` layout
+    (write_bucketed_input with date_col) and restarts on the
+    (crawl_date, bucket) grid; ``dates`` limits the run to specific
+    crawl dates (e.g. reprocessing one crawl drop).
+    """
+    from fusus_spark.sources.ledger import (
+        run_extraction_job,
+        run_extraction_job_by_date,
+        write_bucketed_input,
+    )
 
     if input_format == "warc":
         import hashlib
@@ -68,7 +83,8 @@ def run_job(
         # bucket; changed segments re-ingest and the lineage flip
         # correctly invalidates the affected buckets. The marker file's
         # '_' prefix keeps it invisible to Spark's directory listing.
-        entries = [f"n_buckets={n_buckets}"]  # a bucket-count change must re-ingest
+        # layout change (bucket count OR date partitioning) must re-ingest
+        entries = [f"n_buckets={n_buckets}", f"by_date={by_date}"]
         for root, _dirs, files in os.walk(input_path):
             for f in files:
                 if ".warc" in f:
@@ -85,7 +101,10 @@ def run_job(
         except (FileNotFoundError, json.JSONDecodeError):
             prior = None  # absent or torn marker -> safe redo
         if prior != fingerprint:
-            write_bucketed_input(read_warc(spark, input_path), table_dir, n_buckets)
+            write_bucketed_input(
+                read_warc(spark, input_path), table_dir, n_buckets,
+                date_col="warc_ts" if by_date else None,
+            )
             # tmp + atomic replace: a crash mid-write must leave a
             # missing/torn marker (redo), never a valid-looking lie
             tmp_marker = marker + ".tmp"
@@ -93,6 +112,17 @@ def run_job(
                 json.dump({"fingerprint": fingerprint}, fh)
             os.replace(tmp_marker, marker)
         input_path = table_dir
+    if by_date:
+        return run_extraction_job_by_date(
+            spark,
+            input_path,
+            output_path,
+            ledger_path,
+            n_buckets,
+            dates=dates,
+            emit=emit,
+            max_html_bytes=max_html_bytes,
+        )
     return run_extraction_job(
         spark,
         input_path,
@@ -119,6 +149,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="comma list of output tables from the one fused parse: "
                         "words,extracted,removals (multi-kind layout: <output>/<kind>/bucket=k)")
     p.add_argument("--max-html-bytes", type=int, default=4 * 1024 * 1024)
+    p.add_argument("--by-date", action="store_true",
+                   help="input uses the crawl_date=D/bucket=K layout; restart "
+                        "grid becomes (crawl_date, bucket)")
+    p.add_argument("--dates",
+                   help="comma list of crawl dates to process (default: all present)")
     args = p.parse_args(argv)
 
     # Under spark-submit, the session already exists; standalone, build one.
@@ -135,6 +170,8 @@ def main(argv: list[str] | None = None) -> None:
         table_dir=args.table_dir,
         emit=tuple(k.strip() for k in args.emit.split(",") if k.strip()),
         max_html_bytes=args.max_html_bytes,
+        by_date=args.by_date,
+        dates=[d.strip() for d in args.dates.split(",")] if args.dates else None,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -49,9 +49,34 @@ def with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def write_bucketed_input(docs: DataFrame, path: str, n_buckets: int) -> None:
-    """Lay out the input partitioned by bucket (partition-pruned reads)."""
-    with_bucket(docs, n_buckets).write.mode("overwrite").partitionBy("bucket").parquet(path)
+def write_bucketed_input(
+    docs: DataFrame, path: str, n_buckets: int, date_col: str | None = None
+) -> None:
+    """Lay out the input partitioned by bucket (partition-pruned reads).
+
+    With ``date_col`` (e.g. ``warc_ts``), the layout gains the crawl-date
+    dimension the Iceberg design names — ``days(warc_ts), bucket(N, url)``
+    — as ``crawl_date=YYYY-MM-DD/bucket=K`` directories, the unit grid
+    ``run_extraction_job_by_date`` restarts on.
+    """
+    b = with_bucket(docs, n_buckets)
+    if date_col is None:
+        b.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    else:
+        b.withColumn("crawl_date", F.to_date(F.col(date_col)).cast("string")).write.mode(
+            "overwrite"
+        ).partitionBy("crawl_date", "bucket").parquet(path)
+
+
+def list_crawl_dates(input_path: str) -> list[str]:
+    """The crawl_date=* partition values present under an input table."""
+    if not os.path.isdir(input_path):
+        return []
+    return sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(input_path)
+        if d.startswith("crawl_date=") and os.path.isdir(os.path.join(input_path, d))
+    )
 
 
 def input_lineage(input_path: str, bucket: int) -> str:
@@ -282,3 +307,49 @@ def run_extraction_job(
         "skipped": skipped,
         "ledger_rows": len(ledger.rows()),
     }
+
+
+def run_extraction_job_by_date(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    ledger_path: str,
+    n_buckets: int,
+    dates: list[str] | None = None,
+    **job_kwargs,
+) -> dict:
+    """Crawl-date-partitioned extraction: the restart grid is
+    (crawl_date, bucket), mirroring the Iceberg ``days(warc_ts),
+    bucket(N, url)`` partition spec the module header names.
+
+    Pure composition — each date's slice IS a complete bucketed table
+    (``input/crawl_date=D/bucket=K``), so every date reuses
+    ``run_extraction_job`` verbatim: its per-bucket lineage checks,
+    staged atomic commits, crash injection and resume semantics apply
+    per (date, bucket) with no new machinery. Output and ledger mirror
+    the date layout (``out/crawl_date=D/...``, one ledger dir per date);
+    a new crawl date is a pure append (earlier dates' ledgers show
+    all-skip), and reprocessing one date touches nothing else.
+
+    ``dates=None`` processes every ``crawl_date=*`` present in the
+    input. Returns {date: per-date summary} plus a ``_total`` roll-up.
+    """
+    todo = dates if dates is not None else list_crawl_dates(input_path)
+    if not todo:
+        raise ValueError(f"no crawl_date=* partitions under {input_path}")
+    out: dict = {}
+    total = {"buckets": 0, "processed": 0, "skipped": 0, "ledger_rows": 0}
+    for d in todo:
+        summary = run_extraction_job(
+            spark,
+            os.path.join(input_path, f"crawl_date={d}"),
+            os.path.join(output_path, f"crawl_date={d}"),
+            os.path.join(ledger_path, f"crawl_date={d}"),
+            n_buckets,
+            **job_kwargs,
+        )
+        out[d] = summary
+        for k in total:
+            total[k] += summary[k]
+    out["_total"] = total
+    return out

@@ -194,3 +194,56 @@ def test_lineage_invalidation(spark, bucketed_input, tmp_path):
     with open(os.path.join(ledger_path, "bucket=1.json"), "w") as f:
         f.write("{broken json")
     assert not ledger.is_done(1, input_lineage(bucketed_input, 1))
+
+
+def test_by_date_grid_resume_and_reprocess(spark, tmp_path):
+    """Crawl-date layout: (date, bucket) restart units, per-date
+    reprocessing, and output identical to the undated run."""
+    from fusus_spark.sources.ledger import (
+        list_crawl_dates,
+        run_extraction_job_by_date,
+    )
+
+    rows = [
+        (d["url"], d["warc_ts"], d["html"], d["text"], d["lang"])
+        for d in fixture_documents()
+    ]
+    docs = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+    inp = str(tmp_path / "dated_input")
+    write_bucketed_input(docs, inp, N_BUCKETS, date_col="warc_ts")
+    assert list_crawl_dates(inp) == ["2026-01-01", "2026-01-02"]
+
+    out = str(tmp_path / "dated_out")
+    led = str(tmp_path / "dated_ledger")
+    s1 = run_extraction_job_by_date(spark, inp, out, led, N_BUCKETS)
+    assert s1["_total"]["processed"] == 2 * N_BUCKETS
+    assert s1["_total"]["skipped"] == 0
+
+    # resume: everything skips, on both date grids
+    s2 = run_extraction_job_by_date(spark, inp, out, led, N_BUCKETS)
+    assert s2["_total"]["processed"] == 0
+    assert s2["_total"]["skipped"] == 2 * N_BUCKETS
+
+    # the dated output equals the undated single-table run byte-for-byte
+    flat_inp = str(tmp_path / "flat_input")
+    flat_out = str(tmp_path / "flat_out")
+    write_bucketed_input(docs, flat_inp, N_BUCKETS)
+    run_extraction_job(spark, flat_inp, flat_out, str(tmp_path / "flat_led"), N_BUCKETS)
+    assert _corpus_hash(spark, out) == _corpus_hash(spark, flat_out)
+
+    # reprocess ONE date: only that date's grid runs
+    s3 = run_extraction_job_by_date(
+        spark, inp, out, led, N_BUCKETS, dates=["2026-01-02"]
+    )
+    assert set(s3) == {"2026-01-02", "_total"}
+    assert s3["_total"]["skipped"] == N_BUCKETS
+
+    # a changed input on one date invalidates only that date's buckets
+    day1 = [r for r in rows if str(r[1])[:10] == "2026-01-01"]
+    spark.createDataFrame(day1, schema=DOCUMENTS_SCHEMA).createOrReplaceTempView("d1")
+    write_bucketed_input(
+        spark.table("d1"), inp + "/crawl_date=2026-01-01", N_BUCKETS
+    )
+    s4 = run_extraction_job_by_date(spark, inp, out, led, N_BUCKETS)
+    assert s4["2026-01-02"]["skipped"] == N_BUCKETS
+    assert s4["2026-01-01"]["processed"] > 0
