@@ -11,6 +11,8 @@ Tier order is cheapest-signal-first so every tier shrinks the next
 tier's input (the CCNet / RefinedWeb macro shape):
 
     1. canonical-URL dedup       (one shuffle on the canonical key)
+    1b. host policy (optional)   (domain blocklist broadcast anti-join +
+                                  sort-free per-host cap; metadata only)
     2. exact content dedup       (one shuffle on md5(text))
     3. corpus-level line dedup   (rewrites text; drops no document)
     3b. passage dedup (optional) (Lee-et-al window-hash substring dedup;
@@ -49,6 +51,8 @@ def run_job(
     input_path: str,
     output_path: str,
     eval_path: str | None = None,
+    block_domains_path: str | None = None,
+    cap_per_host: int | None = None,
     min_dup_docs: int = 2,
     passage_n: int | None = None,
     decontam_n: int = 13,
@@ -81,6 +85,20 @@ def run_job(
         keep_urls = url_audit.where(F.col("url") == F.col("rep_url")).select("url")
         docs = docs.join(keep_urls, "url")
         summary["n_after_url_dedup"] = keep_urls.count()
+
+    # 1b. optional host policy (needs urls); host_stats written as the
+    # audit table so the cap/block decisions are inspectable
+    if (block_domains_path or cap_per_host) and "url" in docs.columns:
+        from fusus_spark.operators.curate import apply_host_policy, host_stats
+
+        host_stats(docs).write.mode("overwrite").parquet(f"{out}/audit/host_stats")
+        block = (
+            spark.read.parquet(block_domains_path) if block_domains_path else None
+        )
+        docs = apply_host_policy(
+            docs, block_domains=block, cap_per_host=cap_per_host
+        )
+        summary["n_after_host_policy"] = docs.count()
 
     # 2. exact content dedup (keep the min-id representative)
     ex_audit = exact_duplicates(docs)
@@ -172,6 +190,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--input", required=True, help="documents parquet dir")
     p.add_argument("--output", required=True, help="curated corpus output dir")
     p.add_argument("--eval", help="benchmark/eval parquet dir for decontamination")
+    p.add_argument("--block-domains",
+                   help="parquet dir with a 1-column domain blocklist (tier 1b)")
+    p.add_argument("--cap-per-host", type=int, default=None,
+                   help="approximate per-host document cap (tier 1b)")
     p.add_argument("--min-dup-docs", type=int, default=2)
     p.add_argument(
         "--passage-n", type=int, default=None,
@@ -187,6 +209,8 @@ def main(argv: list[str] | None = None) -> None:
         input_path=args.input,
         output_path=args.output,
         eval_path=args.eval,
+        block_domains_path=args.block_domains,
+        cap_per_host=args.cap_per_host,
         min_dup_docs=args.min_dup_docs,
         passage_n=args.passage_n,
         decontam_n=args.decontam_n,

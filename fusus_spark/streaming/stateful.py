@@ -143,3 +143,62 @@ def user_counts_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream_vs_store(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    query_name: str = "dedup_vs_store",
+    *,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 2,
+):
+    """Streaming incremental dedup against the accumulated corpus: each
+    arriving document is flagged ``is_seen`` by a STREAM-STATIC left
+    join with the prefix-partitioned hash store
+    (operators.dedup.write_hash_store) — the streaming face of
+    ``incremental_dedup``, composed with the in-stream watermark dedup
+    so within-stream twins collapse BEFORE the store join.
+
+    Scale shape: the static side is re-planned per micro-batch by
+    Structured Streaming; with the store hash-partitioned on
+    content_hash the join is the standard co-partitioned probe, and the
+    stream side of a micro-batch is small by construction. No new state
+    store: the only stateful operator is the watermark dedup. Emits
+    (url, warc_ts, content_hash, is_seen) to an in-memory sink.
+    """
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    hashed = stream.select(
+        "url",
+        "warc_ts",
+        F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("content_hash"),
+    )
+    deduped = hashed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+    seen = (
+        spark.read.parquet(store_path)
+        .select("content_hash")
+        .distinct()
+        .withColumn("__seen__", F.lit(True))
+    )
+    flagged = deduped.join(seen, "content_hash", "left").select(
+        "url",
+        "warc_ts",
+        "content_hash",
+        F.coalesce("__seen__", F.lit(False)).alias("is_seen"),
+    )
+    return (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

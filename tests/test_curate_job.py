@@ -108,3 +108,35 @@ def test_curate_job_without_url_or_eval(spark, tmp_path):
     assert "n_after_url_dedup" not in summary
     assert summary["n_input"] == summary["n_final"] == 6
     assert summary["n_contaminated"] == 0
+
+
+def test_curate_job_host_policy_tier(spark, tmp_path):
+    """Opt-in tier 1b: blocklisted domain dropped, host_stats audit
+    written, and the summary counts the survivors."""
+    inp = str(tmp_path / "docs4")
+    blk = str(tmp_path / "blk")
+    out = str(tmp_path / "out4")
+    rows = [
+        (i, f"http://keep.org/p{i}",
+         f"the keeper document number {i} is here and it reads fine", "en")
+        for i in range(4)
+    ] + [
+        (10 + i, f"http://spam.example/x{i}",
+         f"the spammy document number {i} is here and it reads fine", "en")
+        for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, url string, text string, lang string"
+    ).write.parquet(inp)
+    spark.createDataFrame([("spam.example",)], "domain string").write.parquet(blk)
+
+    summary = run_job(
+        spark, input_path=inp, output_path=out, block_domains_path=blk
+    )
+    assert summary["n_after_host_policy"] == 4
+    assert summary["n_final"] == 4
+    corpus = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert corpus == {0, 1, 2, 3}
+    stats = {r["host"]: r["n_docs"]
+             for r in spark.read.parquet(f"{out}/audit/host_stats").collect()}
+    assert stats == {"keep.org": 4, "spam.example": 3}

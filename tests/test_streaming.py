@@ -184,3 +184,53 @@ def test_windowed_watermark_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0  # the stream actually emitted closed windows
+
+
+def test_dedup_stream_vs_store_flags_snapshot_dups(spark, tmp_path):
+    """Stream-static incremental dedup: arriving docs carrying content
+    already in the hash store come out is_seen=true; novel docs false;
+    within-stream twins still collapse to one row first — and the
+    verdict agrees with the batch incremental_dedup on the same input."""
+    import datetime as dt
+
+    from fusus_spark.operators.dedup import incremental_dedup, write_hash_store
+    from fusus_spark.streaming import dedup_stream_vs_store
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    snap_rows = [
+        (f"https://old.com/{i}", base, f"<p>old {i}</p>".encode(), f"old body {i}", "en")
+        for i in range(20)
+    ]
+    snap = spark.createDataFrame(snap_rows, schema=DOCUMENTS_SCHEMA)
+    store = str(tmp_path / "store")
+    write_hash_store(snap.withColumn("doc_id", F.monotonically_increasing_id()), store)
+
+    rows = []
+    for i in range(30):
+        # 10 docs repeat snapshot content, 10 are novel, each twice in-stream
+        text = f"old body {i % 10}" if i % 3 == 0 else f"new body {i % 10}"
+        rows.append(
+            (f"https://new.com/{i}", base + dt.timedelta(minutes=i),
+             f"<p>{text}</p>".encode(), text, "en")
+        )
+    docs = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+    in_dir = str(tmp_path / "sin")
+    docs.repartition(3).write.parquet(in_dir)
+
+    q = dedup_stream_vs_store(
+        spark, in_dir, store, str(tmp_path / "sckpt"), "dedup_vs_store"
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_vs_store").collect()
+    hashes = [r["content_hash"] for r in got]
+    assert len(hashes) == len(set(hashes))  # in-stream twins collapsed
+    # per-hash verdict equals the batch incremental_dedup on the stream input
+    batch = {
+        r["content_hash"]: r["is_seen"]
+        for r in incremental_dedup(
+            docs.withColumn("doc_id", F.monotonically_increasing_id()), store
+        ).select("content_hash", "is_seen").distinct().collect()
+    }
+    for r in got:
+        assert batch[r["content_hash"]] == r["is_seen"], r
+    assert {r["is_seen"] for r in got} == {True, False}
