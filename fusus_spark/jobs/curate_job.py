@@ -87,17 +87,24 @@ def run_job(
         summary["n_after_url_dedup"] = keep_urls.count()
 
     # 1b. optional host policy (needs urls); host_stats written as the
-    # audit table so the cap/block decisions are inspectable
-    if (block_domains_path or cap_per_host) and "url" in docs.columns:
+    # audit table so the cap/block decisions are inspectable. The policy
+    # result is MATERIALIZED like tier 3's: the count comes from written
+    # parquet and downstream tiers re-plan from columnar files instead
+    # of re-executing the policy joins per action (`is not None` guard:
+    # cap_per_host=0 is a legal, maximally aggressive cap).
+    if (
+        block_domains_path is not None or cap_per_host is not None
+    ) and "url" in docs.columns:
         from fusus_spark.operators.curate import apply_host_policy, host_stats
 
         host_stats(docs).write.mode("overwrite").parquet(f"{out}/audit/host_stats")
         block = (
             spark.read.parquet(block_domains_path) if block_domains_path else None
         )
-        docs = apply_host_policy(
+        apply_host_policy(
             docs, block_domains=block, cap_per_host=cap_per_host
-        )
+        ).write.mode("overwrite").parquet(f"{out}/stage/host_policy")
+        docs = spark.read.parquet(f"{out}/stage/host_policy")
         summary["n_after_host_policy"] = docs.count()
 
     # 2. exact content dedup (keep the min-id representative)

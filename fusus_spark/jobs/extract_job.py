@@ -156,9 +156,15 @@ def main(argv: list[str] | None = None) -> None:
                    help="comma list of crawl dates to process (default: all present)")
     args = p.parse_args(argv)
 
+    if args.dates and not args.by_date:
+        p.error("--dates requires --by-date")
+
     # Under spark-submit, the session already exists; standalone, build one.
     spark = SparkSession.builder.appName("fusus-extract").getOrCreate()
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # determinism parity with session.get_spark (crawl-date derivation is
+    # already tz-free arithmetic; this pins everything else, e.g. logs)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     summary = run_job(
         spark,
@@ -171,7 +177,7 @@ def main(argv: list[str] | None = None) -> None:
         emit=tuple(k.strip() for k in args.emit.split(",") if k.strip()),
         max_html_bytes=args.max_html_bytes,
         by_date=args.by_date,
-        dates=[d.strip() for d in args.dates.split(",")] if args.dates else None,
+        dates=[d.strip() for d in args.dates.split(",") if d.strip()] if args.dates else None,
     )
     print(json.dumps(summary))
     spark.stop()

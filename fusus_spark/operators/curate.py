@@ -585,7 +585,9 @@ def split_oversize(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    t = tokens(text_col)
+    # NULL text must mean 0 tokens, not a null token count: size(null)
+    # propagates through least() and would fabricate a [0, max) span
+    t = tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(t)
     # ceil((n - max)/stride) via integer arithmetic; the branch is only
     # evaluated when n > max so the numerator is strictly positive
@@ -657,7 +659,12 @@ def assign_split(
     cum = 0
     for name in names[:-1]:
         cum += splits[name]
-        thr = format(round(cum * space / 1_000_000), "05x")
+        v = round(cum * space / 1_000_000)
+        # 'g' sorts above every hex digit (the stratified_sample
+        # sentinel): a cumulative 100% must catch EVERY key — the naive
+        # format gives the 6-char '100000', which sorts BELOW most
+        # 5-char keys and would dump them into the last label
+        thr = "g" if v >= space else format(v, "05x")
         branch = (key < F.lit(thr), F.lit(name))
         expr = F.when(*branch) if expr is None else expr.when(*branch)
     label = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))

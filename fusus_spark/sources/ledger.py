@@ -63,7 +63,16 @@ def write_bucketed_input(
     if date_col is None:
         b.write.mode("overwrite").partitionBy("bucket").parquet(path)
     else:
-        b.withColumn("crawl_date", F.to_date(F.col(date_col)).cast("string")).write.mode(
+        # UTC day arithmetic, NOT F.to_date: to_date renders through the
+        # SESSION timezone, so the same instants would land in different
+        # crawl_date partitions on differently-configured drivers.
+        # epoch-days + date_add from the epoch date is timezone-free and
+        # matches Iceberg's days(ts) transform (UTC days since epoch).
+        utc_date = F.date_add(
+            F.to_date(F.lit("1970-01-01")),
+            F.floor(F.unix_timestamp(F.col(date_col)) / 86400).cast("int"),
+        )
+        b.withColumn("crawl_date", utc_date.cast("string")).write.mode(
             "overwrite"
         ).partitionBy("crawl_date", "bucket").parquet(path)
 

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from fusus_spark.functions.text import norm_ws
 from fusus_spark.schema import DOCUMENTS_SCHEMA
 from fusus_spark.streaming.ingest import EVENTS_STREAM_SCHEMA
 
@@ -53,7 +54,7 @@ def dedup_stream(
     hashed = stream.select(
         "url",
         "warc_ts",
-        F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("content_hash"),
+        F.md5(norm_ws("text")).alias("content_hash"),
     )
     deduped = hashed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
@@ -162,22 +163,29 @@ def dedup_stream_vs_store(
     ``incremental_dedup``, composed with the in-stream watermark dedup
     so within-stream twins collapse BEFORE the store join.
 
-    Scale shape: the static side is re-planned per micro-batch by
-    Structured Streaming; with the store hash-partitioned on
-    content_hash the join is the standard co-partitioned probe, and the
-    stream side of a micro-batch is small by construction. No new state
-    store: the only stateful operator is the watermark dedup. Emits
-    (url, warc_ts, content_hash, is_seen) to an in-memory sink.
+    Scale shape, honestly: a stream-static join re-plans the STATIC
+    side every micro-batch — a full store scan + distinct exchange per
+    trigger (the distinct is load-bearing: appended snapshots can
+    repeat a hash, and duplicate right rows would fan out stream rows).
+    That is acceptable for availableNow catch-up runs and modest
+    stores; a continuously-triggered deployment against a huge store
+    should instead micro-batch through ``foreachBatch`` calling the
+    batch ``incremental_dedup`` (bloom prefilter + prefix-pruned
+    verify), or maintain a pre-distinct'd store snapshot. No new state
+    store here: the only stateful operator is the watermark dedup.
+    Emits (url, warc_ts, content_hash, is_seen) to an in-memory sink.
     """
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
+    # the SAME normalizer as batch (functions.text.norm_ws): stream and
+    # batch must never disagree on what a duplicate is
     hashed = stream.select(
         "url",
         "warc_ts",
-        F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("content_hash"),
+        F.md5(norm_ws("text")).alias("content_hash"),
     )
     deduped = hashed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]

@@ -247,3 +247,28 @@ def test_by_date_grid_resume_and_reprocess(spark, tmp_path):
     s4 = run_extraction_job_by_date(spark, inp, out, led, N_BUCKETS)
     assert s4["2026-01-02"]["skipped"] == N_BUCKETS
     assert s4["2026-01-01"]["processed"] > 0
+
+
+def test_crawl_date_is_session_timezone_independent(spark, tmp_path):
+    """crawl_date must be UTC epoch-day arithmetic: the same instants
+    land in the same partitions whatever the session timezone."""
+    import datetime as dt
+
+    from fusus_spark.sources.ledger import list_crawl_dates
+
+    # 00:30 UTC on Jan 2 — a tz-dependent to_date would put this on
+    # Jan 1 under a western-hemisphere session timezone
+    rows = [("https://ex.com/a", dt.datetime(2026, 1, 2, 0, 30,
+                                             tzinfo=dt.timezone.utc),
+             b"<p>x</p>", "x", "en")]
+    docs = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        p1 = str(tmp_path / "tz_la")
+        write_bucketed_input(docs, p1, 2, date_col="warc_ts")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    p2 = str(tmp_path / "tz_utc")
+    write_bucketed_input(docs, p2, 2, date_col="warc_ts")
+    assert list_crawl_dates(p1) == list_crawl_dates(p2) == ["2026-01-02"]

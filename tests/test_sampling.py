@@ -385,3 +385,26 @@ FROM documents
 """)
     orows = [tuple(r) for r in orc.fetchall()]
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+def test_assign_split_hundred_percent_first_label(spark):
+    """A cumulative threshold of 100% must catch EVERY key (the 'g'
+    sentinel) — regression: format(16^5) gave a 6-char '100000' that
+    sorted below most 5-char keys and dumped docs into a 0-ppm label."""
+    from fusus_spark.operators.curate import assign_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = assign_split(docs, {"train": 1_000_000, "val": 0, "test": 0})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert counts == {"train": 200}
+
+
+def test_split_oversize_null_text(spark):
+    """NULL text is a 0-token doc: one chunk, [0,0) span, empty text —
+    regression: least() skipped the null count and claimed [0, max)."""
+    from fusus_spark.operators.curate import split_oversize
+
+    docs = spark.createDataFrame([(1, None), (2, "a b")], "doc_id long, text string")
+    rows = {r["doc_id"]: tuple(r) for r in split_oversize(docs, max_tokens=4, overlap=1).collect()}
+    assert rows[1] == (1, 0, 1, 0, 0, "")
+    assert rows[2] == (2, 0, 1, 0, 2, "a b")
