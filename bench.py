@@ -98,6 +98,9 @@ def bench_extraction(spark, sf_dir: str, replicate: int, cpus: int) -> dict:
 # stop-shingle prefilter (shingles in > 250 docs dropped from the
 # universe) bounds the inverted-index fan-in, so the synthetic corpus's
 # shared-vocabulary degeneration no longer blows the join up.
+# dedup_passages joined in round 3: the Lee-et-al exact-substring tier
+# (window-hash inverted index; lives outside the 50-query registry, so
+# the frame comes from _extra_queries below).
 HEADLINE = [
     "extract_words",
     "token_stats",
@@ -105,6 +108,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard",
+    "dedup_passages",
     "knn_bruteforce",
     "pricing_summary",
     "top_orders",
@@ -113,6 +117,18 @@ HEADLINE = [
     "running_value",
     "events_daily",
 ]
+
+
+def _extra_queries():
+    """Headline frames for operators outside the driver registry."""
+    from fusus_spark.operators.curate import dedup_passages
+    from fusus_spark.sources.testdata import load
+
+    return {
+        "dedup_passages": lambda spark, sf_dir: dedup_passages(
+            load(spark, sf_dir, "documents"), n=8
+        ),
+    }
 
 
 def main() -> None:
@@ -138,7 +154,7 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **_extra_queries()}
     times: dict[str, float] = {"extraction_pipeline": ext["wall_s"]}
     # best-of-N per query: first execution carries JVM/codegen warmup,
     # and the sandbox host has intermittent background load (minutes-long
