@@ -43,10 +43,10 @@ def sniff_media_type(payload: bytes) -> str:
 def decode_real(payload: bytes) -> tuple[int, int, list[float]]:
     """The real decode path — requires PIL/cv2/ffmpeg, absent here.
 
-    One narrow REAL slice exists without those libs: PNG header decode
-    (``parse_png_ihdr`` below, pure stdlib) — ``media_features`` and
-    ``resize_images`` override width/height with it for PNG payloads on
-    the stub path. With ``use_stub=False`` this function still raises
+    Two narrow REAL slices exist without those libs: PNG header decode
+    (``parse_png_ihdr``) and JPEG SOF-marker decode (``parse_jpeg_sof``),
+    both pure stdlib — ``media_features`` and ``resize_images`` override
+    width/height with them (via ``parse_image_dims``) on the stub path. With ``use_stub=False`` this function still raises
     first: pixel data / feature extraction genuinely needs the
     libraries, and half-real rows would be worse than an honest error."""
     raise NotImplementedError(
@@ -84,6 +84,59 @@ def parse_png_ihdr(payload: bytes) -> tuple[int, int] | None:
     return int(w), int(h)
 
 
+def parse_jpeg_sof(payload: bytes) -> tuple[int, int] | None:
+    """REAL (pure-stdlib) JPEG dimension decode: walk the marker
+    segments from SOI to the first frame header (SOF0/1/2/3/5/6/7/9/
+    10/11/13/14/15 — every SOFn that carries geometry) and read the
+    big-endian height/width fields. Returns None for anything not a
+    well-formed JPEG prefix — same never-raise fallback contract as
+    parse_png_ihdr."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    sof_markers = {
+        0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+    }
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None  # marker desync: not a parseable JPEG
+        # fill bytes: consecutive FFs pad between segments
+        while i < n and payload[i] == 0xFF:
+            i += 1
+        if i >= n:
+            return None
+        marker = payload[i]
+        i += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        if marker == 0xD9 or marker == 0xDA:
+            return None  # EOI / scan data before any SOF
+        if i + 2 > n:
+            return None
+        (seg_len,) = struct.unpack(">H", payload[i : i + 2])
+        if seg_len < 2 or i + seg_len > n:
+            return None
+        if marker in sof_markers:
+            if seg_len < 7:
+                return None
+            h, w = struct.unpack(">HH", payload[i + 3 : i + 7])
+            if w == 0 or h == 0:
+                return None
+            return int(w), int(h)
+        i += seg_len
+    return None
+
+
+def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
+    """Real dimensions for the formats with a pure-stdlib path (PNG
+    IHDR, JPEG SOF); None -> caller falls back to the stub."""
+    return parse_png_ihdr(payload) or parse_jpeg_sof(payload)
+
+
 def decode_stub(payload: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
     """Deterministic fake decode: dims + feature vector from byte stats.
 
@@ -103,10 +156,11 @@ def media_features(df: DataFrame, payload_col: str = "payload",
     """(url, payload binary) -> media metadata + feature vector.
 
     One fused mapInPandas pass (same physical shape as the HTML
-    extraction stage: binary in, struct-ish columns out). PNG payloads
-    get REAL width/height from the IHDR header (stdlib struct + CRC
-    check — no image lib needed); other formats use the decode stub (or
-    decode_real when use_stub=False and the libs exist).
+    extraction stage: binary in, struct-ish columns out). PNG and JPEG
+    payloads get REAL width/height from their headers (IHDR / SOF
+    marker walk, stdlib only — no image lib needed); other formats use
+    the decode stub (or decode_real when use_stub=False and the libs
+    exist).
     """
     pruned = df.select("url", F.col(payload_col).alias("payload"))
     decode = decode_stub if use_stub else decode_real
@@ -123,7 +177,7 @@ def media_features(df: DataFrame, payload_col: str = "payload",
                 rows["n_bytes"].append(len(payload))
                 rows["magic_hex"].append(payload[:4].hex().upper())
                 w, h, feat = decode(payload)
-                real_dims = parse_png_ihdr(payload)
+                real_dims = parse_image_dims(payload)
                 if real_dims is not None:
                     w, h = real_dims
                 rows["width"].append(w)
@@ -169,7 +223,7 @@ def resize_images(df: DataFrame, target: int = 64, payload_col: str = "payload",
             for url, payload in zip(pdf["url"].tolist(), pdf["payload"].tolist()):
                 payload = bytes(payload) if payload is not None else b""
                 w, h, _ = decode_stub(payload)
-                real_dims = parse_png_ihdr(payload)
+                real_dims = parse_image_dims(payload)
                 if real_dims is not None:
                     w, h = real_dims
                 # integer half-up fit: exact in any engine (float round()

@@ -453,3 +453,47 @@ def test_winnow_guarantee_shared_substring(spark):
     assert again == {(d, f) for d, s in sets.items() for f in s}
     tiny = spark.createDataFrame([(9, "short")], "doc_id long, text string")
     assert winnow_fingerprints(tiny, k=8, window=4).count() == 0
+
+
+def _tiny_jpeg(width: int, height: int, progressive: bool = False) -> bytes:
+    """A minimal JPEG prefix (SOI + APP0 + SOF0/SOF2) built with stdlib
+    only — the golden for the real marker-walk decode path."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    comps = b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    sof = sof_marker + struct.pack(">HBHH", 8 + len(comps), 8, height, width) + b"\x03" + comps
+    return b"\xff\xd8" + app0 + sof + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"
+
+
+def test_parse_jpeg_sof_real_dims():
+    from fusus_spark.operators.multimodal import parse_image_dims, parse_jpeg_sof
+
+    assert parse_jpeg_sof(_tiny_jpeg(7, 3)) == (7, 3)
+    assert parse_jpeg_sof(_tiny_jpeg(1920, 1080)) == (1920, 1080)
+    # progressive (SOF2) carries geometry the same way
+    assert parse_jpeg_sof(_tiny_jpeg(320, 200, progressive=True)) == (320, 200)
+    # scan data before any SOF / truncation / junk -> None, never a raise
+    assert parse_jpeg_sof(b"\xff\xd8\xff\xda\x00\x04\x00\x00") is None
+    assert parse_jpeg_sof(_tiny_jpeg(7, 3)[:8]) is None
+    assert parse_jpeg_sof(b"not a jpeg") is None
+    assert parse_jpeg_sof(b"") is None
+    # desynced marker stream -> None
+    assert parse_jpeg_sof(b"\xff\xd8" + b"\x00" * 16) is None
+    # the combined helper routes both formats
+    assert parse_image_dims(_tiny_jpeg(9, 4)) == (9, 4)
+    assert parse_image_dims(_tiny_png(9, 4)) == (9, 4)
+
+
+def test_media_features_jpeg_real_dims(spark):
+    from fusus_spark.operators.multimodal import media_features, resize_images
+
+    jpg = _tiny_jpeg(640, 160)
+    df = spark.createDataFrame([("jpg://a", bytearray(jpg))],
+                               "url string, payload binary")
+    m = media_features(df).collect()[0]
+    assert m["media_type"] == "image/jpeg"
+    assert (m["width"], m["height"]) == (640, 160)
+    r = resize_images(df, target=64).collect()[0]
+    assert (r["out_width"], r["out_height"]) == (64, 16)
