@@ -344,3 +344,47 @@ SELECT doc_id, n_email, n_ipv4, n_phone, t AS text_redacted FROM s3
     assert len(srows) == len(orows)
     assert sorted(sdf.columns) == sorted(orc.columns)
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+def test_dedup_passages_matches_python_reference(spark):
+    """Property: on random corpora the Spark plan equals an INDEPENDENT
+    from-scratch Python reference (the DuckDB oracle mirrors the plan's
+    relational shape, so this guards against shared-logic bugs)."""
+    import random
+
+    def reference(corpus: list[tuple[int, str]], n: int) -> dict[int, tuple]:
+        toks = {d: t.split() for d, t in ((d, " ".join(s.split())) for d, s in corpus)}
+        occ: dict[tuple, list[tuple[int, int]]] = {}
+        for d, t in sorted(toks.items()):
+            for p in range(len(t) - n + 1):
+                occ.setdefault(tuple(t[p : p + n]), []).append((d, p))
+        covered: dict[int, set[int]] = {}
+        for g, places in occ.items():
+            if len(places) < 2:
+                continue
+            owner = min(places)
+            for d, p in places:
+                if (d, p) != owner:
+                    covered.setdefault(d, set()).update(range(p, p + n))
+        out = {}
+        for d, raw in corpus:
+            t = toks[d]
+            cov = covered.get(d, set())
+            kept = [w for i, w in enumerate(t) if i not in cov]
+            text = raw if not cov else " ".join(kept)
+            out[d] = (len(t), len(cov), text if raw is not None else "")
+        return out
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> dense collisions
+    for trial in range(6):
+        corpus = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+            for d in range(25)
+        ]
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_dedup"])
+            for r in dedup_passages(docs, n=3).collect()
+        }
+        assert got == reference(corpus, 3), f"trial {trial}"
