@@ -99,6 +99,11 @@ CHECKS = {
     "split_oversize": [("Exchange", 1), ("Generate", True)],
     # split assignment is one map-side projection: no shuffle, no join
     "assign_split": [("Exchange", 1), ("SortMergeJoin", False)],
+    # link harvest is a pure map-side scan+explode (no shuffle beyond
+    # the testdata-load repartition)
+    "extract_links": [("Exchange", 1), ("Generate", True)],
+    # host graph: distinct edge agg + degree aggs, never all-pairs
+    "host_link_stats": [("HashAggregate", True), ("CartesianProduct", False)],
 }
 
 
@@ -168,11 +173,34 @@ def _extra_frames():
 
         return assign_split(load(spark, sf_dir, "documents"))
 
+    def _web_docs(spark, sf_dir):
+        return load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), "doc_id").alias("url"),
+            F.encode(
+                F.concat(F.lit('<a href="http://h'), F.pmod("doc_id", F.lit(5)),
+                         F.lit('.com/x">link</a><p>'), F.col("text"),
+                         F.lit("</p>")),
+                "UTF-8",
+            ).alias("html"),
+        )
+
+    def f_links(spark, sf_dir):
+        from fusus_spark.operators.webgraph import extract_links
+
+        return extract_links(_web_docs(spark, sf_dir))
+
+    def f_hostgraph(spark, sf_dir):
+        from fusus_spark.operators.webgraph import host_link_stats
+
+        return host_link_stats(_web_docs(spark, sf_dir))
+
     return {"decontaminate": f_decontam, "dedup_lines": f_lines,
             "redact_pii": f_pii, "dedup_passages": f_passages,
             "pack_sequences": f_pack, "apply_host_policy": f_host_policy,
             "incremental_dedup": f_incremental, "split_oversize": f_split,
-            "assign_split": f_assign}
+            "assign_split": f_assign, "extract_links": f_links,
+            "host_link_stats": f_hostgraph}
 
 
 def main() -> None:
