@@ -199,8 +199,8 @@ def resize_images(df: DataFrame, target: int = 64, payload_col: str = "payload",
     """(url, payload) -> resized thumbnails, aspect-preserving.
 
     The geometry math (aspect-ratio fit to ``target`` px) is real, and
-    PNG payloads feed it their REAL IHDR dimensions (parse_png_ihdr,
-    same as media_features); the pixel resample is stubbed
+    PNG/JPEG payloads feed it their REAL header dimensions
+    (parse_image_dims, same as media_features); the pixel resample is stubbed
     (deterministic bytes from md5 of payload + target) since no image
     lib ships in this container — production swaps ``_resample`` for
     PIL.Image.resize. One mapInPandas stage, same Arrow batch shape as

@@ -36,8 +36,15 @@ from pyspark.sql import DataFrame, functions as F
 from fusus_spark.functions.url import url_host
 
 # href + first text run of the anchor; RE2-safe (no lookarounds, no
-# backrefs) so the DuckDB oracle runs the IDENTICAL pattern.
-_ANCHOR_RE = r"""<[aA][^>]*[hH][rR][eE][fF]=["']([^"'<>]+)["'][^>]*>([^<]*)"""
+# backrefs — non-capturing group + lazy quantifier only) so the DuckDB
+# oracle runs the IDENTICAL pattern. Shape notes: `<[aA]` followed by a
+# mandatory \s keeps <area>/<abbr> out; the \s REQUIRED immediately
+# before href= keeps attribute lookalikes (data-href=) from shadowing
+# or fabricating the link; the lazy [^>]*? binds to the FIRST real
+# href in the tag, not the last.
+_ANCHOR_RE = (
+    r"""<[aA](?:\s[^>]*?)?\s[hH][rR][eE][fF]=["']([^"'<>]+)["'][^>]*>([^<]*)"""
+)
 
 
 def extract_links(
@@ -97,8 +104,10 @@ def host_link_stats(
     in_degree = number of distinct OTHER hosts linking to this host —
     the classic crawl-quality / spam signal; out_degree symmetric.
     Plan: links (map-side) -> distinct (src_host, dst_host) edge set
-    (one shuffle, partial-agg'd) -> two small degree aggs unioned by
-    host. Anchors and urls never reach the edge shuffle.
+    (one shuffle, partial-agg'd) -> each edge contributes one
+    (host, in, out) row per endpoint, folded by ONE groupBy — no join,
+    no coalesce scaffolding. Anchors and urls never reach the edge
+    shuffle.
     """
     links = resolve_links(extract_links(docs, url_col, html_col))
     edges = (
@@ -114,17 +123,14 @@ def host_link_stats(
         )
         .distinct()
     )
-    ind = edges.groupBy(F.col("dst_host").alias("host")).agg(
-        F.count("*").cast("int").alias("in_degree")
-    )
-    outd = edges.groupBy(F.col("src_host").alias("host")).agg(
-        F.count("*").cast("int").alias("out_degree")
-    )
-    return (
-        ind.join(outd, "host", "full")
-        .select(
-            "host",
-            F.coalesce("in_degree", F.lit(0)).cast("int").alias("in_degree"),
-            F.coalesce("out_degree", F.lit(0)).cast("int").alias("out_degree"),
+    endpoints = edges.select(
+        F.col("dst_host").alias("host"), F.lit(1).alias("i"), F.lit(0).alias("o")
+    ).unionByName(
+        edges.select(
+            F.col("src_host").alias("host"), F.lit(0).alias("i"), F.lit(1).alias("o")
         )
+    )
+    return endpoints.groupBy("host").agg(
+        F.sum("i").cast("int").alias("in_degree"),
+        F.sum("o").cast("int").alias("out_degree"),
     )

@@ -51,6 +51,7 @@ def test_spark_submit_py_files_local_cluster(spark, tmp_path):
         text=True,
         cwd=str(REPO),
         timeout=420,
+        env=env,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     summary = json.loads(

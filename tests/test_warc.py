@@ -159,15 +159,37 @@ def test_read_warc_to_extraction(spark, tmp_path):
 # ------------------------------------------------------------ fuzz hardening
 
 
-def test_iter_warc_records_fuzz_never_raises():
-    """Property: ANY byte mutation / truncation / junk injection of a
-    segment must parse without raising, and every record that does come
-    through must be one of the genuine response records (no fabricated
-    urls) — the poison-segment guarantee the module header promises."""
-    from hypothesis import HealthCheck, given, settings, strategies as st
+def test_iter_warc_records_truncation_never_fabricates():
+    """Property: a TRUNCATED segment (bytes untouched, tail cut at any
+    offset) never FABRICATES a url: every yielded uri is a genuine url
+    or a truncation-prefix of one (a cut landing inside the
+    WARC-Target-URI header line shortens the value; it can never splice
+    other records' bytes into it), and records only ever disappear."""
+    from hypothesis import given, settings, strategies as st
 
     seg = _segment()
     valid_urls = {"http://ex.com/a", "http://ex.com/b"}
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=len(seg)))
+    def check(i: int) -> None:
+        recs = list(iter_warc_records(seg[:i]))
+        assert len(recs) <= 2
+        for uri, _date, _body in recs:
+            assert any(v.startswith(uri) for v in valid_urls), uri
+
+    check()
+
+
+def test_iter_warc_records_fuzz_never_raises():
+    """Property: ANY byte mutation / junk injection of a segment must
+    parse without raising — the poison-segment guarantee the module
+    header promises (truncation-only fabrication is pinned separately
+    above; arbitrary mutation can legitimately alter a uri byte, so
+    here the property is no-raise + bounded, type-correct output)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    seg = _segment()
 
     @settings(
         max_examples=200,
@@ -198,9 +220,8 @@ def test_iter_warc_records_fuzz_never_raises():
         assert len(recs) <= 4  # never MORE records than the segment holds
         for uri, date, body in recs:
             assert isinstance(uri, str) and isinstance(body, bytes)
-            # a surviving record is either a genuine one or carries a
-            # mutated uri of the same shape — but a mutated LENGTH field
-            # must never leak one record's bytes into another's url
+            # a mutated LENGTH field must never leak one record's block
+            # bytes into another record's url field
             assert len(uri) < 200
 
     check()

@@ -28,6 +28,10 @@ def _pages() -> list[tuple[str, str]]:
          '<a href="https://b.com/self">self</a></html>'),
         ("http://d.com/3", "<html><p>linkless page</p></html>"),
         ("http://e.com/4", '<a href="http://b.com/z">e to b</a>'),
+        # attribute lookalikes and a/A-prefixed OTHER tags must not match
+        ("http://f.com/5",
+         '<a href="/real" data-href="http://tracker.com/x">t</a>'
+         '<area href="http://m.com/z"><abbr href="http://n.com/q">n</abbr>'),
     ]
 
 
@@ -53,6 +57,9 @@ def test_extract_and_resolve_hand_cases(spark):
     b = {r["href"]: r for r in by_src["http://b.com/2"]}
     assert b["http://a.com/1"]["anchor"] == "back to"
     assert "http://d.com/3" not in by_src          # linkless page: no rows
+    # data-href must not shadow or fabricate; <area>/<abbr> excluded
+    f = by_src["http://f.com/5"]
+    assert [(r["href"], r["resolved"]) for r in f] == [("/real", "http://f.com/real")]
 
 
 def test_host_link_stats_hand_cases(spark):
@@ -63,6 +70,9 @@ def test_host_link_stats_hand_cases(spark):
     assert got["c.com"]["in_degree"] == 1 and got["c.com"]["out_degree"] == 0
     assert got["e.com"]["in_degree"] == 0 and got["e.com"]["out_degree"] == 1
     assert "d.com" not in got  # no edges either way
+    # the data-href decoy never became an edge; f.com's only link is
+    # intra-host, so it has no graph presence at all
+    assert "tracker.com" not in got and "f.com" not in got
 
 
 def test_extract_links_matches_duckdb_oracle(spark):
@@ -72,7 +82,7 @@ def test_extract_links_matches_duckdb_oracle(spark):
     con.sql("CREATE TABLE pages (url VARCHAR, html VARCHAR)")
     con.executemany("INSERT INTO pages VALUES (?, ?)", _pages())
     # the IDENTICAL RE2-safe pattern; '' escapes the quote inside the class
-    pat = """<[aA][^>]*[hH][rR][eE][fF]=["'']([^"''<>]+)["''][^>]*>([^<]*)"""
+    pat = """<[aA](?:\\s[^>]*?)?\\s[hH][rR][eE][fF]=["'']([^"''<>]+)["''][^>]*>([^<]*)"""
     orc = con.sql(f"""
 WITH e AS (
   SELECT url AS src_url,
