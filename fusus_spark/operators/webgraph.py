@@ -134,3 +134,101 @@ def host_link_stats(
         F.sum("i").cast("int").alias("in_degree"),
         F.sum("o").cast("int").alias("out_degree"),
     )
+
+
+def host_pagerank(
+    docs: DataFrame | None = None,
+    *,
+    edges: DataFrame | None = None,
+    iters: int = 10,
+    damping_e6: int = 850_000,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """PageRank over the distinct cross-host link graph — the
+    in-degree signal's principled big sibling (spam farms inflate raw
+    in-degree; they inflate PageRank much less).
+
+    Returns (host, rank_e9). INTEGER-ARITHMETIC power iteration: ranks
+    live as e9-scaled int64, each node ships ``rank_e9 div out_degree``
+    along every out-edge, and the teleport term is a constant
+    ``(1 - d) * 10^9`` (uniform base). Why integers: float PageRank
+    sums are order-dependent (shuffle nondeterminism would flip low
+    bits run to run), while int64 groupBy sums are exact and
+    order-independent — so the result is hash-stable, the repo's
+    determinism contract. Fine print, stated honestly: integer div
+    truncates (mass leaks a few ulps per hop) and dangling hosts'
+    mass is NOT redistributed — the standard simplification of the
+    classic Spark formulation; ranking order is what the signal is
+    used for, and truncation cannot reorder ranks by more than the
+    truncated ulps.
+
+    Plan: the edge set and per-source out-degrees are computed ONCE and
+    localCheckpoint'ed (every iteration joins them); each iteration is
+    one join + one integer-sum groupBy, lineage cut per round so the
+    plan stays flat over ``iters`` rounds — the dup_clusters shape.
+    """
+    if edges is None:
+        if docs is None:
+            raise ValueError("need docs or edges")
+        links = resolve_links(extract_links(docs, url_col, html_col))
+        edges = (
+            links.where(F.col("resolved").isNotNull())
+            .select(
+                url_host(F.col("src_url")).alias("src_host"),
+                url_host(F.col("resolved")).alias("dst_host"),
+            )
+            .where(
+                (F.col("src_host") != "")
+                & (F.col("dst_host") != "")
+                & (F.col("src_host") != F.col("dst_host"))
+            )
+        )
+    edges = edges.select("src_host", "dst_host").distinct().localCheckpoint()
+    outd = (
+        edges.groupBy("src_host").agg(F.count("*").alias("out_degree"))
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    base = 10**9
+    teleport = (base * (1_000_000 - damping_e6)) // 1_000_000
+    ranks = nodes.withColumn("rank_e9", F.lit(base).cast("bigint"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges["src_host"] == ranks["host"])
+            .join(outd, "src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                # SQL `div`: EXACT int64 division — a double round-trip
+                # (floor(a/b)) silently misrounds past 2^53, which real
+                # graph masses reach
+                F.expr("rank_e9 div out_degree").cast("bigint").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(teleport)
+                    # decimal(38) product: inflow * damping_e6 can pass
+                    # int64 (mass 10^18 x 10^6), and the /1e6 quotient
+                    # has exactly 6 fractional digits so the decimal
+                    # divide is exact and floor == integer div
+                    + F.floor(
+                        F.coalesce("inflow", F.lit(0)).cast("decimal(38,0)")
+                        * damping_e6
+                        / F.lit(1_000_000)
+                    )
+                ).cast("bigint").alias("rank_e9"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -110,3 +110,62 @@ def test_links_never_raise_on_junk_bytes(spark):
     assert [(r["href"], r["resolved"]) for r in got] == [
         ("http://y.com/", "http://y.com/")
     ]
+
+
+# -------------------------------------------------------------- host_pagerank
+
+
+def _ref_pagerank(edges, iters=10, damping_e6=850_000):
+    """Independent integer-arithmetic reference (same scaling rules)."""
+    base = 10**9
+    edges = set(edges)
+    nodes = {h for e in edges for h in e}
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    tel = (base * (1_000_000 - damping_e6)) // 1_000_000
+    rank = {h: base for h in nodes}
+    for _ in range(iters):
+        inflow = {h: 0 for h in nodes}
+        for s, t in edges:
+            inflow[t] += rank[s] // out[s]
+        rank = {h: tel + (inflow[h] * damping_e6) // 1_000_000 for h in nodes}
+    return rank
+
+
+def test_host_pagerank_matches_integer_reference(spark):
+    from fusus_spark.operators.webgraph import host_pagerank
+
+    # hub-and-spoke + a reciprocal pair + a spam ring pointing at itself
+    edges = [
+        ("s1.com", "hub.com"), ("s2.com", "hub.com"), ("s3.com", "hub.com"),
+        ("hub.com", "s1.com"),
+        ("x.com", "y.com"), ("y.com", "x.com"),
+        ("spam1.com", "spam2.com"), ("spam2.com", "spam1.com"),
+        ("s1.com", "x.com"),
+    ]
+    edf = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r["host"]: r["rank_e9"] for r in host_pagerank(edges=edf, iters=10).collect()}
+    assert got == _ref_pagerank(edges, iters=10)
+    # mass flows where links point: the reciprocal sink pair (fed by
+    # s1) tops the graph, the hub out-ranks its pure spokes, and the
+    # self-contained spam ring keeps exactly its base mass
+    assert got["y.com"] == max(got.values())
+    assert got["hub.com"] > got["s2.com"]
+    assert got["spam1.com"] == got["spam2.com"] == 10**9
+    # deterministic: bit-identical on a re-run
+    again = {r["host"]: r["rank_e9"] for r in host_pagerank(edges=edf, iters=10).collect()}
+    assert got == again
+
+
+def test_host_pagerank_from_docs(spark):
+    from fusus_spark.operators.webgraph import host_pagerank
+
+    got = {r["host"]: r["rank_e9"] for r in host_pagerank(_docs(spark), iters=5).collect()}
+    assert set(got) == {"a.com", "b.com", "c.com", "e.com"}
+    # the a<->b cycle concentrates the mass (a receives b's WHOLE
+    # outflow, b receives half of a's plus e's); e, with no in-links,
+    # sits exactly at the teleport floor
+    assert {min(got, key=got.get)} == {"e.com"}
+    assert got["e.com"] == 150_000_000
+    assert got["a.com"] > got["c.com"] and got["b.com"] > got["c.com"]
