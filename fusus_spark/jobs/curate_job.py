@@ -20,6 +20,8 @@ tier's input (the CCNet / RefinedWeb macro shape):
     4. quality gate              (map-side Gopher rules, audit reasons)
     5. eval-set decontamination  (broadcast n-gram report, anti-join)
     6. PII redaction             (zero-shuffle regexp chain)
+    7. packing plan (optional)   (pack_sequences over the final corpus:
+                                  the training-sample grouping table)
 
 Every tier writes an AUDIT table under ``<output>/audit/`` and the
 summary is derived from those written tables — the job never re-runs a
@@ -57,6 +59,7 @@ def run_job(
     passage_n: int | None = None,
     decontam_n: int = 13,
     stop_lang: str = "en",
+    pack_target: int | None = None,
 ) -> dict:
     """The job body, session-agnostic (tests drive it directly).
 
@@ -189,6 +192,18 @@ def run_job(
     ).collect()[0]
     summary["n_final"] = agg["n"]
     summary["n_pii_redacted"] = int((agg["e"] or 0) + (agg["i"] or 0) + (agg["p"] or 0))
+
+    # 7. optional packing plan over the final corpus (the curated docs'
+    # training-sequence assignment — written beside the corpus so a
+    # trainer consumes both without re-deriving token counts)
+    if pack_target is not None:
+        from fusus_spark.operators.curate import pack_sequences
+
+        pack_sequences(corpus, target_tokens=pack_target).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/packing")
+        packing = spark.read.parquet(f"{out}/packing")
+        summary["n_sequences"] = packing.select("shard", "seq_id").distinct().count()
     return summary
 
 
@@ -208,6 +223,9 @@ def main(argv: list[str] | None = None) -> None:
     )
     p.add_argument("--decontam-n", type=int, default=13)
     p.add_argument("--stop-lang", default="en")
+    p.add_argument("--pack-target", type=int, default=None,
+                   help="emit <output>/packing via pack_sequences at this "
+                        "token target (tier 7, off when absent)")
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("fusus-curate").getOrCreate()
@@ -222,6 +240,7 @@ def main(argv: list[str] | None = None) -> None:
         passage_n=args.passage_n,
         decontam_n=args.decontam_n,
         stop_lang=args.stop_lang,
+        pack_target=args.pack_target,
     )
     print(json.dumps(summary))
     spark.stop()

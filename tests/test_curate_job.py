@@ -140,3 +140,20 @@ def test_curate_job_host_policy_tier(spark, tmp_path):
     stats = {r["host"]: r["n_docs"]
              for r in spark.read.parquet(f"{out}/audit/host_stats").collect()}
     assert stats == {"keep.org": 4, "spam.example": 3}
+
+
+def test_curate_job_packing_tier(spark, tmp_path):
+    """Opt-in tier 7: the final corpus gains a packing plan; every
+    surviving doc appears exactly once."""
+    inp = str(tmp_path / "docs5")
+    out = str(tmp_path / "out5")
+    rows = [(i, "the solid document number %d is here and it reads fine" % i, "en")
+            for i in range(12)]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(inp)
+
+    summary = run_job(spark, input_path=inp, output_path=out, pack_target=25)
+    assert summary["n_final"] == 12
+    assert summary["n_sequences"] >= 1
+    packing = spark.read.parquet(f"{out}/packing")
+    assert sorted(r["doc_id"] for r in packing.collect()) == list(range(12))
+    assert packing.where("n_tokens != 11").count() == 0
