@@ -197,6 +197,8 @@ def run_job(
     # training-sequence assignment — written beside the corpus so a
     # trainer consumes both without re-deriving token counts)
     if pack_target is not None:
+        if pack_target <= 0:
+            raise ValueError("pack_target must be a positive token count")
         from fusus_spark.operators.curate import pack_sequences
 
         pack_sequences(corpus, target_tokens=pack_target).write.mode(

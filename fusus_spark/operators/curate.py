@@ -531,6 +531,8 @@ def pack_sequences(
     production); pass ``shard_expr`` to pin a portable key, as the
     DuckDB cross-check test does with a plain modulo.
     """
+    if target_tokens <= 0:
+        raise ValueError("target_tokens must be positive")
     n = token_count(text_col)
     if shard_expr is None:
         shard_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))

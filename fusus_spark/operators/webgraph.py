@@ -95,6 +95,35 @@ def resolve_links(links: DataFrame) -> DataFrame:
     return links.withColumn("resolved", resolved)
 
 
+def _host_edges(docs: DataFrame, url_col: str, html_col: str) -> DataFrame:
+    """Distinct cross-host (src_host, dst_host) edges: the ONE place the
+    null/empty-host and self-edge rules live (host_link_stats and
+    host_pagerank must never disagree on what an edge is)."""
+    links = resolve_links(extract_links(docs, url_col, html_col))
+    return _normalize_edges(
+        links.where(F.col("resolved").isNotNull()).select(
+            url_host(F.col("src_url")).alias("src_host"),
+            url_host(F.col("resolved")).alias("dst_host"),
+        )
+    )
+
+
+def _normalize_edges(edges: DataFrame) -> DataFrame:
+    """Cross-host contract applied to ANY edge set (derived or
+    caller-supplied): drop empty/null hosts and self-edges, distinct."""
+    return (
+        edges.select("src_host", "dst_host")
+        .where(
+            F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != "")
+            & (F.col("dst_host") != "")
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .distinct()
+    )
+
+
 def host_link_stats(
     docs: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
@@ -109,20 +138,7 @@ def host_link_stats(
     no coalesce scaffolding. Anchors and urls never reach the edge
     shuffle.
     """
-    links = resolve_links(extract_links(docs, url_col, html_col))
-    edges = (
-        links.where(F.col("resolved").isNotNull())
-        .select(
-            url_host(F.col("src_url")).alias("src_host"),
-            url_host(F.col("resolved")).alias("dst_host"),
-        )
-        .where(
-            (F.col("src_host") != "")
-            & (F.col("dst_host") != "")
-            & (F.col("src_host") != F.col("dst_host"))
-        )
-        .distinct()
-    )
+    edges = _host_edges(docs, url_col, html_col)
     endpoints = edges.select(
         F.col("dst_host").alias("host"), F.lit(1).alias("i"), F.lit(0).alias("o")
     ).unionByName(
@@ -163,32 +179,30 @@ def host_pagerank(
     used for, and truncation cannot reorder ranks by more than the
     truncated ulps.
 
-    Plan: the edge set and per-source out-degrees are computed ONCE and
-    localCheckpoint'ed (every iteration joins them); each iteration is
-    one join + one integer-sum groupBy, lineage cut per round so the
-    plan stays flat over ``iters`` rounds — the dup_clusters shape.
+    Verification note (why no DuckDB oracle, per the repo contract):
+    the iterative fixpoint needs aggregation over the recursive term,
+    which SQL recursive CTEs forbid — so the engine-independent check
+    is an INDEPENDENT from-scratch Python integer reference
+    (tests/test_webgraph.py), the same pattern as dedup_passages'
+    second oracle.
+
+    Plan: the edge set (out_degree pre-joined — it is loop-invariant)
+    and the node list are computed ONCE and localCheckpoint'ed; each
+    iteration is then ONE join + one integer-sum groupBy, lineage cut
+    per round so the plan stays flat over ``iters`` rounds — the
+    dup_clusters shape. Caller-supplied ``edges`` pass through the
+    SAME ``_normalize_edges`` contract as the docs path (empty/null
+    hosts and self-edges dropped): a spam host's self-links must never
+    feed it its own damped mass back.
     """
     if edges is None:
         if docs is None:
             raise ValueError("need docs or edges")
-        links = resolve_links(extract_links(docs, url_col, html_col))
-        edges = (
-            links.where(F.col("resolved").isNotNull())
-            .select(
-                url_host(F.col("src_url")).alias("src_host"),
-                url_host(F.col("resolved")).alias("dst_host"),
-            )
-            .where(
-                (F.col("src_host") != "")
-                & (F.col("dst_host") != "")
-                & (F.col("src_host") != F.col("dst_host"))
-            )
-        )
-    edges = edges.select("src_host", "dst_host").distinct().localCheckpoint()
-    outd = (
-        edges.groupBy("src_host").agg(F.count("*").alias("out_degree"))
-        .localCheckpoint()
-    )
+        edges = _host_edges(docs, url_col, html_col)
+    else:
+        edges = _normalize_edges(edges)
+    outd = edges.groupBy("src_host").agg(F.count("*").alias("out_degree"))
+    edges = edges.join(outd, "src_host").localCheckpoint()
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .unionByName(edges.select(F.col("dst_host").alias("host")))
@@ -201,7 +215,6 @@ def host_pagerank(
     for _ in range(iters):
         contribs = (
             edges.join(ranks, edges["src_host"] == ranks["host"])
-            .join(outd, "src_host")
             .select(
                 F.col("dst_host").alias("host"),
                 # SQL `div`: EXACT int64 division — a double round-trip

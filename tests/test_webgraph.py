@@ -156,6 +156,12 @@ def test_host_pagerank_matches_integer_reference(spark):
     # deterministic: bit-identical on a re-run
     again = {r["host"]: r["rank_e9"] for r in host_pagerank(edges=edf, iters=10).collect()}
     assert got == again
+    # caller-supplied edges go through the SAME normalization: spam
+    # self-links and empty hosts cannot feed mass back
+    dirty = edges + [("spam1.com", "spam1.com"), ("", "hub.com"), ("hub.com", "")]
+    ddf = spark.createDataFrame(dirty, "src_host string, dst_host string")
+    assert {r["host"]: r["rank_e9"]
+            for r in host_pagerank(edges=ddf, iters=10).collect()} == got
 
 
 def test_host_pagerank_from_docs(spark):
