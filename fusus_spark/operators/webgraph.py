@@ -245,3 +245,46 @@ def host_pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def host_anchor_texts(
+    docs: DataFrame, k: int = 5, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Top-k anchor texts per TARGET host — how the rest of the web
+    describes a host (the anchor-text signal search and curation both
+    use: a host whose inbound anchors are all "cheap pills" is telling
+    you something its own pages won't).
+
+    Returns (host, anchor, n_refs, rnk), rnk 1..k per host. Only
+    CROSS-host anchors count (same-host nav text describes the site's
+    menu, not its reputation) and empty anchors are dropped. Plan:
+    map-side link harvest -> one groupBy((host, anchor)) count -> per-
+    host window top-k with a deterministic (count DESC, anchor ASC)
+    tie-break; the window partitions by host, never a single global
+    partition.
+    """
+    links = resolve_links(extract_links(docs, url_col, html_col))
+    pairs = (
+        links.where(F.col("resolved").isNotNull())
+        .select(
+            url_host(F.col("src_url")).alias("src_host"),
+            url_host(F.col("resolved")).alias("host"),
+            F.lower(F.col("anchor")).alias("anchor"),
+        )
+        .where(
+            (F.col("src_host") != "")
+            & (F.col("host") != "")
+            & (F.col("src_host") != F.col("host"))
+            & (F.col("anchor") != "")
+        )
+    )
+    counts = pairs.groupBy("host", "anchor").agg(
+        F.count("*").cast("int").alias("n_refs")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.desc("n_refs"), F.asc("anchor"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )

@@ -175,3 +175,70 @@ def test_host_pagerank_from_docs(spark):
     assert {min(got, key=got.get)} == {"e.com"}
     assert got["e.com"] == 150_000_000
     assert got["a.com"] > got["c.com"] and got["b.com"] > got["c.com"]
+
+
+# ---------------------------------------------------------- host_anchor_texts
+
+
+def test_host_anchor_texts(spark):
+    from fusus_spark.operators.webgraph import host_anchor_texts
+
+    got = host_anchor_texts(_docs(spark), k=2).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append((r["rnk"], r["anchor"], r["n_refs"]))
+    # b.com is described by its inbound cross-host anchors, lowercased
+    assert sorted(by_host["b.com"]) == [(1, "e to b", 1), (2, "to b", 1)]
+    # a.com's inbound anchor comes from b's page (first text run)
+    assert by_host["a.com"] == [(1, "back to", 1)]
+    # same-host anchors ("self") and empty anchors never appear
+    assert all(a != "self" for rows in by_host.values() for _, a, _ in rows)
+
+    # DuckDB oracle over the same pattern + window
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pages (url VARCHAR, html VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", _pages())
+    host_re = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+    pat = """<[aA](?:\\s[^>]*?)?\\s[hH][rR][eE][fF]=["'']([^"''<>]+)["''][^>]*>([^<]*)"""
+    orows = con.sql(f"""
+WITH l AS (
+  SELECT url AS src_url,
+         regexp_extract_all(html, '{pat}', 1) AS hrefs,
+         regexp_extract_all(html, '{pat}', 2) AS anchors
+  FROM pages
+),
+x AS (
+  SELECT src_url, hrefs[i] AS href, trim(anchors[i]) AS anchor
+  FROM l, unnest(generate_series(1, len(hrefs))) AS u(i)
+),
+r AS (
+  SELECT src_url, anchor,
+         CASE WHEN regexp_matches(href, '^[hH][tT][tT][pP][sS]?://') THEN href
+              WHEN href LIKE '//%' THEN 'http:' || href
+              WHEN href LIKE '/%' AND lower(regexp_extract(src_url, '{host_re}', 1)) != ''
+                THEN 'http://' || lower(regexp_extract(src_url, '{host_re}', 1)) || href
+              ELSE NULL END AS resolved
+  FROM x
+),
+p AS (
+  SELECT lower(regexp_extract(src_url, '{host_re}', 1)) AS src_host,
+         lower(regexp_extract(resolved, '{host_re}', 1)) AS host,
+         lower(anchor) AS anchor
+  FROM r WHERE resolved IS NOT NULL
+),
+c AS (
+  SELECT host, anchor, count(*)::INT AS n_refs
+  FROM p
+  WHERE src_host != '' AND host != '' AND src_host != host AND anchor != ''
+  GROUP BY host, anchor
+)
+SELECT host, anchor, n_refs,
+       row_number() OVER (PARTITION BY host ORDER BY n_refs DESC, anchor ASC)::INT AS rnk
+FROM c QUALIFY rnk <= 2
+""").fetchall()
+    sdf = host_anchor_texts(_docs(spark), k=2)
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) == len(orows)
+    assert value_hash(sdf.columns, srows) == value_hash(
+        ["host", "anchor", "n_refs", "rnk"], [tuple(r) for r in orows]
+    )
