@@ -63,18 +63,36 @@ def url_has_tracking(url) -> Column:
     ) != ""
 
 
+# Anchored at the START of a parameter: `my_gclid=5` and `xutm_source=1`
+# are ordinary params and must survive canonicalization.
+_TRACKING_PARAM_RE = r"^(utm_[a-zA-Z]+|gclid|fbclid|mc_cid|mc_eid)="
+
+
+def _is_kept_param(p: Column) -> Column:
+    """Non-empty query parameter that is not a tracking parameter."""
+    return (p != "") & ~p.rlike(_TRACKING_PARAM_RE)
+
+
 def canonical_url(url) -> Column:
     """Canonical form for URL-level dedup:
 
     1. scheme + host lowercased, https normalized to http (protocol
        twins are the same document);
     2. default ports stripped (:80 / :443);
-    3. tracking parameters removed (utm_*, gclid, fbclid, mc_cid/eid),
-       with the separator healed and a dangling '?'/'&' dropped;
-    4. fragment removed;
+    3. fragment removed;
+    4. tracking parameters removed (utm_*, gclid, fbclid, mc_cid/eid):
+       the query string is split on '&', parameters whose NAME matches
+       (anchored — `my_gclid=5` is kept) and empty parameters are
+       dropped, and the survivors rejoined — a dangling '?' disappears
+       with them;
     5. trailing slash dropped from non-root paths.
 
-    Pure regexp_replace chain — one codegen'd projection per row.
+    The query rewrite uses split/filter/array_join higher-order
+    expressions rather than a regexp_replace: a single replace pass
+    cannot strip ADJACENT tracking params (`?utm_a=1&utm_b=2&id=3`)
+    because the separator consumed by one match anchors the next, and
+    an unanchored pattern merges distinct urls (`?my_gclid=5` vs `=7`).
+    All JVM-side, one projection per row.
     """
     # lowercase scheme+authority only (path/query are case-sensitive)
     c = F.concat(
@@ -86,12 +104,11 @@ def canonical_url(url) -> Column:
     c = F.regexp_replace(c, r"^(http://[^/?#:]+):(?:80|443)([/?#])", r"$1$2")
     c = F.regexp_replace(c, r"^(http://[^/?#:]+):(?:80|443)$", r"$1")
     c = F.regexp_replace(c, r"#[^#]*$", "")  # fragment
-    # tracking params: kill key=value, then heal separators
-    c = F.regexp_replace(
-        c, r"(utm_[a-zA-Z]+|gclid|fbclid|mc_cid|mc_eid)=[^&#]*&?", ""
-    )
-    c = F.regexp_replace(c, r"[?&]$", "")  # dangling separator
-    c = F.regexp_replace(c, r"\?&", "?")  # ?&rest -> ?rest
+    # query rewrite: drop tracking + empty params, rejoin survivors
+    base = F.regexp_replace(c, r"\?.*$", "")
+    q = F.regexp_extract(c, r"\?(.*)$", 1)
+    kept = F.array_join(F.filter(F.split(q, "&"), _is_kept_param), "&")
+    c = F.when(kept == "", base).otherwise(F.concat(base, F.lit("?"), kept))
     c = F.regexp_replace(c, r"(.)/$", r"$1")  # trailing slash (non-root)
     return c
 

@@ -28,6 +28,12 @@ ROWS = [
     # email redacted at tier 6
     (8, "https://ex.com/g",
      "write to alice@example.com for the details about it all", "en"),
+    # tracking-LOOKALIKE params (my_gclid): distinct documents, must NOT
+    # merge at tier 1 (regression for the unanchored-strip bug)
+    (9, "https://ex.com/h?my_gclid=5",
+     "the first lookalike page body is all about the number five", "en"),
+    (10, "https://ex.com/h?my_gclid=7",
+     "the second lookalike page body is all about the number seven", "en"),
 ]
 
 EVAL_ROWS = [(0, "the capital of france is paris")]
@@ -47,18 +53,19 @@ def test_curate_job_end_to_end(spark, tmp_path):
     )
 
     assert summary == {
-        "n_input": 8,
-        "n_after_url_dedup": 7,        # doc 2 folded into doc 1's canonical
-        "n_after_exact_dedup": 6,      # doc 4 folded into doc 3
+        "n_input": 10,
+        "n_after_url_dedup": 9,        # doc 2 folded into doc 1's canonical;
+                                       # docs 9/10 (?my_gclid=5 vs =7) survive
+        "n_after_exact_dedup": 8,      # doc 4 folded into doc 3
         "n_dup_lines_removed": 2,      # BOILER stripped from docs 1 and 5
-        "n_after_gate": 5,             # doc 6 too short
+        "n_after_gate": 7,             # doc 6 too short
         "n_contaminated": 1,           # doc 7
-        "n_final": 4,
+        "n_final": 6,
         "n_pii_redacted": 1,           # doc 8's email
     }
 
     corpus = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/corpus").collect()}
-    assert set(corpus) == {1, 3, 5, 8}
+    assert set(corpus) == {1, 3, 5, 8, 9, 10}
     # line dedup rewrote the text; survivors carry their cleaned bodies
     assert corpus[1]["text"] == "the cat sat on the mat and it was happy today"
     assert corpus[5]["text"] == "the fish swam in the sea for a while today"

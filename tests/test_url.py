@@ -27,6 +27,19 @@ CASES = [
     ("http://example.com/a?q=1&r=2", "http://example.com/a?q=1&r=2"),
     ("http://user:pw@example.com/a", "http://user:pw@example.com/a"),
     ("http://example.com/A/B?Q=Case", "http://example.com/A/B?Q=Case"),
+    # anchoring: params whose name merely ENDS in a tracking name are
+    # ordinary params — ?my_gclid=5 and ?my_gclid=7 must NOT merge
+    ("http://example.com/p?my_gclid=5", "http://example.com/p?my_gclid=5"),
+    ("http://example.com/p?my_gclid=7", "http://example.com/p?my_gclid=7"),
+    ("http://example.com/p?xutm_source=1", "http://example.com/p?xutm_source=1"),
+    ("http://example.com/p?gclid=5&id=3", "http://example.com/p?id=3"),
+    # ADJACENT tracking params (a single regexp_replace pass misses the
+    # second one: its separator is consumed by the first match)
+    ("http://example.com/p?utm_a=1&utm_b=2&id=3", "http://example.com/p?id=3"),
+    ("http://example.com/p?id=3&utm_a=1&utm_b=2", "http://example.com/p?id=3"),
+    ("http://example.com/p?utm_a=1&utm_b=2", "http://example.com/p"),
+    ("http://example.com/p?a=1&&b=2", "http://example.com/p?a=1&b=2"),
+    ("http://example.com/p?", "http://example.com/p"),
 ]
 
 
@@ -65,6 +78,10 @@ def _synthetic_urls() -> list[str]:
             q = f"?q={i}&utm_source=feed"
         elif i % 5 == 1:
             q = f"?id={i}"
+        elif i % 5 == 2:
+            q = f"?utm_a={i}&utm_b=x&id={i}"  # adjacent tracking params
+        elif i % 5 == 3:
+            q = f"?my_gclid={i}&xutm_source=1"  # lookalike names: KEEP
         frag = f"#sec{i}" if i % 6 == 0 else ""
         slash = "/" if i % 2 == 0 and path else ""
         out.append(f"{scheme}://{h}{port}/{path}{slash}{q}{frag}")
@@ -80,26 +97,35 @@ def duck_urls():
 
 
 # canonical_url as a DuckDB expression — same RE2-safe patterns,
-# DuckDB backref syntax (\\1) and explicit 'g' for the global replaces.
-_ORC_CANON = r"""
+# DuckDB backref syntax (\1, verbatim backslashes) and the same
+# split/filter/rejoin query rewrite with the ANCHORED tracking-name
+# pattern (list_filter mirrors Spark's F.filter higher-order fn).
+_ORC_PRE = r"""
 regexp_replace(
  regexp_replace(
   regexp_replace(
    regexp_replace(
-    regexp_replace(
-     regexp_replace(
-      regexp_replace(
-       regexp_replace(
-        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
-          || regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
-        '^https://', 'http://'),
-       '^(http://[^/?#:]+):(?:80|443)([/?#])', '\1\2'),
-      '^(http://[^/?#:]+):(?:80|443)$', '\1'),
-     '#[^#]*$', ''),
-    '(utm_[a-zA-Z]+|gclid|fbclid|mc_cid|mc_eid)=[^&#]*&?', '', 'g'),
-   '[?&]$', ''),
-  '\?&', '?'),
- '(.)/$', '\1')
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+      || regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+    '^https://', 'http://'),
+   '^(http://[^/?#:]+):(?:80|443)([/?#])', '\1\2'),
+  '^(http://[^/?#:]+):(?:80|443)$', '\1'),
+ '#[^#]*$', '')
+"""
+_ORC_BASE = rf"regexp_replace({_ORC_PRE}, '\?.*$', '')"
+# coalesce: DuckDB array_to_string([]) is NULL where Spark array_join is ''
+_ORC_KEPT = rf"""
+coalesce(array_to_string(
+  list_filter(string_split(regexp_extract({_ORC_PRE}, '\?(.*)$', 1), '&'),
+              p -> p <> '' AND NOT regexp_matches(
+                p, '^(utm_[a-zA-Z]+|gclid|fbclid|mc_cid|mc_eid)=')),
+  '&'), '')
+"""
+_ORC_CANON = rf"""
+regexp_replace(
+  CASE WHEN {_ORC_KEPT} = '' THEN {_ORC_BASE}
+       ELSE {_ORC_BASE} || '?' || {_ORC_KEPT} END,
+  '(.)/$', '\1')
 """
 
 
