@@ -160,6 +160,8 @@ def host_pagerank(
     damping_e6: int = 850_000,
     url_col: str = "url",
     html_col: str = "html",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """PageRank over the distinct cross-host link graph — the
     in-degree signal's principled big sibling (spam farms inflate raw
@@ -187,13 +189,30 @@ def host_pagerank(
     second oracle.
 
     Plan: the edge set (out_degree pre-joined — it is loop-invariant)
-    and the node list are computed ONCE and localCheckpoint'ed; each
-    iteration is then ONE join + one integer-sum groupBy, lineage cut
-    per round so the plan stays flat over ``iters`` rounds — the
-    dup_clusters shape. Caller-supplied ``edges`` pass through the
-    SAME ``_normalize_edges`` contract as the docs path (empty/null
-    hosts and self-edges dropped): a spam host's self-links must never
-    feed it its own damped mass back.
+    and the node list are computed ONCE and persisted; each iteration
+    is then ONE join + one integer-sum groupBy — the dup_clusters
+    shape. Caller-supplied ``edges`` pass through the SAME
+    ``_normalize_edges`` contract as the docs path (empty/null hosts
+    and self-edges dropped): a spam host's self-links must never feed
+    it its own damped mass back.
+
+    Executor-loss story (how lineage is truncated):
+
+    * ``checkpoint_dir=None`` (default, small/test scale):
+      ``localCheckpoint`` per round — blocks live on executors, so a
+      single executor loss kills the job and every prior round. Fine
+      on local[*]; NOT the cluster configuration.
+    * ``checkpoint_dir=<fault-tolerant path>`` (the at-scale config):
+      edges and nodes are written to parquet ONCE and re-read (the
+      corpus-sized inputs never live as non-recomputable executor
+      blocks), and ranks take a parquet round-trip every
+      ``checkpoint_every`` rounds. Between snapshots NO localCheckpoint
+      is taken — the (short, linear) lineage from the last snapshot
+      stays recomputable, so an executor loss costs at most
+      ``checkpoint_every`` rounds of recompute instead of the job.
+      This is the reference's per-page restart-unit philosophy
+      (/root/reference/fusus/book.py:463-485) applied to iteration
+      rounds: the restart unit is the snapshot, not the whole run.
     """
     if edges is None:
         if docs is None:
@@ -201,18 +220,26 @@ def host_pagerank(
         edges = _host_edges(docs, url_col, html_col)
     else:
         edges = _normalize_edges(edges)
+
+    def _snapshot(df: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        path = f"{checkpoint_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
     outd = edges.groupBy("src_host").agg(F.count("*").alias("out_degree"))
-    edges = edges.join(outd, "src_host").localCheckpoint()
-    nodes = (
+    edges = _snapshot(edges.join(outd, "src_host"), "edges")
+    nodes = _snapshot(
         edges.select(F.col("src_host").alias("host"))
         .unionByName(edges.select(F.col("dst_host").alias("host")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        "nodes",
     )
     base = 10**9
     teleport = (base * (1_000_000 - damping_e6)) // 1_000_000
     ranks = nodes.withColumn("rank_e9", F.lit(base).cast("bigint"))
-    for _ in range(iters):
+    for it in range(1, iters + 1):
         contribs = (
             edges.join(ranks, edges["src_host"] == ranks["host"])
             .select(
@@ -242,8 +269,13 @@ def host_pagerank(
                     )
                 ).cast("bigint").alias("rank_e9"),
             )
-            .localCheckpoint()
         )
+        if checkpoint_dir is None:
+            ranks = ranks.localCheckpoint()
+        elif it % checkpoint_every == 0 or it == iters:
+            # alternate two snapshot slots: parquet overwrite of the
+            # directory being read would race its own scan
+            ranks = _snapshot(ranks, f"ranks_{it % (2 * checkpoint_every)}")
     return ranks
 
 

@@ -164,6 +164,37 @@ def test_host_pagerank_matches_integer_reference(spark):
             for r in host_pagerank(edges=ddf, iters=10).collect()} == got
 
 
+def test_host_pagerank_checkpoint_dir_fault_tolerant_path(spark, tmp_path):
+    """checkpoint_dir mode: bit-identical ranks, lineage truncated
+    through PARQUET (fault-tolerant storage) instead of executor-local
+    blocks — the final plan scans files, never an ExistingRDD, and the
+    snapshot directories exist on disk."""
+    from fusus_spark.operators.webgraph import host_pagerank
+
+    edges = [
+        ("s1.com", "hub.com"), ("s2.com", "hub.com"), ("s3.com", "hub.com"),
+        ("hub.com", "s1.com"), ("x.com", "y.com"), ("y.com", "x.com"),
+        ("s1.com", "x.com"),
+    ]
+    edf = spark.createDataFrame(edges, "src_host string, dst_host string")
+    want = {r["host"]: r["rank_e9"] for r in host_pagerank(edges=edf, iters=7).collect()}
+
+    ck = str(tmp_path / "pr_ck")
+    out = host_pagerank(edges=edf, iters=7, checkpoint_dir=ck, checkpoint_every=3)
+    got = {r["host"]: r["rank_e9"] for r in out.collect()}
+    assert got == want == _ref_pagerank(edges, iters=7)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan  # no non-recomputable corpus input
+    import os
+    snaps = sorted(os.listdir(ck))
+    assert "edges" in snaps and "nodes" in snaps
+    # rounds 3 and 6 landed in alternating slots; final round 7 in its own
+    assert [s for s in snaps if s.startswith("ranks_")] == [
+        "ranks_0", "ranks_1", "ranks_3"
+    ]
+
+
 def test_host_pagerank_from_docs(spark):
     from fusus_spark.operators.webgraph import host_pagerank
 

@@ -104,6 +104,34 @@ CHECKS = {
     "extract_links": [("Exchange", 1), ("Generate", True)],
     # host graph: distinct edge agg + degree aggs, never all-pairs
     "host_link_stats": [("HashAggregate", True), ("CartesianProduct", False)],
+    # quality gate is ONE map-side projection (no shuffle beyond the
+    # testdata-load repartition), fully codegen'd
+    "curation_gate": [("Exchange", 1), ("codegen id", True)],
+    # per-host rollup: one partial+final agg, never all-pairs
+    "host_stats": [("HashAggregate", True), ("CartesianProduct", False)],
+    # Gopher repetition signals: map-side array folds, zero shuffle
+    "repetition_stats": [("Exchange", 1), ("codegen id", True)],
+    # zlib ratio: exactly one Arrow-batched python stage, zero shuffle
+    "compression_ratio": [("MapInPandas", 1), ("Exchange", 1)],
+    # pagerank (checkpoint_dir mode): every round-trip input is a
+    # parquet SCAN — corpus-sized state must never live as a
+    # non-recomputable ExistingRDD block; and never all-pairs
+    "host_pagerank": [("Scan ExistingRDD", False), ("CartesianProduct", False)],
+    # anchor top-k: per-host window, NEVER a single global partition
+    "host_anchor_texts": [
+        ("Window", True),
+        ("Exchange SinglePartition", False),
+        ("CartesianProduct", False),
+    ],
+    # canonical-url dedup: one agg on the canonical key (SortAggregate:
+    # min(string) has no mutable agg buffer) + an equi-join, no all-pairs
+    "dedup_by_canonical_url": [
+        ("Aggregate", True),
+        ("CartesianProduct", False),
+        ("BroadcastNestedLoopJoin", False),
+    ],
+    # stratified sampling is a pure map-side md5-threshold filter
+    "stratified_sample": [("Exchange", 1), ("SortMergeJoin", False)],
 }
 
 
@@ -195,12 +223,73 @@ def _extra_frames():
 
         return host_link_stats(_web_docs(spark, sf_dir))
 
+    def f_gate(spark, sf_dir):
+        from fusus_spark.operators.curate import curation_gate
+
+        return curation_gate(load(spark, sf_dir, "documents"))
+
+    def f_host_stats(spark, sf_dir):
+        from fusus_spark.operators.curate import host_stats
+
+        docs = load(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                            F.lit(".com/p/"), "doc_id")
+        )
+        return host_stats(docs)
+
+    def f_repetition(spark, sf_dir):
+        from fusus_spark.operators.textstats import repetition_stats
+
+        return repetition_stats(load(spark, sf_dir, "documents"))
+
+    def f_compression(spark, sf_dir):
+        from fusus_spark.operators.textstats import compression_ratio
+
+        return compression_ratio(load(spark, sf_dir, "documents"))
+
+    def f_pagerank(spark, sf_dir):
+        import tempfile
+
+        from fusus_spark.operators.webgraph import host_pagerank
+
+        # the at-scale configuration: parquet-backed lineage truncation
+        return host_pagerank(
+            _web_docs(spark, sf_dir), iters=3,
+            checkpoint_dir=tempfile.mkdtemp() + "/pr_ck", checkpoint_every=2,
+        )
+
+    def f_anchors(spark, sf_dir):
+        from fusus_spark.operators.webgraph import host_anchor_texts
+
+        return host_anchor_texts(_web_docs(spark, sf_dir), k=3)
+
+    def f_canon(spark, sf_dir):
+        from fusus_spark.functions.url import dedup_by_canonical_url
+
+        docs = load(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("https://h"), F.pmod("doc_id", F.lit(7)),
+                            F.lit(".com/p/"), "doc_id",
+                            F.lit("?utm_source=feed"))
+        )
+        return dedup_by_canonical_url(docs)
+
+    def f_sample(spark, sf_dir):
+        from fusus_spark.operators.curate import stratified_sample
+
+        return stratified_sample(
+            load(spark, sf_dir, "documents"), {"en": 500_000}, default_ppm=250_000
+        )
+
     return {"decontaminate": f_decontam, "dedup_lines": f_lines,
             "redact_pii": f_pii, "dedup_passages": f_passages,
             "pack_sequences": f_pack, "apply_host_policy": f_host_policy,
             "incremental_dedup": f_incremental, "split_oversize": f_split,
             "assign_split": f_assign, "extract_links": f_links,
-            "host_link_stats": f_hostgraph}
+            "host_link_stats": f_hostgraph, "curation_gate": f_gate,
+            "host_stats": f_host_stats, "repetition_stats": f_repetition,
+            "compression_ratio": f_compression, "host_pagerank": f_pagerank,
+            "host_anchor_texts": f_anchors,
+            "dedup_by_canonical_url": f_canon, "stratified_sample": f_sample}
 
 
 def main() -> None:
