@@ -1,0 +1,226 @@
+"""Public-suffix-list registrable-domain extraction.
+
+``example.co.uk`` registers under ``co.uk``, so its registrable domain
+is ``example.co.uk`` — a last-two-labels heuristic returns ``co.uk``
+and mis-aggregates EVERY ccTLD-registered host in a blocklist or
+host-policy rollup. The public suffix list (publicsuffix.org, public
+data, MPL-2.0) is the standard fix; this module ships a static
+SNAPSHOT SUBSET (major ccTLD registries + well-known private-section
+hosting suffixes) and compiles it into a pure-JVM column expression.
+A deployment drops in the full list via ``load_psl_file`` — same
+compile, same expression shape.
+
+Why an expression, not a join: the registrable domain is consumed
+INSIDE other operators (host policy keys, blocklist matching, per-
+domain rollups) where a join would force a shuffle per call site. The
+rule sets are static, so each membership test compiles to Catalyst's
+``InSet`` (hash-set lookup, whole-stage codegen) — O(1) per row, zero
+shuffle, and the identical semantics are SQL-expressible as a rules-
+table join for the DuckDB oracle (tests/test_psl.py).
+
+Algorithm (publicsuffix.org/list/ spec, restricted to the rule shapes
+that exist in the list: rules of 1-3 labels, wildcards ``*.X`` /
+``*.X.Y``, exceptions ``!A.B`` / ``!A.B.C``):
+
+* the prevailing rule is the matching rule with the MOST labels,
+  except exception rules beat everything;
+* an exception rule's public suffix is the rule minus its leftmost
+  label; a wildcard ``*.X.Y`` matches any 3-label suffix ``?.X.Y``;
+* a host that has no matching rule uses the implicit default ``*``
+  (the bare TLD is the public suffix);
+* registrable domain = public suffix + one label, or '' when the host
+  IS a public suffix (or has no dot at all).
+
+Reference role analog: the reference's works registry as the
+authoritative name table (/root/reference/fusus/works.py:59-164) — the
+PSL is the web's authoritative "what is a registrable name" table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Static snapshot SUBSET of the public suffix list (publicsuffix.org,
+# public data). ICANN section: the major ccTLD second-level registries;
+# private section: well-known hosting suffixes a crawl-scale host
+# policy must not collapse into one "domain". Swap in the full list
+# with load_psl_file("<downloaded public_suffix_list.dat>").
+PSL_SNAPSHOT: tuple[str, ...] = (
+    # ---- ICANN: United Kingdom
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    # ---- Australia
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    # ---- New Zealand
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz", "mil.nz", "health.nz",
+    # ---- Japan (incl. the city wildcards + their exceptions)
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "*.kawasaki.jp", "*.kitakyushu.jp", "*.kobe.jp", "*.nagoya.jp",
+    "*.sapporo.jp", "*.sendai.jp", "*.yokohama.jp",
+    "!city.kawasaki.jp", "!city.kitakyushu.jp", "!city.kobe.jp",
+    "!city.nagoya.jp", "!city.sapporo.jp", "!city.sendai.jp",
+    "!city.yokohama.jp",
+    # ---- Brazil / India / China / Korea
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "mil.in", "nic.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
+    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr",
+    # ---- South Africa / Mexico / Argentina / Turkey
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar",
+    "mil.ar", "tur.ar",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "mil.tr",
+    "av.tr", "dr.tr", "pol.tr", "bel.tr", "k12.tr", "gen.tr", "web.tr",
+    # ---- Russia / Ukraine / Poland / Israel
+    "ac.ru", "edu.ru", "gov.ru", "int.ru", "mil.ru",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl", "waw.pl",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "idf.il", "k12.il",
+    "muni.il",
+    # ---- Indonesia / Thailand / Singapore / Hong Kong / Taiwan
+    "co.id", "net.id", "or.id", "ac.id", "go.id", "mil.id", "sch.id",
+    "web.id", "my.id", "biz.id",
+    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th", "mi.th",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "mil.tw", "idv.tw",
+    "club.tw", "game.tw", "ebiz.tw",
+    # ---- Malaysia / Philippines / Vietnam
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my", "name.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "mil.ph", "ngo.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn", "ac.vn",
+    "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    # ---- France / Spain / Portugal / Greece / Romania / Italy
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "org.pt", "publ.pt",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro", "rec.ro",
+    "arts.ro", "firm.ro", "store.ro",
+    "gov.it", "edu.it",
+    # ---- Canada provinces + US states (second-level public registries)
+    "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca", "ns.ca",
+    "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca", "gc.ca",
+    "al.us", "ak.us", "az.us", "ar.us", "ca.us", "co.us", "ct.us",
+    "dc.us", "de.us", "fl.us", "ga.us", "hi.us", "ia.us", "id.us",
+    "il.us", "in.us", "ks.us", "ky.us", "la.us", "ma.us", "md.us",
+    "me.us", "mi.us", "mn.us", "mo.us", "ms.us", "mt.us", "nc.us",
+    "nd.us", "ne.us", "nh.us", "nj.us", "nm.us", "nv.us", "ny.us",
+    "oh.us", "ok.us", "or.us", "pa.us", "ri.us", "sc.us", "sd.us",
+    "tn.us", "tx.us", "ut.us", "va.us", "vt.us", "wa.us", "wi.us",
+    "wv.us", "wy.us",
+    # ---- wildcard TLDs (every 2-label name is itself a suffix)
+    "*.bd", "*.ck", "!www.ck", "*.er", "*.fk", "*.jm", "*.kh", "*.mm",
+    "*.np", "*.pg",
+    # ---- private section: hosting platforms (each customer is a
+    # registrable name; collapsing them into one domain poisons host
+    # policy at crawl scale)
+    "blogspot.com", "github.io", "githubusercontent.com", "gitlab.io",
+    "herokuapp.com", "appspot.com", "firebaseapp.com", "web.app",
+    "netlify.app", "vercel.app", "pages.dev", "workers.dev",
+    "wordpress.com", "tumblr.com", "weebly.com", "wixsite.com",
+    "cloudfront.net", "azurewebsites.net", "s3.amazonaws.com",
+    "neocities.org", "readthedocs.io",
+)
+
+
+def compile_rules(rules=PSL_SNAPSHOT) -> dict[str, frozenset[str]]:
+    """Compile PSL-syntax rules into the six lookup sets the expression
+    uses. Supports the rule shapes present in the real list: normal
+    rules of 2-3 labels (1-label rules are the implicit default),
+    wildcards ``*.X`` / ``*.X.Y``, exceptions of 2-3 labels."""
+    set2, set3, wild1, wild2, exc2, exc3 = set(), set(), set(), set(), set(), set()
+    for raw in rules:
+        r = raw.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        if r.startswith("!"):
+            body = r[1:]
+            n = body.count(".") + 1
+            if n == 2:
+                exc2.add(body)
+            elif n == 3:
+                exc3.add(body)
+            else:
+                raise ValueError(f"unsupported exception rule: {raw}")
+        elif r.startswith("*."):
+            body = r[2:]
+            n = body.count(".") + 1
+            if n == 1:
+                wild1.add(body)
+            elif n == 2:
+                wild2.add(body)
+            else:
+                raise ValueError(f"unsupported wildcard rule: {raw}")
+        else:
+            n = r.count(".") + 1
+            if n == 1:
+                continue  # implicit default rule already covers bare TLDs
+            if n == 2:
+                set2.add(r)
+            elif n == 3:
+                set3.add(r)
+            else:
+                raise ValueError(f"unsupported rule depth: {raw}")
+    return {
+        "set2": frozenset(set2), "set3": frozenset(set3),
+        "wild1": frozenset(wild1), "wild2": frozenset(wild2),
+        "exc2": frozenset(exc2), "exc3": frozenset(exc3),
+    }
+
+
+def load_psl_file(path: str) -> dict[str, frozenset[str]]:
+    """Compile a full downloaded ``public_suffix_list.dat`` (public
+    data). Comment / blank lines are skipped; the handful of >3-label
+    rules raise so a deployment notices rather than silently mis-
+    classifying (extend the expression to 4 labels if they matter)."""
+    with open(path, encoding="utf-8") as fh:
+        return compile_rules(tuple(fh))
+
+
+_COMPILED = compile_rules()
+
+
+def _isin(col: Column, values: frozenset[str]) -> Column:
+    """Static-set membership: compiles to Catalyst InSet (hash lookup)
+    above the 10-value In threshold — O(1) per row, codegen'd."""
+    if not values:
+        return F.lit(False)
+    return col.isin(*sorted(values))
+
+
+def public_suffix_len(host: Column, rules: dict[str, frozenset[str]] | None = None) -> Column:
+    """Number of labels in the host's public suffix (>= 1)."""
+    r = rules or _COMPILED
+    l1 = F.substring_index(host, ".", -1)
+    l2 = F.substring_index(host, ".", -2)
+    l3 = F.substring_index(host, ".", -3)
+    n = F.size(F.split(host, r"\."))
+    return (
+        # exceptions first (they beat every other matching rule)
+        F.when((n >= 3) & _isin(l3, r["exc3"]), F.lit(2))
+        .when((n >= 2) & _isin(l2, r["exc2"]), F.lit(1))
+        # then longest match: 3-label rules / *.X.Y, 2-label rules / *.X
+        .when((n >= 3) & (_isin(l3, r["set3"]) | _isin(l2, r["wild2"])), F.lit(3))
+        .when((n >= 2) & (_isin(l2, r["set2"]) | _isin(l1, r["wild1"])), F.lit(2))
+        .otherwise(F.lit(1))  # implicit default rule '*'
+        .cast("int")
+    )
+
+
+def registrable_domain(host: Column, rules: dict[str, frozenset[str]] | None = None) -> Column:
+    """Registrable domain (public suffix + one label) of a lowercased
+    host, '' when the host IS a public suffix or has no dot — e.g.
+    ``a.b.example.co.uk`` -> ``example.co.uk``, ``co.uk`` -> ''."""
+    ps = public_suffix_len(host, rules)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    k = ps + F.lit(1)
+    return F.when(
+        n > ps, F.array_join(F.slice(labels, -k, k), ".")
+    ).otherwise(F.lit(""))

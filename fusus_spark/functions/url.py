@@ -36,11 +36,15 @@ def url_path(url) -> Column:
 
 
 def url_domain(url) -> Column:
-    """Last-two-labels domain heuristic (example.co -> example.co,
-    a.b.example.com -> example.com). A real deployment swaps in the
-    public-suffix list; the heuristic keeps the expression pure-JVM and
-    oracle-reproducible."""
-    return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
+    """Registrable domain of the url's host, public-suffix-list backed:
+    ``a.b.example.co.uk`` -> ``example.co.uk`` (the last-two-labels
+    heuristic would return ``co.uk`` and mis-aggregate every
+    ccTLD-registered host). Pure-JVM InSet lookups over the static PSL
+    snapshot — see functions/psl.py; '' when the host IS a public
+    suffix or has no dot."""
+    from fusus_spark.functions.psl import registrable_domain
+
+    return registrable_domain(url_host(url))
 
 
 def url_path_depth(url) -> Column:

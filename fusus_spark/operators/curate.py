@@ -427,7 +427,9 @@ def apply_host_policy(
 
     * **blocklist** — ``block_domains`` is a 1-column (domain) table,
       config-sized by nature; applied as a broadcast anti-join on the
-      last-two-labels domain.
+      REGISTRABLE domain (public-suffix-list backed, functions/psl.py:
+      blocking ``spam.co.uk`` drops its subdomains but not the rest of
+      ``co.uk``).
     * **per-host cap** — the scale-honest formulation: an exact
       "first N per host" needs a per-host sort, and the hosts that NEED
       capping are precisely the hosts big enough to make that window a

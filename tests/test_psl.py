@@ -1,0 +1,164 @@
+"""Public-suffix-list registrable-domain tests: hand-pinned cases for
+every rule shape (normal, wildcard, exception, private-section,
+default) + a DuckDB rules-table-join oracle hash cross-check (the PSL
+decision is SQL-expressible as a join, per the repo's in-test oracle
+discipline for beyond-registry operators)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from fusus_spark.functions.psl import (
+    PSL_SNAPSHOT,
+    compile_rules,
+    public_suffix_len,
+    registrable_domain,
+)
+from tools.parity import value_hash
+
+HAND = [
+    # (host, registrable domain)
+    ("example.com", "example.com"),
+    ("sub.example.com", "example.com"),
+    ("a.b.example.co.uk", "example.co.uk"),     # ccTLD registry
+    ("example.co.uk", "example.co.uk"),
+    ("co.uk", ""),                              # host IS a public suffix
+    ("example.com.au", "example.com.au"),
+    ("blog.example.com.au", "example.com.au"),
+    ("city.kawasaki.jp", "city.kawasaki.jp"),   # exception beats wildcard
+    ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
+    ("demo.kawasaki.jp", ""),                   # *.kawasaki.jp: suffix itself
+    ("x.demo.kawasaki.jp", "x.demo.kawasaki.jp"),
+    ("www.ck", "www.ck"),                       # !www.ck exception
+    ("foo.www.ck", "www.ck"),
+    ("bar.ck", ""),                             # *.ck wildcard
+    ("x.bar.ck", "x.bar.ck"),
+    ("alice.github.io", "alice.github.io"),     # private section
+    ("b.alice.github.io", "alice.github.io"),
+    ("school.ca.us", "school.ca.us"),           # US state registry
+    ("deep.school.ca.us", "school.ca.us"),
+    ("mysite.s3.amazonaws.com", "mysite.s3.amazonaws.com"),  # 3-label rule
+    ("localhost", ""),                          # no dot: no registrable name
+    ("uk", ""),
+]
+
+
+def test_registrable_domain_hand_cases(spark):
+    df = spark.createDataFrame([(h,) for h, _ in HAND], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    for host, want in HAND:
+        assert got[host] == want, host
+
+
+def test_url_domain_uses_psl(spark):
+    from fusus_spark.functions.url import url_domain
+
+    df = spark.createDataFrame(
+        [("https://A.Shop.Example.CO.UK/x?y=1",), ("http://sub.ex.com/p",)],
+        "url string",
+    )
+    got = [r["d"] for r in df.select(url_domain(F.col("url")).alias("d")).collect()]
+    assert got == ["example.co.uk", "ex.com"]
+
+
+def test_compile_rules_rejects_unsupported_depth():
+    with pytest.raises(ValueError):
+        compile_rules(("a.b.c.d",))
+    with pytest.raises(ValueError):
+        compile_rules(("*.a.b.c",))
+    # comments / blanks / bare TLDs are fine
+    c = compile_rules(("// comment", "", "com", "co.uk"))
+    assert c["set2"] == frozenset({"co.uk"})
+
+
+def test_load_psl_file_roundtrip(tmp_path):
+    from fusus_spark.functions.psl import load_psl_file
+
+    p = tmp_path / "psl.dat"
+    p.write_text("// snapshot\nco.uk\n*.ck\n!www.ck\n\ncom\n", encoding="utf-8")
+    c = load_psl_file(str(p))
+    assert c["set2"] == frozenset({"co.uk"})
+    assert c["wild1"] == frozenset({"ck"})
+    assert c["exc2"] == frozenset({"www.ck"})
+
+
+def _host_corpus() -> list[str]:
+    """Deterministic corpus hitting every rule shape + default rule."""
+    suffixes = [
+        "com", "co.uk", "org.uk", "com.au", "co.jp", "kawasaki.jp",
+        "city.kawasaki.jp", "ck", "www.ck", "github.io", "ca.us",
+        "io", "net", "blogspot.com", "s3.amazonaws.com", "gob.mx",
+    ]
+    out = []
+    for i in range(160):
+        sfx = suffixes[i % len(suffixes)]
+        depth = i % 3  # 0-2 extra labels
+        labels = [f"l{j}x{i}" for j in range(depth)] + [f"name{i}", sfx]
+        out.append(".".join(labels) if depth or i % 2 else f"name{i}.{sfx}")
+    # plus hosts that ARE suffixes and a dotless host
+    out += ["co.uk", "bar.ck", "localhost", "kawasaki.jp"]
+    return out
+
+
+def test_registrable_domain_matches_duckdb_rules_join(spark):
+    hosts = _host_corpus()
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    sdf = df.select(
+        "host",
+        public_suffix_len(F.col("host")).alias("ps"),
+        registrable_domain(F.col("host")).alias("domain"),
+    )
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE hosts (host VARCHAR)")
+    con.executemany("INSERT INTO hosts VALUES (?)", [(h,) for h in hosts])
+    rules = compile_rules(PSL_SNAPSHOT)
+    for name in ("set2", "set3", "wild1", "wild2", "exc2", "exc3"):
+        con.sql(f"CREATE TABLE {name} (r VARCHAR)")
+        vals = sorted(rules[name])
+        if vals:
+            con.executemany(f"INSERT INTO {name} VALUES (?)", [(v,) for v in vals])
+    orc = con.sql("""
+WITH l AS (
+  SELECT host, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
+  FROM hosts
+),
+p AS (
+  SELECT host, ls, n,
+    CASE
+      WHEN n >= 3 AND array_to_string(list_slice(ls, n-2, n), '.') IN (SELECT r FROM exc3) THEN 2
+      WHEN n >= 2 AND array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM exc2) THEN 1
+      WHEN n >= 3 AND (array_to_string(list_slice(ls, n-2, n), '.') IN (SELECT r FROM set3)
+                    OR array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM wild2)) THEN 3
+      WHEN n >= 2 AND (array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM set2)
+                    OR ls[n] IN (SELECT r FROM wild1)) THEN 2
+      ELSE 1 END AS ps
+  FROM l
+)
+SELECT host, ps::INT AS ps,
+       CASE WHEN n > ps THEN array_to_string(list_slice(ls, n-ps, n), '.')
+            ELSE '' END AS domain
+FROM p
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+def test_psl_lookup_compiles_to_inset(spark):
+    """The membership tests must be InSet (hash lookup), not a chain of
+    OR comparisons — the 100-TB cost model this module claims."""
+    df = spark.createDataFrame([("a.co.uk",)], "host string")
+    plan = df.select(
+        registrable_domain(F.col("host")).alias("d")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "INSET" in plan.upper()

@@ -66,7 +66,8 @@ def test_url_features_hand_cases(spark):
 def _synthetic_urls() -> list[str]:
     """Deterministic corpus mixing every curation axis."""
     out = []
-    hosts = ["example.com", "News.Site.org", "sub.a.example.com", "x.io"]
+    hosts = ["example.com", "News.Site.org", "sub.a.example.com", "x.io",
+             "Shop.Example.co.uk", "blog.ex.com.au"]
     for i in range(200):
         h = hosts[i % len(hosts)]
         scheme = "https" if i % 3 == 0 else "http"
@@ -133,16 +134,49 @@ def test_url_features_match_duckdb_oracle(spark, duck_urls):
     df = spark.createDataFrame([(u,) for u in _synthetic_urls()], "url string")
     sdf = url_features(df)
     srows = [tuple(r) for r in sdf.collect()]
+    # registrable domain: the SAME PSL rules-table join as test_psl.py
+    # (url_domain is PSL-backed; the corpus includes co.uk/com.au hosts)
+    from fusus_spark.functions.psl import PSL_SNAPSHOT, compile_rules
+
+    rules = compile_rules(PSL_SNAPSHOT)
+    for name in ("set2", "set3", "wild1", "wild2", "exc2", "exc3"):
+        duck_urls.sql(f"CREATE OR REPLACE TABLE {name} (r VARCHAR)")
+        vals = sorted(rules[name])
+        if vals:
+            duck_urls.executemany(
+                f"INSERT INTO {name} VALUES (?)", [(v,) for v in vals])
     orc = duck_urls.sql(f"""
-SELECT url,
+WITH u AS (
+  SELECT url,
        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
-       regexp_extract(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), '([^.]+\\.[^.]+)$', 1) AS domain,
        len(list_filter(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'), s -> s != ''))::INT AS path_depth,
        CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN 0
             ELSE len(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'), s -> s != '')) END::INT AS n_params,
        regexp_extract(url, '[?&](utm_[a-z]+|gclid|fbclid|mc_cid|mc_eid)=', 1) != '' AS has_tracking,
        {_ORC_CANON} AS canonical
-FROM urls
+  FROM urls
+),
+l AS (
+  SELECT u.*, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
+  FROM u
+),
+p AS (
+  SELECT l.*,
+    CASE
+      WHEN n >= 3 AND array_to_string(list_slice(ls, n-2, n), '.') IN (SELECT r FROM exc3) THEN 2
+      WHEN n >= 2 AND array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM exc2) THEN 1
+      WHEN n >= 3 AND (array_to_string(list_slice(ls, n-2, n), '.') IN (SELECT r FROM set3)
+                    OR array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM wild2)) THEN 3
+      WHEN n >= 2 AND (array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM set2)
+                    OR ls[n] IN (SELECT r FROM wild1)) THEN 2
+      ELSE 1 END AS ps
+  FROM l
+)
+SELECT url, host,
+       CASE WHEN n > ps THEN array_to_string(list_slice(ls, n-ps, n), '.')
+            ELSE '' END AS domain,
+       path_depth, n_params, has_tracking, canonical
+FROM p
 """)
     orows = [tuple(r) for r in orc.fetchall()]
     assert len(srows) == len(orows)
@@ -245,7 +279,8 @@ def test_apply_host_policy(spark):
     block = spark.createDataFrame([("blocked.net",)], "domain string")
     out = apply_host_policy(docs, block_domains=block, cap_per_host=20).cache()
     kept = [r["doc_id"] for r in out.select("doc_id").collect()]
-    # blocklist kills the subdomain too (last-two-labels domain match)
+    # blocklist kills the subdomain too (registrable-domain match; these
+    # hosts are all default-rule, so the oracle's last-two regex agrees)
     assert all(d < 65 for d in kept)
     # small host untouched; big host capped ~20 (deterministic binomial draw)
     assert sum(1 for d in kept if d >= 60) == 5
