@@ -45,50 +45,58 @@ def build_docs(spark, sf_dir: str, replicate: int):
 BENCH_PARTITIONS = 64  # fixed across core counts: same task granularity
 
 
-def bench_extraction(spark, sf_dir: str, replicate: int, cpus: int) -> dict:
+def prepare_extraction(spark, sf_dir: str, replicate: int):
+    """Build + warm the extraction input; returns (docs, n_docs, bytes).
+
+    Pre-partitions BEFORE the timed runs: at the design scale the input
+    arrives bucketed from Iceberg partitions; a single-file parquet read
+    would otherwise serialize the shuffle map side and poison the
+    scaling measurement. Only caches when the replicated volume
+    comfortably fits the heap — caching ~1 GB of binary rows in a local
+    JVM costs more in GC than regenerating the wrap in-plan.
+    """
     from pyspark.sql import functions as F
 
-    from fusus_spark.extraction.pipeline import (
-        extract_stage,
-        repartition_salted,
-        words_from_stage,
-    )
+    from fusus_spark.extraction.pipeline import extract_stage, repartition_salted, words_from_stage
 
-    # Pre-partition the input BEFORE the timed run: at the design scale
-    # the input arrives bucketed from Iceberg partitions; a single-file
-    # parquet read would otherwise serialize the shuffle map side and
-    # poison the scaling measurement.
     docs = repartition_salted(build_docs(spark, sf_dir, replicate), BENCH_PARTITIONS)
     n_docs, total_bytes = docs.agg(
         F.count("*"), F.sum(F.octet_length("html"))
     ).first()
-    # warm: materialize input once so the timed run measures extraction,
-    # and run a tiny extraction to spin up executor Python workers.
-    # Only cache when the replicated volume comfortably fits the heap —
-    # caching ~1 GB of binary rows in a local JVM costs more in GC than
-    # regenerating the wrap in-plan from the tiny parquet costs in CPU.
     if total_bytes < 400 * 1024 * 1024:
         docs = docs.cache()
     docs.count()
+    # tiny extraction spins up executor Python workers + codegen caches
     words_from_stage(extract_stage(docs.limit(256))).count()
-    # best-of-3 by default: the first timed run can still carry JIT/codegen
-    # compilation and the sandbox host has intermittent background load
-    # (minutes-long load-avg ~8 episodes) — three trials make the min of
-    # the flagship metric materially more robust for ~6 s extra wall
+    return docs, n_docs, int(total_bytes)
+
+
+def extraction_trial(docs) -> tuple[float, int]:
+    """One timed end-to-end extraction pass: (wall seconds, words out)."""
+    from fusus_spark.extraction.pipeline import extract_stage, words_from_stage
+
+    t0 = time.time()
+    n_words = words_from_stage(extract_stage(docs)).count()
+    return time.time() - t0, n_words
+
+
+def bench_extraction(spark, sf_dir: str, replicate: int, cpus: int) -> dict:
+    """--extract-only mode (BENCH/scaling.py contract): best of
+    FUSUS_BENCH_TRIALS back-to-back trials — scaling.py provides its own
+    interleaving by running whole processes in rounds."""
+    docs, n_docs, total_bytes = prepare_extraction(spark, sf_dir, replicate)
     trials = int(os.environ.get("FUSUS_BENCH_TRIALS", "3"))
     wall = float("inf")
     n_words = 0
     for _ in range(max(trials, 1)):
-        t0 = time.time()
-        stage = extract_stage(docs)
-        n_words = words_from_stage(stage).count()
-        wall = min(wall, time.time() - t0)
+        w, n_words = extraction_trial(docs)
+        wall = min(wall, w)
     docs.unpersist()
     return {
         "wall_s": round(wall, 3),
         "n_docs": n_docs,
         "n_words": n_words,
-        "bytes_in": int(total_bytes),
+        "bytes_in": total_bytes,
         "docs_per_sec": round(n_docs / wall, 1),
         "gb_per_sec": round(total_bytes / wall / 1e9, 4),
     }
@@ -145,9 +153,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    ext = bench_extraction(spark, sf_dir, replicate, cpus)
 
     if extract_only:
+        ext = bench_extraction(spark, sf_dir, replicate, cpus)
         print(json.dumps({"mode": "extract-only", "cpus": cpus, "sf": sf, **ext}))
         spark.stop()
         return
@@ -155,25 +163,42 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = {**entrymod.queries(), **_extra_queries()}
-    times: dict[str, float] = {"extraction_pipeline": ext["wall_s"]}
-    # best-of-N per query: first execution carries JVM/codegen warmup,
-    # and the sandbox host has intermittent background load (minutes-long
-    # episodes of load-avg ~8 were observed to inflate a 2.7s query to
-    # 21s — three trials make the min far more robust)
-    qtrials = int(os.environ.get("FUSUS_BENCH_QUERY_TRIALS", "3"))
-    for name in HEADLINE:
-        if name == "extract_words":
-            continue  # covered by extraction_pipeline at replicated volume
-        # one untimed warmup per query (codegen + checkpoint caches +
-        # python workers), mirroring the extraction bench's warm run
+    names = [n for n in HEADLINE if n != "extract_words"]
+
+    # INTERLEAVED rounds, min per query: the sandbox host has
+    # intermittent background-load episodes lasting minutes — with
+    # back-to-back per-query trials one episode inflates every trial of
+    # whichever queries it covers (BENCH_r03 read as a fake
+    # across-the-board regression that way). Round-robin ordering means
+    # an episode inflates one ROUND of each query instead, and the
+    # per-query min across rounds recovers the quiet-host number — the
+    # same methodology BENCH/scaling.py uses across processes.
+    rounds = int(os.environ.get("FUSUS_BENCH_ROUNDS", "3"))
+    docs, n_docs, total_bytes = prepare_extraction(spark, sf_dir, replicate)
+    for name in names:  # one untimed warmup pass (codegen + caches)
         qs[name](spark, sf_dir).count()
-        best = float("inf")
-        for _ in range(max(qtrials, 1)):
+
+    ext_wall, n_words = float("inf"), 0
+    best: dict[str, float] = {n: float("inf") for n in names}
+    for _ in range(max(rounds, 1)):
+        w, n_words = extraction_trial(docs)
+        ext_wall = min(ext_wall, w)
+        for name in names:
             t0 = time.time()
             qs[name](spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            best[name] = min(best[name], time.time() - t0)
+    docs.unpersist()
 
+    ext = {
+        "wall_s": round(ext_wall, 3),
+        "docs_per_sec": round(n_docs / ext_wall, 1),
+        "gb_per_sec": round(total_bytes / ext_wall / 1e9, 4),
+        "n_docs": n_docs,
+        "n_words": n_words,
+        "bytes_in": total_bytes,
+    }
+    times = {"extraction_pipeline": ext["wall_s"]}
+    times.update({n: round(best[n], 3) for n in names})
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

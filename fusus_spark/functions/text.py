@@ -40,6 +40,30 @@ def shingles(tok_col: Column, n: int = 3) -> Column:
     return F.when(k < n, F.array().cast("array<string>")).otherwise(grams)
 
 
+def top_run_share(arr: Column) -> Column:
+    """Mode multiplicity / size of a string array — the Gopher
+    repetition-share primitive (textstats.repetition_stats and
+    curate.curation_gate compile against this ONE fold so the two can
+    never drift). Map-side: the mode multiplicity is the longest
+    equal-run of the SORTED array — array_sort + one aggregate fold,
+    O(n log n) per doc, no explode, no shuffle. 0.0 for empty arrays.
+    """
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(F.array_sort(arr), zero, step)["best"]
+    return F.when(F.size(arr) > 0, best / F.size(arr)).otherwise(F.lit(0.0))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized text.
 

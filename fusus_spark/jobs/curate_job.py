@@ -13,6 +13,12 @@ tier's input (the CCNet / RefinedWeb macro shape):
     1. canonical-URL dedup       (one shuffle on the canonical key)
     1b. host policy (optional)   (domain blocklist broadcast anti-join +
                                   sort-free per-host cap; metadata only)
+    1c. webgraph host prior      (optional; RefinedWeb-style: hosts the
+                                  link graph ranks below a PageRank
+                                  floor are dropped — ranks from
+                                  --pagerank parquet or computed from
+                                  the docs' html; audit tables carry
+                                  the ranks and inbound anchor texts)
     2. exact content dedup       (one shuffle on md5(text))
     3. corpus-level line dedup   (rewrites text; drops no document)
     3b. passage dedup (optional) (Lee-et-al window-hash substring dedup;
@@ -55,6 +61,8 @@ def run_job(
     eval_path: str | None = None,
     block_domains_path: str | None = None,
     cap_per_host: int | None = None,
+    host_prior_min_rank_e9: int | None = None,
+    pagerank_path: str | None = None,
     min_dup_docs: int = 2,
     passage_n: int | None = None,
     decontam_n: int = 13,
@@ -109,6 +117,44 @@ def run_job(
         ).write.mode("overwrite").parquet(f"{out}/stage/host_policy")
         docs = spark.read.parquet(f"{out}/stage/host_policy")
         summary["n_after_host_policy"] = docs.count()
+
+    # 1c. optional webgraph host prior (RefinedWeb-style): the crawl's
+    # own link structure as a host-quality gate. Ranks come from a
+    # precomputed crawl-wide parquet (--pagerank, the at-scale shape:
+    # the graph is built once per crawl, not per curation run) or are
+    # computed here from the docs' html (parquet-checkpointed rounds).
+    # Hosts ranked BELOW the floor are dropped; hosts ABSENT from the
+    # graph (and unparseable urls) are kept — absence of link evidence
+    # is not evidence of spam, the same bypass philosophy as the
+    # host-policy cap. Audit: the full rank table, plus top-k inbound
+    # anchor texts when html is available (how the web describes each
+    # host — the human-review side of the same signal).
+    if host_prior_min_rank_e9 is not None and "url" in docs.columns:
+        from fusus_spark.functions.url import url_host
+        from fusus_spark.operators.webgraph import host_anchor_texts, host_pagerank
+
+        if pagerank_path is not None:
+            ranks = spark.read.parquet(pagerank_path)
+        elif "html" in docs.columns:
+            ranks = host_pagerank(docs, checkpoint_dir=f"{out}/stage/pagerank_ck")
+        else:
+            raise ValueError(
+                "host prior needs --pagerank or an html column to build the graph"
+            )
+        ranks.write.mode("overwrite").parquet(f"{out}/audit/host_pagerank")
+        ranks = spark.read.parquet(f"{out}/audit/host_pagerank")
+        if "html" in docs.columns:
+            host_anchor_texts(docs).write.mode("overwrite").parquet(
+                f"{out}/audit/host_anchors"
+            )
+        low = ranks.where(F.col("rank_e9") < host_prior_min_rank_e9).select(
+            F.col("host").alias("__low_host__")
+        )
+        docs.join(
+            low, url_host(F.col("url")) == F.col("__low_host__"), "left_anti"
+        ).write.mode("overwrite").parquet(f"{out}/stage/host_prior")
+        docs = spark.read.parquet(f"{out}/stage/host_prior")
+        summary["n_after_host_prior"] = docs.count()
 
     # 2. exact content dedup (keep the min-id representative)
     ex_audit = exact_duplicates(docs)
@@ -218,6 +264,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="parquet dir with a 1-column domain blocklist (tier 1b)")
     p.add_argument("--cap-per-host", type=int, default=None,
                    help="approximate per-host document cap (tier 1b)")
+    p.add_argument("--host-prior-min-rank-e9", type=int, default=None,
+                   help="drop hosts the link graph ranks below this "
+                        "e9-scaled PageRank floor (tier 1c, off when absent)")
+    p.add_argument("--pagerank",
+                   help="precomputed (host, rank_e9) parquet for tier 1c "
+                        "(otherwise built from the docs' html column)")
     p.add_argument("--min-dup-docs", type=int, default=2)
     p.add_argument(
         "--passage-n", type=int, default=None,
@@ -238,6 +290,8 @@ def main(argv: list[str] | None = None) -> None:
         eval_path=args.eval,
         block_domains_path=args.block_domains,
         cap_per_host=args.cap_per_host,
+        host_prior_min_rank_e9=args.host_prior_min_rank_e9,
+        pagerank_path=args.pagerank,
         min_dup_docs=args.min_dup_docs,
         passage_n=args.passage_n,
         decontam_n=args.decontam_n,

@@ -19,7 +19,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from fusus_spark.functions.text import shingles, stopword_hits, token_count, tokens
+from fusus_spark.functions.text import (
+    shingles,
+    stopword_hits,
+    token_count,
+    tokens,
+    top_run_share,
+)
 
 # Gopher-flavored defaults, scaled-integer thresholds (e6 where ratio).
 DEFAULT_RULES = {
@@ -30,25 +36,6 @@ DEFAULT_RULES = {
     "min_stop_ratio_e6": 20_000,          # 2% stopwords
     "max_top_bigram_share_e6": 200_000,   # 20%
 }
-
-
-def _top_run_share(arr) -> Column:
-    """Mode multiplicity / size via sorted-run-max (textstats.repetition_
-    stats shape): O(n log n) per doc, map-side."""
-    zero = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).alias("best"),
-    )
-
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
-        )
-
-    best = F.aggregate(F.array_sort(arr), zero, step)["best"]
-    return F.when(F.size(arr) > 0, best / F.size(arr)).otherwise(F.lit(0.0))
 
 
 def curation_gate(
@@ -77,7 +64,7 @@ def curation_gate(
         n > 0, F.round(stopword_hits(t, stop_lang) / n * 1000000)
     ).otherwise(F.lit(0)).cast("bigint")
     big = F.when(n >= 2, shingles(t, 2)).otherwise(F.array().cast("array<string>"))
-    bigram_e6 = F.round(_top_run_share(big) * 1000000).cast("bigint")
+    bigram_e6 = F.round(top_run_share(big) * 1000000).cast("bigint")
 
     checks = [
         ("too_few_tokens", n < F.lit(r["min_tokens"])),
@@ -275,6 +262,11 @@ def dedup_passages(
        corpus-wide shuffle (same as dedup_lines' reconstruction
        groupBy); it cannot broadcast in general because at 10^12 docs
        boilerplate incidence makes the covered table corpus-scale.
+       The doc side of the join carries ONLY ``__orig__`` — the token
+       array (~= the text again) is re-derived by a map-side
+       ``tokens()`` projection AFTER the join, halving the bytes this
+       shuffle moves: one cheap JVM split per doc is nothing next to
+       corpus-scale network+spill volume.
 
     Removal-rule fine print (deterministic by construction): the owner
     occurrence protects only its OWN window's tokens — a token inside
@@ -282,16 +274,14 @@ def dedup_passages(
     window also covers it. That is the same once-per-corpus guarantee
     the suffix-array method gives, at window (not byte) granularity.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("__orig__"),
-        tokens(text_col).alias("t"),
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__orig__")
     )
-    wins = toks.select(
+    wins = base.select(
         "doc_id",  # __orig__ pruned: the index never carries raw text
-        F.posexplode(F.transform(shingles(F.col("t"), n), lambda g: F.md5(g))).alias(
-            "pos", "h"
-        ),
+        F.posexplode(
+            F.transform(shingles(tokens("__orig__"), n), lambda g: F.md5(g))
+        ).alias("pos", "h"),
     )
     dups = (
         wins.groupBy("h")
@@ -317,7 +307,9 @@ def dedup_passages(
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_set("cpos")).alias("covered"))
     )
-    out = toks.join(covered, "doc_id", "left")
+    # the doc side ships ONLY __orig__; the token array is re-derived
+    # map-side AFTER the join (halves the one corpus-wide shuffle)
+    out = base.join(covered, "doc_id", "left").withColumn("t", tokens("__orig__"))
     # NB: the TWO-parameter lambda is deliberate here — pyspark passes
     # the (element, index) form, and the 0-based index is exactly the
     # posexplode position the covered array was built from.

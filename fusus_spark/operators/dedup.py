@@ -26,7 +26,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from fusus_spark.functions.text import cosine, norm_ws, shingles, tokens
 
@@ -555,10 +555,12 @@ _BLOOM_MAX_BITS = 1 << 30
 class HashBloom:
     """Driver-held bloom bitmap over md5-hex content hashes.
 
-    Probe position i of hash h = int(md5(f"{i}:{h}")[:13 hex], 16) % m —
-    chosen because BOTH sides can compute it exactly: the builder as a
-    JVM conv(substring(md5(...)))) expression, the prober as three lines
-    of hashlib in an Arrow-batched UDF.
+    Probe position i of hash h = int(md5(f"{i}:{h}")[:13 hex], 16) % m.
+    Builder AND prober compile the positions from the one
+    ``_probe_positions`` JVM expression; the prober then tests the
+    bitmap with a whole-batch numpy gather (no per-row python, no
+    hashlib in the hot path). ``maybe_contains`` is the driver-side
+    reference implementation kept for tests/spot checks.
     """
 
     def __init__(self, words: "list[int]", m_bits: int, k: int):
@@ -595,6 +597,25 @@ def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
+def _probe_positions(col: str, m_bits: int, k: int) -> Column:
+    """The k bloom probe positions of an md5-hex hash as ONE JVM array
+    expression — the single implementation both the builder and the
+    prober compile against, so build/probe parity is by construction
+    (probe i = conv(md5(f"{i}:{h}")[:13 hex]) % m)."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col(col))), 1, 13),
+                    16, 10,
+                ).cast("long")
+                % m_bits
+            ).alias(f"p{i}")
+            for i in range(k)
+        ]
+    )
+
+
 def build_hash_bloom(
     hashes: DataFrame, expected_items: int, fpp: float = 0.01, col: str = "content_hash"
 ) -> HashBloom:
@@ -605,16 +626,7 @@ def build_hash_bloom(
     TWO Arrow int64 columns (no per-row Row materialization — at the
     size gate that difference is tens of GB vs ~256 MB transient)."""
     m, k = bloom_params(expected_items, fpp)
-    pos_cols = [
-        (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col(col))), 1, 13), 16, 10
-            ).cast("long")
-            % m
-        ).alias(f"p{i}")
-        for i in range(k)
-    ]
-    pos = hashes.select(F.explode(F.array(*pos_cols)).alias("pos"))
+    pos = hashes.select(F.explode(_probe_positions(col, m, k)).alias("pos"))
     import numpy as np
 
     words = (
@@ -673,16 +685,29 @@ def incremental_dedup(
     )
     store = spark.read.parquet(store_path)
     if bloom is not None:
+        words, m_bits = bloom.words, bloom.m_bits
 
         @F.pandas_udf("boolean")
-        def maybe(s: pd.Series) -> pd.Series:
-            # one probe-logic implementation: HashBloom.maybe_contains
-            # (bloom pickles into the closure as bitmap + 2 ints)
-            return s.map(bloom.maybe_contains)
+        def test_bits(pos: pd.Series) -> pd.Series:
+            # whole-batch numpy over JVM-computed probe positions: one
+            # gather into the broadcast bitmap (words rides the closure;
+            # per-row python — the old s.map(md5...) loop — is gone)
+            import numpy as np
 
+            if len(pos) == 0:
+                return pd.Series([], dtype=bool)
+            p = np.stack(pos.to_numpy())  # (batch, k) int64
+            bits = words[p >> 6] >> (p & 63)
+            return pd.Series((bits & 1).all(axis=1))
+
+        # probe positions via the SAME JVM expression the builder used
+        # (md5 stays JVM-side; _probe_positions is the single spec).
         # checkpoint: h feeds both branches; without it the scan + UDF
         # run once per consumer
-        h = h.withColumn("__maybe__", maybe("content_hash")).localCheckpoint()
+        h = h.withColumn(
+            "__maybe__",
+            test_bits(_probe_positions("content_hash", m_bits, bloom.k)),
+        ).localCheckpoint()
         definite_new = h.where(~F.col("__maybe__")).select(
             "doc_id", "content_hash", F.lit(False).alias("is_seen")
         )

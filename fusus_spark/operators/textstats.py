@@ -18,6 +18,7 @@ from fusus_spark.functions.text import (
     stopword_hits,
     token_count,
     tokens,
+    top_run_share,
 )
 
 
@@ -266,30 +267,11 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.size(t) >= 2,
         shingles(t, 2),
     ).otherwise(F.array().cast("array<string>"))
-
-    def top_share(arr):
-        zero = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        )
-
-        def step(acc, x):
-            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-            return F.struct(
-                x.alias("prev"),
-                run.alias("run"),
-                F.greatest(acc["best"], run).alias("best"),
-            )
-
-        best = F.aggregate(F.array_sort(arr), zero, step)["best"]
-        return F.when(F.size(arr) > 0, best / F.size(arr)).otherwise(F.lit(0.0))
-
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(t).alias("n_tokens"),
-        F.round(top_share(t) * 1000000).cast("bigint").alias("top_word_share_e6"),
-        F.round(top_share(big) * 1000000).cast("bigint").alias("top_bigram_share_e6"),
+        F.round(top_run_share(t) * 1000000).cast("bigint").alias("top_word_share_e6"),
+        F.round(top_run_share(big) * 1000000).cast("bigint").alias("top_bigram_share_e6"),
     )
 
 

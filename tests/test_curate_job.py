@@ -149,6 +149,57 @@ def test_curate_job_host_policy_tier(spark, tmp_path):
     assert stats == {"keep.org": 4, "spam.example": 3}
 
 
+def test_curate_job_host_prior_tier(spark, tmp_path):
+    """Opt-in tier 1c: hosts ranked below the PageRank floor by the
+    crawl's own link graph are dropped; hosts absent from the graph
+    bypass; audit tables carry ranks and inbound anchor texts."""
+    inp = str(tmp_path / "docs6")
+    out = str(tmp_path / "out6")
+    # hub.com is linked by every spoke page; spam.com links out but
+    # nothing links to it (teleport floor); offgraph.com has no links
+    # either way (absent from the graph entirely -> bypasses the gate)
+    rows = []
+    for i in range(3):
+        rows.append((i, f"http://s{i}.com/p",
+                     f'<a href="http://hub.com/x">hub</a><p>spoke {i} body</p>'.encode(),
+                     f"the spoke document number {i} is here and it reads fine", "en"))
+    rows.append((10, "http://hub.com/home",
+                 '<a href="http://s0.com/p">back</a><p>hub</p>'.encode(),
+                 "the hub document is here and it certainly reads fine", "en"))
+    rows.append((20, "http://spam.com/x",
+                 '<a href="http://hub.com/x">hub</a><p>spam</p>'.encode(),
+                 "the spammy document is here and it also reads fine", "en"))
+    rows.append((30, "http://offgraph.com/y", b"<p>no links at all</p>",
+                 "the linkless document is here and it reads fine too", "en"))
+    spark.createDataFrame(
+        rows, "doc_id long, url string, html binary, text string, lang string"
+    ).write.parquet(inp)
+
+    summary = run_job(
+        spark, input_path=inp, output_path=out, host_prior_min_rank_e9=200_000_000
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").collect()}
+    # spam.com, s1, s2 sit at the 150M teleport floor < 200M and are
+    # dropped; hub (3 in-links) and s0 (fed hub's whole outflow) clear
+    # the gate; offgraph bypasses it (absent from the graph)
+    assert kept == {0, 10, 30}
+    assert summary["n_after_host_prior"] == 3
+    ranks = {r["host"]: r["rank_e9"]
+             for r in spark.read.parquet(f"{out}/audit/host_pagerank").collect()}
+    assert ranks["hub.com"] > 200_000_000 > ranks["spam.com"]
+    assert ranks["s1.com"] == ranks["spam.com"] == 150_000_000
+    anchors = spark.read.parquet(f"{out}/audit/host_anchors").collect()
+    assert any(r["host"] == "hub.com" and r["anchor"] == "hub" for r in anchors)
+
+    # precomputed-ranks path: same floor applied from the parquet table
+    pr = str(tmp_path / "pr")
+    spark.read.parquet(f"{out}/audit/host_pagerank").write.parquet(pr)
+    out2 = str(tmp_path / "out6b")
+    s2 = run_job(spark, input_path=inp, output_path=out2,
+                 host_prior_min_rank_e9=200_000_000, pagerank_path=pr)
+    assert s2["n_after_host_prior"] == 3
+
+
 def test_curate_job_packing_tier(spark, tmp_path):
     """Opt-in tier 7: the final corpus gains a packing plan; every
     surviving doc appears exactly once."""

@@ -68,6 +68,34 @@ def test_dedup_stream_keeps_one_per_hash(spark, tmp_path):
     assert len(hashes) == len(set(hashes)) == 10  # one survivor per text
 
 
+def test_dedup_stream_survivor_contract_under_arrival_order(spark, tmp_path):
+    """The documented determinism boundary, executable: the surviving
+    HASH SET equals the batch dedup's regardless of file arrival order;
+    WHICH twin survives is arrival-dependent (first-arriving), unlike
+    the batch min-id representative — the docstring contract."""
+    import datetime as dt
+
+    from fusus_spark.streaming import dedup_stream
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (f"https://ex.com/{i}", base + dt.timedelta(minutes=i),
+         f"<p>doc body {i % 5}</p>".encode(), f"doc body {i % 5}", "en")
+        for i in range(20)
+    ]
+    want = {r[3] for r in rows}
+    sets = []
+    for tag, order in (("fwd", rows), ("rev", list(reversed(rows)))):
+        in_dir = str(tmp_path / f"din_{tag}")
+        docs = spark.createDataFrame(order, schema=DOCUMENTS_SCHEMA)
+        # one file per row-chunk so arrival order differs between runs
+        docs.coalesce(4).write.parquet(in_dir)
+        q = dedup_stream(spark, in_dir, str(tmp_path / f"ck_{tag}"), f"dd_{tag}")
+        q.awaitTermination(120)
+        sets.append({r["content_hash"] for r in spark.table(f"dd_{tag}").collect()})
+    assert sets[0] == sets[1] and len(sets[0]) == len(want)
+
+
 def test_user_counts_stream_matches_batch(spark, tmp_path):
     """applyInPandasWithState running totals: the LAST update emitted
     per user equals the batch aggregate over all events."""
