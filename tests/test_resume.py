@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from fusus_spark.schema import DOCUMENTS_SCHEMA
 from fusus_spark.sources.ledger import (
+    BucketLock,
     Ledger,
     input_lineage,
     run_extraction_job,
@@ -272,3 +273,67 @@ def test_crawl_date_is_session_timezone_independent(spark, tmp_path):
     p2 = str(tmp_path / "tz_utc")
     write_bucketed_input(docs, p2, 2, date_col="warc_ts")
     assert list_crawl_dates(p1) == list_crawl_dates(p2) == ["2026-01-02"]
+
+
+def test_bucket_lock_concurrent_writer_semantics(spark, bucketed_input, tmp_path):
+    """Single-writer bucket locks: a LIVE foreign lock makes a writer
+    skip that bucket (concurrent instances partition the work); a STALE
+    lock (dead pid) is broken and taken over; a completed run leaves no
+    locks behind."""
+    import json
+    import socket
+    import time as _time
+
+    out = str(tmp_path / "lk_out")
+    ledger_path = str(tmp_path / "lk_ledger")
+    locks = os.path.join(ledger_path, "locks")
+    os.makedirs(locks, exist_ok=True)
+    # bucket 1: held by a LIVE other process (pid 1 exists and is not us)
+    with open(os.path.join(locks, "bucket=1.lock"), "w") as f:
+        json.dump({"pid": 1, "host": socket.gethostname(), "ts": _time.time()}, f)
+    # bucket 2: stale holder (dead pid) -> broken and taken over
+    with open(os.path.join(locks, "bucket=2.lock"), "w") as f:
+        json.dump({"pid": 2**22 + 12345, "host": socket.gethostname(),
+                   "ts": _time.time()}, f)
+
+    s1 = run_extraction_job(spark, bucketed_input, out, ledger_path, N_BUCKETS)
+    assert s1["locked"] == 1 and s1["processed"] == N_BUCKETS - 1
+    done = {r["partition_id"] for r in Ledger(ledger_path).rows()}
+    assert "bucket=1" not in done and "bucket=2" in done
+
+    # the foreign writer "finishes" (lock released): a second run takes
+    # the remaining bucket and the output converges to all buckets done
+    os.unlink(os.path.join(locks, "bucket=1.lock"))
+    s2 = run_extraction_job(spark, bucketed_input, out, ledger_path, N_BUCKETS)
+    assert s2["processed"] == 1 and s2["skipped"] == N_BUCKETS - 1
+    assert s2["locked"] == 0
+    assert not os.listdir(locks)  # no locks left behind
+
+
+def test_bucket_lock_reentrant_after_in_process_crash(spark, bucketed_input, tmp_path):
+    """A crashed attempt's leftover lock from THIS process must not
+    block the in-process resume (reentrant by pid), and an age-stale
+    foreign lock is broken."""
+    out = str(tmp_path / "re_out")
+    ledger_path = str(tmp_path / "re_ledger")
+    with pytest.raises(RuntimeError, match="between write and rename"):
+        run_extraction_job(
+            spark, bucketed_input, out, ledger_path, N_BUCKETS,
+            fail_before_commit=1,
+        )
+    locks = os.path.join(ledger_path, "locks")
+    # the crash left OUR lock on the in-flight bucket
+    assert len(os.listdir(locks)) == 1
+    s = run_extraction_job(spark, bucketed_input, out, ledger_path, N_BUCKETS)
+    assert s["locked"] == 0 and s["processed"] + s["skipped"] == N_BUCKETS
+    assert not os.listdir(locks)
+
+    # age-based staleness: a foreign LIVE pid but ancient timestamp
+    lk = BucketLock(ledger_path, stale_after_s=0.0)
+    import json
+    import socket
+
+    with open(os.path.join(locks, "bucket=0.lock"), "w") as f:
+        json.dump({"pid": 1, "host": socket.gethostname(), "ts": 0}, f)
+    assert lk.acquire(0) is True
+    lk.release(0)
