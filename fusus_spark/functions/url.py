@@ -71,6 +71,57 @@ def url_has_tracking(url) -> Column:
 # are ordinary params and must survive canonicalization.
 _TRACKING_PARAM_RE = r"^(utm_[a-zA-Z]+|gclid|fbclid|mc_cid|mc_eid)="
 
+# RFC 3986 §2.3 unreserved octets as UPPERCASE hex pairs. Equal-length
+# uppercase-hex comparison IS numeric comparison, so the range tests
+# run identically in Spark and the DuckDB oracle.
+_HEX_PAIR_RE = r"^[0-9a-fA-F]{2}"
+
+# default index pages: /index.html == / (the same resource on every
+# mainstream server default; RE2-safe so the oracle matches)
+_INDEX_PAGE_RE = r"/(index|default)\.(html?|htm|php|aspx?)$"
+
+
+def _is_unreserved_pair(pair: Column) -> Column:
+    """True when the UPPERCASE hex pair encodes an RFC 3986 unreserved
+    octet (ALPHA / DIGIT / '-' / '.' / '_' / '~')."""
+    return (
+        pair.between("30", "39")  # DIGIT
+        | pair.between("41", "5A")  # ALPHA upper
+        | pair.between("61", "7A")  # ALPHA lower
+        | pair.isin("2D", "2E", "5F", "7E")  # - . _ ~
+    )
+
+
+def normalize_percent(c: Column) -> Column:
+    """RFC 3986 §6.2.2.1-2 percent-encoding normalization: uppercase
+    every %XX escape's hex digits and DECODE escapes of unreserved
+    characters (%41 -> A, %7E -> ~); reserved escapes (%2F, %3F, ...)
+    keep their meaning and stay encoded. Malformed escapes ('%zz', a
+    trailing '%') pass through verbatim.
+
+    Pure-JVM: split on '%', one ``transform`` over the tail pieces
+    (each begins with the candidate hex pair), rejoin. Decoded
+    characters are unreserved only — they can never introduce a
+    separator ('&', '=', '/', '?'), so this runs safely BEFORE query
+    parsing. Idempotent: output escapes are uppercase-reserved only.
+    """
+    parts = F.split(c, "%")
+
+    def fix(p: Column) -> Column:
+        pair = F.upper(F.substring(p, 1, 2))
+        tail = F.regexp_replace(p, _HEX_PAIR_RE, "")
+        return F.when(
+            ~p.rlike(_HEX_PAIR_RE), F.concat(F.lit("%"), p)
+        ).when(
+            _is_unreserved_pair(pair),
+            F.concat(F.char(F.conv(pair, 16, 10).cast("int")), tail),
+        ).otherwise(F.concat(F.lit("%"), pair, tail))
+
+    rest = F.transform(F.slice(parts, 2, F.size(parts) - 1), fix)
+    return F.when(F.size(parts) == 1, c).otherwise(
+        F.concat(F.element_at(parts, 1), F.array_join(rest, ""))
+    )
+
 
 def _is_kept_param(p: Column) -> Column:
     """Non-empty query parameter that is not a tracking parameter."""
@@ -84,12 +135,16 @@ def canonical_url(url) -> Column:
        twins are the same document);
     2. default ports stripped (:80 / :443);
     3. fragment removed;
-    4. tracking parameters removed (utm_*, gclid, fbclid, mc_cid/eid):
+    4. percent-encoding normalized (RFC 3986 §6.2.2: uppercase hex,
+       unreserved escapes decoded — %7Euser == ~user);
+    5. tracking parameters removed (utm_*, gclid, fbclid, mc_cid/eid):
        the query string is split on '&', parameters whose NAME matches
        (anchored — `my_gclid=5` is kept) and empty parameters are
        dropped, and the survivors rejoined — a dangling '?' disappears
        with them;
-    5. trailing slash dropped from non-root paths.
+    6. default index pages collapsed (/index.html, /default.asp ... ==
+       the directory itself);
+    7. trailing slash dropped from non-root paths.
 
     The query rewrite uses split/filter/array_join higher-order
     expressions rather than a regexp_replace: a single replace pass
@@ -108,8 +163,10 @@ def canonical_url(url) -> Column:
     c = F.regexp_replace(c, r"^(http://[^/?#:]+):(?:80|443)([/?#])", r"$1$2")
     c = F.regexp_replace(c, r"^(http://[^/?#:]+):(?:80|443)$", r"$1")
     c = F.regexp_replace(c, r"#[^#]*$", "")  # fragment
+    c = normalize_percent(c)
     # query rewrite: drop tracking + empty params, rejoin survivors
     base = F.regexp_replace(c, r"\?.*$", "")
+    base = F.regexp_replace(base, _INDEX_PAGE_RE, "/")  # /index.html == /
     q = F.regexp_extract(c, r"\?(.*)$", 1)
     kept = F.array_join(F.filter(F.split(q, "&"), _is_kept_param), "&")
     c = F.when(kept == "", base).otherwise(F.concat(base, F.lit("?"), kept))

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from fusus_spark.functions.url import url_host
+from fusus_spark.functions.url import url_host, url_path
 
 # href + first text run of the anchor; RE2-safe (no lookarounds, no
 # backrefs — non-capturing group + lazy quantifier only) so the DuckDB
@@ -73,22 +73,95 @@ def extract_links(
     )
 
 
-def resolve_links(links: DataFrame) -> DataFrame:
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over an absolute path: '.' segments drop, '..'
+    pops, empty segments ('//') collapse; a trailing '/' (or final
+    '.'/'..') keeps the directory form. One JVM ``aggregate`` fold over
+    the split segments — no UDF, no shuffle."""
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(x == ".", acc)
+        .when(x == "..", F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))))
+        .otherwise(F.concat(acc, F.array(x))),
+    )
+    trailing = path.rlike(r"(/|/\.|/\.\.)$")
+    return F.concat(
+        F.lit("/"),
+        F.array_join(folded, "/"),
+        F.when(trailing & (F.size(folded) > 0), F.lit("/")).otherwise(F.lit("")),
+    )
+
+
+def resolve_links(links: DataFrame, *, page_level: bool = False) -> DataFrame:
     """Add ``resolved`` (absolute url or null) to (src_url, href, ...).
 
-    Subset semantics (documented in the module header): absolute
-    http/https pass through; ``//host/x`` -> ``http://host/x``;
-    root-relative ``/x`` -> ``http://<src_host>/x``; anything else
-    (path-relative, mailto:, javascript:, fragments) -> null.
+    Default (host-graph) subset semantics, documented in the module
+    header: absolute http/https pass through; ``//host/x`` ->
+    ``http://host/x``; root-relative ``/x`` -> ``http://<src_host>/x``;
+    anything else (path-relative, mailto:, javascript:, fragments) ->
+    null — none of it can change the target HOST.
+
+    ``page_level=True`` adds RFC 3986 §5 merging for a page-level
+    graph: path-relative hrefs (``a/b``, ``../x``, ``./y``) merge
+    against the source url's directory, query-only hrefs (``?q=2``)
+    replace the query, and BOTH root-relative and merged paths go
+    through §5.2.4 remove-dot-segments (fold over segments — JVM-side,
+    no UDF). The href's fragment is dropped (canonical_url drops it
+    anyway); fragment-ONLY hrefs stay null (intra-page). Verified
+    against Python's ``urllib.parse.urljoin`` as the independent
+    reference (tests/test_webgraph.py) — the iterative pop fold is not
+    regexp-expressible, so the oracle is code, not SQL, per the repo's
+    non-SQL-oracle rule.
     """
     href = F.col("href")
     src_host = url_host(F.col("src_url"))
+    if not page_level:
+        resolved = (
+            F.when(href.rlike(r"^[hH][tT][tT][pP][sS]?://"), href)
+            .when(href.startswith("//"), F.concat(F.lit("http:"), href))
+            .when(
+                href.startswith("/") & (src_host != ""),
+                F.concat(F.lit("http://"), src_host, href),
+            )
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return links.withColumn("resolved", resolved)
+
+    origin = F.concat(F.lit("http://"), src_host)
+    src_path = url_path(F.col("src_url"))
+    # href split into path-part and query (fragment dropped)
+    h_nofrag = F.regexp_replace(href, r"#.*$", "")
+    h_path = F.regexp_replace(h_nofrag, r"\?.*$", "")
+    h_q = F.regexp_extract(h_nofrag, r"\?(.*)$", 1)
+    q_suffix = F.when(h_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), h_q))
+    # source directory: path up to (and including) the last '/'
+    src_dir = F.when(src_path == "", F.lit("/")).otherwise(
+        F.regexp_replace(src_path, r"[^/]*$", "")
+    )
+    has_scheme = href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
     resolved = (
         F.when(href.rlike(r"^[hH][tT][tT][pP][sS]?://"), href)
         .when(href.startswith("//"), F.concat(F.lit("http:"), href))
         .when(
             href.startswith("/") & (src_host != ""),
-            F.concat(F.lit("http://"), src_host, href),
+            F.concat(origin, _remove_dot_segments(h_path), q_suffix),
+        )
+        .when(
+            href.startswith("?") & (src_host != ""),
+            # RFC 3986 §5.3: target path = base path VERBATIM (urljoin
+            # keeps a bare host's empty path: http://h.com?q=2)
+            F.concat(origin, src_path, h_nofrag),
+        )
+        .when(
+            ~has_scheme
+            & ~href.startswith("#")
+            & (h_path != "")
+            & (src_host != ""),
+            F.concat(
+                origin, _remove_dot_segments(F.concat(src_dir, h_path)), q_suffix
+            ),
         )
         .otherwise(F.lit(None).cast("string"))
     )

@@ -40,6 +40,18 @@ CASES = [
     ("http://example.com/p?utm_a=1&utm_b=2", "http://example.com/p"),
     ("http://example.com/p?a=1&&b=2", "http://example.com/p?a=1&b=2"),
     ("http://example.com/p?", "http://example.com/p"),
+    # percent-encoding normalization: unreserved escapes decode,
+    # reserved escapes uppercase, malformed pass through
+    ("http://example.com/a%7eb", "http://example.com/a~b"),
+    ("http://example.com/%41bc%2fd", "http://example.com/Abc%2Fd"),
+    ("http://example.com/100%zz", "http://example.com/100%zz"),
+    ("http://example.com/p?x=%41&%75tm_source=t", "http://example.com/p?x=A"),
+    # default index pages collapse to the directory
+    ("http://example.com/index.html", "http://example.com"),
+    ("http://example.com/docs/index.html", "http://example.com/docs"),
+    ("http://example.com/dir/default.aspx?q=1", "http://example.com/dir/?q=1"),
+    ("http://example.com/indexes.html", "http://example.com/indexes.html"),
+    ("http://example.com/my_index.html", "http://example.com/my_index.html"),
 ]
 
 
@@ -86,6 +98,14 @@ def _synthetic_urls() -> list[str]:
         frag = f"#sec{i}" if i % 6 == 0 else ""
         slash = "/" if i % 2 == 0 and path else ""
         out.append(f"{scheme}://{h}{port}/{path}{slash}{q}{frag}")
+    # percent-encoding + index-page axes (hand-shaped, deterministic)
+    out += [
+        "http://example.com/a%7eb/index.html?x=%41&utm_source=t",
+        "https://x.io/%2Fesc/default.asp",
+        "http://news.site.org/dir/index.htm#f",
+        "http://example.com/100%zz?id=%7E1",
+        "https://Shop.Example.co.uk/%6Aacket/INDEX.html",
+    ]
     return out
 
 
@@ -113,20 +133,32 @@ regexp_replace(
   '^(http://[^/?#:]+):(?:80|443)$', '\1'),
  '#[^#]*$', '')
 """
-_ORC_BASE = rf"regexp_replace({_ORC_PRE}, '\?.*$', '')"
+# RFC 3986 percent normalization (uppercase hex, decode unreserved) as
+# a DuckDB expression over column `pre` — the same split/transform as
+# functions/url.normalize_percent; decode(unhex(..)) is DuckDB's chr.
+_ORC_PNORM = r"""
+CASE WHEN len(string_split(pre, '%')) = 1 THEN pre
+ELSE string_split(pre, '%')[1] || array_to_string(list_transform(
+  string_split(pre, '%')[2:], p ->
+    CASE WHEN NOT regexp_matches(p, '^[0-9a-fA-F]{2}') THEN '%' || p
+         WHEN (upper(substring(p,1,2)) BETWEEN '30' AND '39')
+           OR (upper(substring(p,1,2)) BETWEEN '41' AND '5A')
+           OR (upper(substring(p,1,2)) BETWEEN '61' AND '7A')
+           OR upper(substring(p,1,2)) IN ('2D','2E','5F','7E')
+           THEN decode(unhex(upper(substring(p,1,2))))
+                || regexp_replace(p, '^[0-9a-fA-F]{2}', '')
+         ELSE '%' || upper(substring(p,1,2))
+                || regexp_replace(p, '^[0-9a-fA-F]{2}', '')
+    END), '')
+END"""
+_ORC_IDX = r"/(index|default)\.(html?|htm|php|aspx?)$"
 # coalesce: DuckDB array_to_string([]) is NULL where Spark array_join is ''
-_ORC_KEPT = rf"""
+_ORC_KEPT = r"""
 coalesce(array_to_string(
-  list_filter(string_split(regexp_extract({_ORC_PRE}, '\?(.*)$', 1), '&'),
+  list_filter(string_split(regexp_extract(pn, '\?(.*)$', 1), '&'),
               p -> p <> '' AND NOT regexp_matches(
                 p, '^(utm_[a-zA-Z]+|gclid|fbclid|mc_cid|mc_eid)=')),
   '&'), '')
-"""
-_ORC_CANON = rf"""
-regexp_replace(
-  CASE WHEN {_ORC_KEPT} = '' THEN {_ORC_BASE}
-       ELSE {_ORC_BASE} || '?' || {_ORC_KEPT} END,
-  '(.)/$', '\1')
 """
 
 
@@ -146,15 +178,28 @@ def test_url_features_match_duckdb_oracle(spark, duck_urls):
             duck_urls.executemany(
                 f"INSERT INTO {name} VALUES (?)", [(v,) for v in vals])
     orc = duck_urls.sql(f"""
-WITH u AS (
+WITH u0 AS (
   SELECT url,
        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
        len(list_filter(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'), s -> s != ''))::INT AS path_depth,
        CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN 0
             ELSE len(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'), s -> s != '')) END::INT AS n_params,
        regexp_extract(url, '[?&](utm_[a-z]+|gclid|fbclid|mc_cid|mc_eid)=', 1) != '' AS has_tracking,
-       {_ORC_CANON} AS canonical
+       {_ORC_PRE} AS pre
   FROM urls
+),
+u1 AS (SELECT *, {_ORC_PNORM} AS pn FROM u0),
+u2 AS (
+  SELECT *, regexp_replace(regexp_replace(pn, '\\?.*$', ''), '{_ORC_IDX}', '/') AS base,
+         {_ORC_KEPT} AS kept
+  FROM u1
+),
+u AS (
+  SELECT url, host, path_depth, n_params, has_tracking,
+       regexp_replace(
+         CASE WHEN kept = '' THEN base ELSE base || '?' || kept END,
+         '(.)/$', '\\1') AS canonical
+  FROM u2
 ),
 l AS (
   SELECT u.*, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n

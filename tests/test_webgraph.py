@@ -99,6 +99,49 @@ FROM e, unnest(generate_series(1, len(hrefs))) AS u(i)
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
 
 
+def test_resolve_links_page_level_matches_urljoin(spark):
+    """page_level=True resolution vs Python's urllib.parse.urljoin as
+    the independent reference, over every supported href shape
+    (absolute, protocol-relative, root-relative, path-relative with
+    ./ and ../ chains, query-only) crossed with assorted source paths.
+    The dot-segment pop fold is not regexp/SQL-expressible, so the
+    oracle is code — the repo's non-SQL-oracle pattern."""
+    from urllib.parse import urljoin
+
+    srcs = [
+        "http://h.com/a/b/c",
+        "http://h.com/a/b/",
+        "http://h.com/",
+        "http://h.com",
+        "http://h.com/x/y/z.html?old=1",
+    ]
+    hrefs = [
+        "http://other.com/q", "//p.com/r", "/root/x", "/root/../y",
+        "a/b", "./a", "../up", "../../up2", "../../../over", "d/",
+        "e/./f/../g", "?q=2", "a?x=1#frag", "..", ".",
+    ]
+    rows = [(s, h) for s in srcs for h in hrefs]
+    links = spark.createDataFrame(rows, "src_url string, href string")
+    got = {
+        (r["src_url"], r["href"]): r["resolved"]
+        for r in resolve_links(links, page_level=True).collect()
+    }
+    for s, h in rows:
+        want = urljoin(s, h)
+        want = want.split("#", 1)[0]  # fragment dropped by design
+        assert got[(s, h)] == want, (s, h, got[(s, h)], want)
+
+    # unsupported shapes stay null in page_level mode too
+    weird = spark.createDataFrame(
+        [("http://h.com/a", "mailto:x@y.z"), ("http://h.com/a", "#frag"),
+         ("relative-src", "a/b")],
+        "src_url string, href string",
+    )
+    out = {r["href"]: r["resolved"]
+           for r in resolve_links(weird, page_level=True).collect()}
+    assert out == {"mailto:x@y.z": None, "#frag": None, "a/b": None}
+
+
 def test_links_never_raise_on_junk_bytes(spark):
     rows = [
         ("http://x.com/a", b"\xff\xfe\x00garbage<a href='http://y.com/'>ok</a>"),
