@@ -213,6 +213,16 @@ def public_suffix_len(host: Column, rules: dict[str, frozenset[str]] | None = No
     )
 
 
+def public_suffix(host: Column, rules: dict[str, frozenset[str]] | None = None) -> Column:
+    """The host's public suffix itself (``foo.blogspot.com`` ->
+    ``blogspot.com``, ``a.example.co.uk`` -> ``co.uk``) — what a
+    blocklist entry that names a whole hosting platform or registry
+    must match against (its registrable domains are all different)."""
+    ps = public_suffix_len(host, rules)
+    labels = F.split(host, r"\.")
+    return F.array_join(F.slice(labels, -ps, ps), ".")
+
+
 def registrable_domain(host: Column, rules: dict[str, frozenset[str]] | None = None) -> Column:
     """Registrable domain (public suffix + one label) of a lowercased
     host, '' when the host IS a public suffix or has no dot — e.g.

@@ -162,7 +162,9 @@ def canonical_url(url) -> Column:
     # RE2-safe default-port strip (no lookahead: capture the boundary)
     c = F.regexp_replace(c, r"^(http://[^/?#:]+):(?:80|443)([/?#])", r"$1$2")
     c = F.regexp_replace(c, r"^(http://[^/?#:]+):(?:80|443)$", r"$1")
-    c = F.regexp_replace(c, r"#[^#]*$", "")  # fragment
+    # fragment: everything from the FIRST '#' (messy crawl urls carry
+    # doubled '#'s; '#[^#]*$' would leave '#a' behind in 'p#a#b')
+    c = F.regexp_replace(c, r"#.*$", "")
     c = normalize_percent(c)
     # query rewrite: drop tracking + empty params, rejoin survivors
     base = F.regexp_replace(c, r"\?.*$", "")

@@ -418,10 +418,15 @@ def apply_host_policy(
     any single host's contribution to ~``cap_per_host`` documents.
 
     * **blocklist** — ``block_domains`` is a 1-column (domain) table,
-      config-sized by nature; applied as a broadcast anti-join on the
-      REGISTRABLE domain (public-suffix-list backed, functions/psl.py:
-      blocking ``spam.co.uk`` drops its subdomains but not the rest of
-      ``co.uk``).
+      config-sized by nature; applied as TWO broadcast anti-joins: on
+      the REGISTRABLE domain (public-suffix-list backed,
+      functions/psl.py: blocking ``spam.co.uk`` drops its subdomains
+      but not the rest of ``co.uk``) and on the PUBLIC SUFFIX — so an
+      entry that names a whole hosting platform or registry
+      (``blogspot.com``, ``co.uk``) still matches every host under it
+      (their registrable domains are all different, so the domain join
+      alone would match nothing). Both joins are equi + broadcast; no
+      suffix scan.
     * **per-host cap** — the scale-honest formulation: an exact
       "first N per host" needs a per-host sort, and the hosts that NEED
       capping are precisely the hosts big enough to make that window a
@@ -444,15 +449,20 @@ def apply_host_policy(
 
     Returns the surviving rows of ``docs`` unchanged in schema.
     """
+    from fusus_spark.functions.psl import public_suffix
     from fusus_spark.functions.url import url_domain, url_host
 
     out = docs
     if block_domains is not None:
+        blk = F.broadcast(
+            block_domains.select(F.col(block_domains.columns[0]).alias("__blk__"))
+        )
         out = out.join(
-            F.broadcast(
-                block_domains.select(F.col(block_domains.columns[0]).alias("__blk__"))
-            ),
-            url_domain(F.col(url_col)) == F.col("__blk__"),
+            blk, url_domain(F.col(url_col)) == F.col("__blk__"), "left_anti"
+        )
+        out = out.join(
+            blk,
+            public_suffix(url_host(F.col(url_col))) == F.col("__blk__"),
             "left_anti",
         )
     if cap_per_host is not None:

@@ -691,14 +691,23 @@ def incremental_dedup(
         def test_bits(pos: pd.Series) -> pd.Series:
             # whole-batch numpy over JVM-computed probe positions: one
             # gather into the broadcast bitmap (words rides the closure;
-            # per-row python — the old s.map(md5...) loop — is gone)
+            # per-row python — the old s.map(md5...) loop — is gone).
+            # Null content hashes (null/absent text) produce null
+            # positions -> maybe=False: a null hash can never equal a
+            # store hash, so the doc is definite-new, same verdict the
+            # exact join would return — and the batch must not crash.
             import numpy as np
 
             if len(pos) == 0:
                 return pd.Series([], dtype=bool)
-            p = np.stack(pos.to_numpy())  # (batch, k) int64
-            bits = words[p >> 6] >> (p & 63)
-            return pd.Series((bits & 1).all(axis=1))
+            p = np.stack(pos.to_numpy())  # (batch, k); object/float if nulls
+            bad = pd.isna(p).any(axis=1)
+            out = np.zeros(len(pos), dtype=bool)
+            if (~bad).any():
+                pv = np.stack(p[~bad]).astype(np.int64)
+                bits = words[pv >> 6] >> (pv & 63)
+                out[~bad] = (bits & 1).all(axis=1)
+            return pd.Series(out)
 
         # probe positions via the SAME JVM expression the builder used
         # (md5 stays JVM-side; _probe_positions is the single spec).

@@ -75,22 +75,33 @@ def extract_links(
 
 def _remove_dot_segments(path: Column) -> Column:
     """RFC 3986 §5.2.4 over an absolute path: '.' segments drop, '..'
-    pops, empty segments ('//') collapse; a trailing '/' (or final
-    '.'/'..') keeps the directory form. One JVM ``aggregate`` fold over
-    the split segments — no UDF, no shuffle."""
-    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    pops, EMPTY segments ('//') are ordinary segments and survive
+    (they are significant per RFC — urljoin keeps them); a final
+    '.'/'..' keeps the directory form (trailing '/'). One JVM
+    ``aggregate`` fold over the split segments — no UDF, no shuffle.
+    Verified against urllib.parse.urljoin in tests/test_webgraph.py."""
+    segs = F.split(path, "/")
+    body = F.slice(segs, 2, F.size(segs) - 1)  # drop the leading-'/' artifact
     folded = F.aggregate(
-        segs,
+        body,
         F.array().cast("array<string>"),
         lambda acc, x: F.when(x == ".", acc)
         .when(x == "..", F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))))
         .otherwise(F.concat(acc, F.array(x))),
     )
-    trailing = path.rlike(r"(/|/\.|/\.\.)$")
+    # a literal trailing '/' survives as a final empty segment; only a
+    # final '.'/'..' needs the directory slash re-added (F.get is the
+    # null-on-out-of-bounds accessor — ANSI element_at would throw)
+    dot_final = path.rlike(r"(/\.|/\.\.)$")
     return F.concat(
         F.lit("/"),
         F.array_join(folded, "/"),
-        F.when(trailing & (F.size(folded) > 0), F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            dot_final
+            & (F.size(folded) > 0)
+            & (F.get(folded, F.size(folded) - 1) != ""),
+            F.lit("/"),
+        ).otherwise(F.lit("")),
     )
 
 
@@ -131,7 +142,9 @@ def resolve_links(links: DataFrame, *, page_level: bool = False) -> DataFrame:
 
     origin = F.concat(F.lit("http://"), src_host)
     src_path = url_path(F.col("src_url"))
-    # href split into path-part and query (fragment dropped)
+    # href split into path-part and query (fragment dropped EVERYWHERE
+    # in page-level mode, absolute hrefs included — a target reached
+    # absolutely and relatively must be ONE graph node)
     h_nofrag = F.regexp_replace(href, r"#.*$", "")
     h_path = F.regexp_replace(h_nofrag, r"\?.*$", "")
     h_q = F.regexp_extract(h_nofrag, r"\?(.*)$", 1)
@@ -141,9 +154,25 @@ def resolve_links(links: DataFrame, *, page_level: bool = False) -> DataFrame:
         F.regexp_replace(src_path, r"[^/]*$", "")
     )
     has_scheme = href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+    # absolute / protocol-relative: normalize to one absolute form,
+    # then rebuild as authority + dot-normalized path + query
+    habs = F.when(
+        h_nofrag.rlike(r"^[hH][tT][tT][pP][sS]?://"), h_nofrag
+    ).when(h_nofrag.startswith("//"), F.concat(F.lit("http:"), h_nofrag))
+    abs_auth = F.regexp_extract(habs, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    abs_path = F.regexp_extract(habs, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     resolved = (
-        F.when(href.rlike(r"^[hH][tT][tT][pP][sS]?://"), href)
-        .when(href.startswith("//"), F.concat(F.lit("http:"), href))
+        F.when(
+            habs.isNotNull(),
+            F.concat(
+                abs_auth,
+                # urljoin keeps a bare host's empty path verbatim
+                F.when(abs_path == "", F.lit("")).otherwise(
+                    _remove_dot_segments(abs_path)
+                ),
+                q_suffix,
+            ),
+        )
         .when(
             href.startswith("/") & (src_host != ""),
             F.concat(origin, _remove_dot_segments(h_path), q_suffix),

@@ -195,8 +195,14 @@ class BucketLock:
         try:
             os.kill(int(rec.get("pid", -1)), 0)
             return True
-        except (OSError, ValueError):
+        except ProcessLookupError:
             return False
+        except ValueError:
+            return False  # junk pid field
+        except OSError:
+            # EPERM et al.: the pid EXISTS but belongs to another user —
+            # a live foreign-user writer, not a dead one
+            return True
 
     def acquire(self, bucket: int) -> bool:
         """True if this process now holds the bucket; False if another
@@ -226,8 +232,19 @@ class BucketLock:
                     # leftover must not block the in-process resume
                     if not own and self._alive(rec) and age < self.stale_after_s:
                         return False
-                except (FileNotFoundError, json.JSONDecodeError, ValueError):
-                    pass  # holder vanished or junk: treat as stale
+                except FileNotFoundError:
+                    continue  # holder released between open and read: re-race
+                except (json.JSONDecodeError, ValueError):
+                    # unreadable payload: indistinguishable from a lock
+                    # another writer JUST created but has not finished
+                    # writing — only a file older than the write-grace
+                    # window is stale junk; a fresh one is a live race
+                    # we lose (the other writer holds the O_EXCL win)
+                    try:
+                        if time.time() - os.stat(path).st_mtime < 5.0:
+                            return False
+                    except FileNotFoundError:
+                        continue
                 try:
                     os.unlink(path)  # break stale; loop re-races O_EXCL
                 except FileNotFoundError:
@@ -358,60 +375,66 @@ def run_extraction_job(
             # them — concurrent job instances partition the bucket set
             locked += 1
             continue
-        t0 = time.time()
-        # Partition-pruned read: only this bucket's files are scanned.
-        docs = spark.read.parquet(input_path).where(F.col("bucket") == bucket)
-        stats = docs.agg(
-            F.count("*").alias("rows_in"),
-            F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).alias("bytes_in"),
-        ).first()
-        stage = extract_stage(
-            docs,
-            max_html_bytes=max_html_bytes,
-            emit_words=("words" in emit),
-        )
-        if multi:
-            # one parse feeds every output table; a bucket is sized to
-            # fit executor memory, so the persisted stage is bounded
-            from pyspark import StorageLevel
-
-            stage = stage.persist(StorageLevel.MEMORY_AND_DISK)
-        staged: list[tuple[str, str, str]] = []  # (tmp, final, staging_root)
-        per_kind: dict[str, dict[str, int]] = {}
+        # release in a finally: a transient in-process failure (executor
+        # OOM, write error) must not leave the bucket blocked for other
+        # instances until the staleness timeout; a process CRASH still
+        # leaves the lock for the stale-takeover path
         try:
-            for kind in emit:
-                staging_root = roots[kind].rstrip("/") + ".staging"
-                _sweep_staging(staging_root, bucket)
-                tmp_dir = os.path.join(
-                    staging_root, f"bucket={bucket}-{uuid.uuid4().hex}"
-                )
-                splitters[kind](stage).write.mode("overwrite").parquet(tmp_dir)
-                rows, size = _footer_metrics(tmp_dir)
-                per_kind[kind] = {"rows": rows, "bytes": size}
-                staged.append(
-                    (tmp_dir, os.path.join(roots[kind], f"bucket={bucket}"), staging_root)
-                )
-        finally:
-            if multi:
-                stage.unpersist()  # a failed write must not leak the cache
-        if fail_before_commit is not None and done_now >= fail_before_commit:
-            raise RuntimeError(
-                f"injected failure between write and rename on bucket {bucket}"
+            t0 = time.time()
+            # Partition-pruned read: only this bucket's files are scanned.
+            docs = spark.read.parquet(input_path).where(F.col("bucket") == bucket)
+            stats = docs.agg(
+                F.count("*").alias("rows_in"),
+                F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).alias("bytes_in"),
+            ).first()
+            stage = extract_stage(
+                docs,
+                max_html_bytes=max_html_bytes,
+                emit_words=("words" in emit),
             )
-        for tmp_dir, final_dir, staging_root in staged:
-            _commit_bucket(tmp_dir, final_dir, staging_root, bucket)
-        primary = per_kind.get("words") or per_kind[emit[0]]
-        ledger.mark_done(
-            bucket,
-            rows_in=stats["rows_in"],
-            rows_out=primary["rows"],
-            bytes_in=stats["bytes_in"],
-            bytes_out=primary["bytes"],
-            input_snapshot_id=lineage,
-            wall_ms=int((time.time() - t0) * 1000),
-            **({"outputs": per_kind} if multi else {}),
-        )
-        lock.release(bucket)
+            if multi:
+                # one parse feeds every output table; a bucket is sized to
+                # fit executor memory, so the persisted stage is bounded
+                from pyspark import StorageLevel
+
+                stage = stage.persist(StorageLevel.MEMORY_AND_DISK)
+            staged: list[tuple[str, str, str]] = []  # (tmp, final, staging_root)
+            per_kind: dict[str, dict[str, int]] = {}
+            try:
+                for kind in emit:
+                    staging_root = roots[kind].rstrip("/") + ".staging"
+                    _sweep_staging(staging_root, bucket)
+                    tmp_dir = os.path.join(
+                        staging_root, f"bucket={bucket}-{uuid.uuid4().hex}"
+                    )
+                    splitters[kind](stage).write.mode("overwrite").parquet(tmp_dir)
+                    rows, size = _footer_metrics(tmp_dir)
+                    per_kind[kind] = {"rows": rows, "bytes": size}
+                    staged.append(
+                        (tmp_dir, os.path.join(roots[kind], f"bucket={bucket}"), staging_root)
+                    )
+            finally:
+                if multi:
+                    stage.unpersist()  # a failed write must not leak the cache
+            if fail_before_commit is not None and done_now >= fail_before_commit:
+                raise RuntimeError(
+                    f"injected failure between write and rename on bucket {bucket}"
+                )
+            for tmp_dir, final_dir, staging_root in staged:
+                _commit_bucket(tmp_dir, final_dir, staging_root, bucket)
+            primary = per_kind.get("words") or per_kind[emit[0]]
+            ledger.mark_done(
+                bucket,
+                rows_in=stats["rows_in"],
+                rows_out=primary["rows"],
+                bytes_in=stats["bytes_in"],
+                bytes_out=primary["bytes"],
+                input_snapshot_id=lineage,
+                wall_ms=int((time.time() - t0) * 1000),
+                **({"outputs": per_kind} if multi else {}),
+            )
+        finally:
+            lock.release(bucket)
         done_now += 1
     return {
         "buckets": n_buckets,

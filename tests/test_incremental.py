@@ -135,3 +135,25 @@ def test_hashbloom_probe_matches_builder_expression(spark):
     bloom = build_hash_bloom(one, expected_items=1, fpp=0.01)
     assert bloom.maybe_contains("cafe" * 8)
     assert not bloom.maybe_contains("beef" * 8)
+
+
+def test_incremental_dedup_null_text_does_not_crash(spark, tmp_path):
+    """A null text (dirty crawl row) must flow through BOTH probe paths
+    as definite-new (a null hash can never equal a store hash), never
+    crash the Arrow batch (regression: the numpy probe once applied
+    `>>` to NaN positions)."""
+    store = str(tmp_path / "nstore")
+    snap = spark.createDataFrame(_snapshot_rows(0, 50), "doc_id long, text string")
+    write_hash_store(snap, store)
+    rows = [(1000, None),
+            (1001, "snapshot document number 7 body text with words"),
+            (1002, "novel text")]
+    new = spark.createDataFrame(rows, "doc_id long, text string")
+    bloom = build_hash_bloom(
+        snap.select(F.md5(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("content_hash")),
+        expected_items=50,
+    )
+    for b in (bloom, None):
+        got = {r["doc_id"]: r["is_seen"]
+               for r in incremental_dedup(new, store, bloom=b).collect()}
+        assert got == {1000: False, 1001: True, 1002: False}, b

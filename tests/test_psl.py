@@ -117,41 +117,62 @@ def test_registrable_domain_matches_duckdb_rules_join(spark):
     )
     srows = [tuple(r) for r in sdf.collect()]
 
+    from tests.psl_oracle import PSL_DOMAIN_EXPR, PSL_PS_CASE, install_psl_rules
+
     con = duckdb.connect()
     con.sql("CREATE TABLE hosts (host VARCHAR)")
     con.executemany("INSERT INTO hosts VALUES (?)", [(h,) for h in hosts])
-    rules = compile_rules(PSL_SNAPSHOT)
-    for name in ("set2", "set3", "wild1", "wild2", "exc2", "exc3"):
-        con.sql(f"CREATE TABLE {name} (r VARCHAR)")
-        vals = sorted(rules[name])
-        if vals:
-            con.executemany(f"INSERT INTO {name} VALUES (?)", [(v,) for v in vals])
-    orc = con.sql("""
+    install_psl_rules(con)
+    orc = con.sql(f"""
 WITH l AS (
   SELECT host, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
   FROM hosts
 ),
-p AS (
-  SELECT host, ls, n,
-    CASE
-      WHEN n >= 3 AND array_to_string(list_slice(ls, n-2, n), '.') IN (SELECT r FROM exc3) THEN 2
-      WHEN n >= 2 AND array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM exc2) THEN 1
-      WHEN n >= 3 AND (array_to_string(list_slice(ls, n-2, n), '.') IN (SELECT r FROM set3)
-                    OR array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM wild2)) THEN 3
-      WHEN n >= 2 AND (array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM set2)
-                    OR ls[n] IN (SELECT r FROM wild1)) THEN 2
-      ELSE 1 END AS ps
-  FROM l
-)
-SELECT host, ps::INT AS ps,
-       CASE WHEN n > ps THEN array_to_string(list_slice(ls, n-ps, n), '.')
-            ELSE '' END AS domain
+p AS (SELECT host, ls, n, {PSL_PS_CASE} AS ps FROM l)
+SELECT host, ps::INT AS ps, {PSL_DOMAIN_EXPR} AS domain
 FROM p
 """)
     orows = [tuple(r) for r in orc.fetchall()]
     assert len(srows) == len(orows)
     assert sorted(sdf.columns) == sorted(orc.columns)
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+def test_blocklist_matches_suffix_valued_entries(spark):
+    """A blocklist entry that IS a public suffix (a hosting platform or
+    ccTLD registry) must still match every host under it — their
+    registrable domains all differ, so the domain join alone would
+    match nothing and the operator would silently stop filtering."""
+    from fusus_spark.operators.curate import apply_host_policy
+
+    rows = [
+        (1, "http://alice.blogspot.com/post", "a"),
+        (2, "http://bob.blogspot.com/post", "b"),
+        (3, "http://blogspot.com/", "c"),          # the suffix host itself
+        (4, "http://keep.example.com/x", "d"),
+        (5, "http://spam.co.uk/x", "e"),           # registry-wide block
+        (6, "http://sub.spam.co.uk/x", "f"),
+        (7, "http://fine.org.uk/x", "g"),          # different registry
+        (8, "http://ads.blocked.net/x", "h"),      # ordinary-domain entry
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    block = spark.createDataFrame(
+        [("blogspot.com",), ("spam.co.uk",), ("blocked.net",)], "domain string"
+    )
+    kept = {r["doc_id"]
+            for r in apply_host_policy(docs, block_domains=block).collect()}
+    assert kept == {4, 7}
+
+
+def test_public_suffix_expression(spark):
+    from fusus_spark.functions.psl import public_suffix
+
+    df = spark.createDataFrame(
+        [("foo.blogspot.com",), ("a.example.co.uk",), ("x.com",), ("co.uk",)],
+        "host string",
+    )
+    got = [r["s"] for r in df.select(public_suffix(F.col("host")).alias("s")).collect()]
+    assert got == ["blogspot.com", "co.uk", "com", "co.uk"]
 
 
 def test_psl_lookup_compiles_to_inset(spark):

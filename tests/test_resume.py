@@ -310,10 +310,11 @@ def test_bucket_lock_concurrent_writer_semantics(spark, bucketed_input, tmp_path
     assert not os.listdir(locks)  # no locks left behind
 
 
-def test_bucket_lock_reentrant_after_in_process_crash(spark, bucketed_input, tmp_path):
-    """A crashed attempt's leftover lock from THIS process must not
-    block the in-process resume (reentrant by pid), and an age-stale
-    foreign lock is broken."""
+def test_bucket_lock_exception_release_and_reentrancy(spark, bucketed_input, tmp_path):
+    """An in-process failure releases the lock (finally), so a transient
+    error never blocks other instances for the staleness window; the
+    lock is also reentrant by pid as defense in depth, and age-stale
+    foreign locks are broken."""
     out = str(tmp_path / "re_out")
     ledger_path = str(tmp_path / "re_ledger")
     with pytest.raises(RuntimeError, match="between write and rename"):
@@ -322,18 +323,32 @@ def test_bucket_lock_reentrant_after_in_process_crash(spark, bucketed_input, tmp
             fail_before_commit=1,
         )
     locks = os.path.join(ledger_path, "locks")
-    # the crash left OUR lock on the in-flight bucket
-    assert len(os.listdir(locks)) == 1
+    # the failed attempt RELEASED its lock on the way out
+    assert os.listdir(locks) == []
     s = run_extraction_job(spark, bucketed_input, out, ledger_path, N_BUCKETS)
     assert s["locked"] == 0 and s["processed"] + s["skipped"] == N_BUCKETS
     assert not os.listdir(locks)
 
+    lk = BucketLock(ledger_path, stale_after_s=3600.0)
+    # reentrancy: our own live leftover (the process-crash simulation a
+    # finally cannot cover) does not block re-acquisition
+    assert lk.acquire(0) is True
+    assert lk.acquire(0) is True
+    lk.release(0)
+
     # age-based staleness: a foreign LIVE pid but ancient timestamp
-    lk = BucketLock(ledger_path, stale_after_s=0.0)
     import json
     import socket
 
+    lk0 = BucketLock(ledger_path, stale_after_s=0.0)
     with open(os.path.join(locks, "bucket=0.lock"), "w") as f:
         json.dump({"pid": 1, "host": socket.gethostname(), "ts": 0}, f)
-    assert lk.acquire(0) is True
-    lk.release(0)
+    assert lk0.acquire(0) is True
+    lk0.release(0)
+
+    # a live foreign lock with an UNREADABLE payload younger than the
+    # write-grace window is treated as held (mid-creation race), not junk
+    with open(os.path.join(locks, "bucket=1.lock"), "w") as f:
+        f.write("")  # empty: exactly what a mid-write lock looks like
+    assert BucketLock(ledger_path).acquire(1) is False
+    os.unlink(os.path.join(locks, "bucket=1.lock"))

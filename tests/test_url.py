@@ -20,6 +20,7 @@ CASES = [
     ("http://example.com/a/b/", "http://example.com/a/b"),
     ("http://example.com/", "http://example.com"),
     ("http://example.com/a#frag", "http://example.com/a"),
+    ("http://example.com/p#a#b", "http://example.com/p"),  # doubled '#'
     ("http://example.com/a?utm_source=x", "http://example.com/a"),
     ("http://example.com/a?utm_source=x&q=1", "http://example.com/a?q=1"),
     ("http://example.com/a?q=1&utm_medium=y", "http://example.com/a?q=1"),
@@ -131,7 +132,7 @@ regexp_replace(
     '^https://', 'http://'),
    '^(http://[^/?#:]+):(?:80|443)([/?#])', '\1\2'),
   '^(http://[^/?#:]+):(?:80|443)$', '\1'),
- '#[^#]*$', '')
+ '#.*$', '')
 """
 # RFC 3986 percent normalization (uppercase hex, decode unreserved) as
 # a DuckDB expression over column `pre` — the same split/transform as
@@ -166,17 +167,11 @@ def test_url_features_match_duckdb_oracle(spark, duck_urls):
     df = spark.createDataFrame([(u,) for u in _synthetic_urls()], "url string")
     sdf = url_features(df)
     srows = [tuple(r) for r in sdf.collect()]
-    # registrable domain: the SAME PSL rules-table join as test_psl.py
+    # registrable domain: the ONE shared PSL rules-table oracle
     # (url_domain is PSL-backed; the corpus includes co.uk/com.au hosts)
-    from fusus_spark.functions.psl import PSL_SNAPSHOT, compile_rules
+    from tests.psl_oracle import PSL_DOMAIN_EXPR, PSL_PS_CASE, install_psl_rules
 
-    rules = compile_rules(PSL_SNAPSHOT)
-    for name in ("set2", "set3", "wild1", "wild2", "exc2", "exc3"):
-        duck_urls.sql(f"CREATE OR REPLACE TABLE {name} (r VARCHAR)")
-        vals = sorted(rules[name])
-        if vals:
-            duck_urls.executemany(
-                f"INSERT INTO {name} VALUES (?)", [(v,) for v in vals])
+    install_psl_rules(duck_urls)
     orc = duck_urls.sql(f"""
 WITH u0 AS (
   SELECT url,
@@ -205,21 +200,8 @@ l AS (
   SELECT u.*, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
   FROM u
 ),
-p AS (
-  SELECT l.*,
-    CASE
-      WHEN n >= 3 AND array_to_string(list_slice(ls, n-2, n), '.') IN (SELECT r FROM exc3) THEN 2
-      WHEN n >= 2 AND array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM exc2) THEN 1
-      WHEN n >= 3 AND (array_to_string(list_slice(ls, n-2, n), '.') IN (SELECT r FROM set3)
-                    OR array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM wild2)) THEN 3
-      WHEN n >= 2 AND (array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM set2)
-                    OR ls[n] IN (SELECT r FROM wild1)) THEN 2
-      ELSE 1 END AS ps
-  FROM l
-)
-SELECT url, host,
-       CASE WHEN n > ps THEN array_to_string(list_slice(ls, n-ps, n), '.')
-            ELSE '' END AS domain,
+p AS (SELECT l.*, {PSL_PS_CASE} AS ps FROM l)
+SELECT url, host, {PSL_DOMAIN_EXPR} AS domain,
        path_depth, n_params, has_tracking, canonical
 FROM p
 """)

@@ -4,6 +4,8 @@ so the oracle runs in-test)."""
 
 from __future__ import annotations
 
+import re
+
 import duckdb
 
 from fusus_spark.operators.webgraph import (
@@ -117,8 +119,10 @@ def test_resolve_links_page_level_matches_urljoin(spark):
     ]
     hrefs = [
         "http://other.com/q", "//p.com/r", "/root/x", "/root/../y",
-        "a/b", "./a", "../up", "../../up2", "../../../over", "d/",
-        "e/./f/../g", "?q=2", "a?x=1#frag", "..", ".",
+        "/root//x", "a/b", "a//../b", "./a", "../up", "../../up2",
+        "../../../over", "d/", "e/./f/../g", "?q=2", "a?x=1#frag",
+        "..", ".", "http://other.com/a/../b#z", "//p.com/c/./d",
+        "http://other.com",
     ]
     rows = [(s, h) for s in srcs for h in hrefs]
     links = spark.createDataFrame(rows, "src_url string, href string")
@@ -126,10 +130,54 @@ def test_resolve_links_page_level_matches_urljoin(spark):
         (r["src_url"], r["href"]): r["resolved"]
         for r in resolve_links(links, page_level=True).collect()
     }
+
+    def ref_rds(path: str) -> str:
+        # independent RFC 3986 §5.2.4 reference. urljoin deviates from
+        # the RFC in two places this operator does NOT follow: absolute
+        # references pass through verbatim (no dot removal), and '..'
+        # pops THROUGH empty segments ('a//../b' -> 'b' instead of the
+        # RFC's 'a/b', where '..' removes only the empty segment).
+        out = []
+        for s in path.split("/")[1:]:
+            if s == ".":
+                continue
+            if s == "..":
+                if out:
+                    out.pop()
+                continue
+            out.append(s)
+        r = "/" + "/".join(out)
+        if path.endswith(("/.", "/..")) and out and out[-1] != "":
+            r += "/"
+        return r
+
+    def ref_resolve(src: str, h: str) -> str:
+        # full independent resolver (RFC 3986 §5.3 subset of this op)
+        h = h.split("#", 1)[0]
+        m = re.match(r"^(https?://[^/?#]*)([^?#]*)\??(.*)$", src)
+        origin, src_path = m.group(1), m.group(2)
+        hp, _, hq = h.partition("?")
+        q = "?" + hq if hq else ""
+        if h.startswith(("http://", "//")):
+            a = h if not h.startswith("//") else "http:" + h
+            am = re.match(r"^(https?://[^/?#]*)([^?#]*)\??(.*)$", a)
+            path = am.group(2)
+            return am.group(1) + (ref_rds(path) if path else "") + (
+                "?" + am.group(3) if am.group(3) else "")
+        if h.startswith("/"):
+            return origin + ref_rds(hp) + q
+        if h.startswith("?"):
+            return origin + src_path + h
+        src_dir = re.sub(r"[^/]*$", "", src_path) or "/"
+        return origin + ref_rds(src_dir + hp) + q
+
     for s, h in rows:
-        want = urljoin(s, h)
-        want = want.split("#", 1)[0]  # fragment dropped by design
+        want = ref_resolve(s, h)
         assert got[(s, h)] == want, (s, h, got[(s, h)], want)
+        # external anchor: where urllib IS RFC-faithful (relative refs
+        # without empty segments), urljoin must agree with both
+        if not h.startswith(("http://", "//")) and "//" not in h:
+            assert want == urljoin(s, h).split("#", 1)[0], (s, h)
 
     # unsupported shapes stay null in page_level mode too
     weird = spark.createDataFrame(
