@@ -436,6 +436,54 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     )
 
 
+def cluster_representatives(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score_e6",
+) -> DataFrame:
+    """Quality-based survivor selection per dup cluster — the keep-the-
+    BEST-copy policy real training pipelines use (SemDeDup/FineWeb keep
+    the highest-quality member of a near-dup cluster; min-id is only
+    the determinism fallback when no quality signal exists).
+
+    Input: ``clusters`` (doc_id, cluster_id) — dup_clusters output —
+    and ``quality`` (doc_id, score_e6), e.g. curation_gate token counts
+    or quality_score; integer scores keep the choice oracle-exact.
+    Members missing from ``quality`` score 0 (never preferred over a
+    scored twin, still eligible as last resort).
+
+    Returns (cluster_id, rep_id, rep_score_e6, n_members). Survivor =
+    max score, doc_id ASC tie-break — deterministic and rerun-stable.
+    Plan: one corpus-wide equi-join (doc_id, co-partitioned at scale
+    with the cluster shuffle) + ONE groupBy(cluster) max-of-struct
+    (partial-agg'd); no window, no per-cluster sort — the same
+    sort-free argument as apply_host_policy's cap: big clusters are
+    exactly the ones a window would straggle on.
+    """
+    q = quality.select(
+        F.col(id_col).alias("__qid__"), F.col(score_col).alias("__score__")
+    )
+    m = (
+        clusters.select(F.col(id_col).alias("doc_id"), F.col(cluster_col).alias("cluster_id"))
+        .join(q, F.col("doc_id") == F.col("__qid__"), "left")
+        .select(
+            "cluster_id",
+            "doc_id",
+            F.coalesce("__score__", F.lit(0)).cast("bigint").alias("score"),
+        )
+    )
+    # max(struct(score, -doc_id)): highest score wins, smallest doc_id
+    # on ties (negation flips the struct comparison's second key)
+    best = F.max(F.struct(F.col("score"), (-F.col("doc_id")).alias("nid")))
+    return m.groupBy("cluster_id").agg(
+        (-best["nid"]).cast("long").alias("rep_id"),
+        best["score"].alias("rep_score_e6"),
+        F.count("*").cast("int").alias("n_members"),
+    )
+
+
 def embedding_near_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -1,0 +1,134 @@
+"""Crawl-frontier signals: cross-snapshot change tracking and revisit
+priority.
+
+A recurring crawl holds multiple snapshots of every url ((url,
+content_hash, crawl_date) rows — exactly what ``write_hash_store``
+accumulates per snapshot). The frontier question is WHERE TO SPEND THE
+NEXT FETCH: urls whose content churns every snapshot deserve frequent
+revisits, static pages do not, and hosts that never change can be
+demoted wholesale. The classic formulation (Cho & Garcia-Molina 2003,
+"Effective Page Refresh Policies for Web Crawlers") estimates per-page
+change frequency from observed change/no-change samples; these
+operators compute that evidence with two shuffles total.
+
+Plan shapes:
+
+* ``url_change_stats`` — ONE window per url ordered by crawl_date
+  (lag(content_hash) -> changed flag) folded by ONE groupBy(url):
+  the shuffle carries (url, hash, date) rows once; no self-joins.
+* ``host_change_stats`` — map-side host extract over the per-url
+  stats + one groupBy(host): hosts aggregate url-level ratios, so
+  the second shuffle carries one row per url, not per observation.
+
+Scaled-integer ratios (e6) keep the DuckDB oracles hash-exact; the
+deterministic tie-breaks (crawl_date, content_hash) make reruns
+byte-stable even when two snapshots of a url share a date.
+
+Reference role analog: the reference's per-page reprocessing decision
+(fusus/book.py:463-485 — which pages to re-run) lifted to the crawl's
+time axis: which urls to re-FETCH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from fusus_spark.functions.url import url_host
+
+
+def url_change_stats(snaps: DataFrame) -> DataFrame:
+    """Per-url churn evidence from snapshot history rows
+    (url, content_hash, crawl_date).
+
+    Returns (url, n_snapshots, n_changes, change_ratio_e6, first_date,
+    last_date, last_hash): ``n_changes`` counts hash transitions
+    between CONSECUTIVE snapshots (k snapshots give k-1 comparisons),
+    ``change_ratio_e6`` = round(n_changes / (n_snapshots-1) * 1e6)
+    (0 for single-snapshot urls — no evidence is not evidence of
+    change). Duplicate (url, crawl_date) rows are deterministic via
+    the (crawl_date, content_hash) ordering tie-break.
+    """
+    w = Window.partitionBy("url").orderBy("crawl_date", "content_hash")
+    obs = snaps.select("url", "content_hash", "crawl_date").withColumn(
+        "__prev__", F.lag("content_hash").over(w)
+    )
+    changed = (
+        F.col("__prev__").isNotNull()
+        & (F.col("content_hash") != F.col("__prev__"))
+    ).cast("int")
+    return (
+        obs.withColumn("__chg__", changed)
+        .groupBy("url")
+        .agg(
+            F.count("*").cast("int").alias("n_snapshots"),
+            F.sum("__chg__").cast("int").alias("n_changes"),
+            F.min("crawl_date").alias("first_date"),
+            F.max("crawl_date").alias("last_date"),
+            # hash of the LAST snapshot (max by the same ordering)
+            F.max(F.struct("crawl_date", "content_hash"))["content_hash"].alias(
+                "last_hash"
+            ),
+        )
+        .withColumn(
+            "change_ratio_e6",
+            F.when(
+                F.col("n_snapshots") > 1,
+                F.round(F.col("n_changes") / (F.col("n_snapshots") - 1) * 1_000_000),
+            ).otherwise(F.lit(0)).cast("bigint"),
+        )
+    )
+
+
+def host_change_stats(url_stats: DataFrame) -> DataFrame:
+    """Host-level churn rollup over ``url_change_stats`` output:
+    (host, n_urls, mean_change_ratio_e6, n_hot_urls, hot_ratio_e6)
+    where a url is HOT when it changed in more than half its observed
+    intervals (change_ratio_e6 > 500000). The revisit-priority signal
+    a frontier scheduler keys on — and the demotion signal for
+    never-changing hosts. Urls whose host cannot be parsed ('') are
+    dropped (no host to schedule)."""
+    h = url_stats.select(
+        url_host(F.col("url")).alias("host"),
+        "change_ratio_e6",
+        (F.col("change_ratio_e6") > 500_000).cast("int").alias("__hot__"),
+    ).where(F.col("host") != "")
+    return h.groupBy("host").agg(
+        F.count("*").cast("int").alias("n_urls"),
+        F.round(F.avg("change_ratio_e6")).cast("bigint").alias("mean_change_ratio_e6"),
+        F.sum("__hot__").cast("int").alias("n_hot_urls"),
+        F.round(F.sum("__hot__") / F.count("*") * 1_000_000)
+        .cast("bigint")
+        .alias("hot_ratio_e6"),
+    )
+
+
+def revisit_priority(
+    url_stats: DataFrame, *, as_of_date: str, halflife_days: int = 30
+) -> DataFrame:
+    """Fetch-priority score per url: churn evidence x staleness.
+
+    ``priority_e6 = round(smoothed_change_ratio * staleness_days /
+    halflife_days * 1e6)`` where ``smoothed_change_ratio`` is the
+    Laplace-smoothed (n_changes+1)/(n_intervals+2) — single-snapshot
+    urls get the 0.5 prior rather than a hard 0, so NEW urls are not
+    starved — and ``staleness_days`` counts from ``last_date`` to
+    ``as_of_date`` (pass the schedule date explicitly: a wall-clock
+    default would make the plan nondeterministic, the repo contract).
+    Integer-exact: datediff is an int, the smoothed ratio has an exact
+    decimal form, and the product is rounded once at e6. Map-side only
+    over the url_change_stats output (no further shuffle).
+    """
+    intervals = F.col("n_snapshots") - 1
+    smoothed = (F.col("n_changes") + 1) / (intervals + 2)
+    staleness = F.datediff(F.to_date(F.lit(as_of_date)), F.to_date("last_date"))
+    return url_stats.select(
+        "url",
+        "n_snapshots",
+        "n_changes",
+        "last_date",
+        F.round(
+            smoothed * F.greatest(staleness, F.lit(0)) / halflife_days * 1_000_000
+        )
+        .cast("bigint")
+        .alias("priority_e6"),
+    )

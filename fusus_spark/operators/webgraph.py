@@ -422,3 +422,45 @@ def host_anchor_texts(
         counts.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= k)
     )
+
+
+def enrich_with_anchors(
+    docs: DataFrame, anchors: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Attach the web's description of each document's host as a
+    feature column — the anchor-text-as-data trick (inbound anchor
+    text is how search engines have described pages since PageRank;
+    for training data it is an auxiliary relevance/quality signal and
+    a retrieval key).
+
+    ``anchors`` is ``host_anchor_texts`` output (host, anchor, n_refs,
+    rnk). Each doc gains ``anchor_texts`` (array<string>, rnk-ordered —
+    the deterministic top-k) and ``n_anchor_refs`` (total inbound
+    cross-host references); hosts with no inbound anchors get [] / 0,
+    and rows pass through otherwise unchanged.
+
+    Plan: the anchors side collapses FIRST to one row per host
+    (sort_array of (rnk, anchor) structs -> ordered array: an agg, not
+    a window) and at web scale hosts are ~10^7-10^8 rows of short
+    strings — broadcastable after the collapse; the join adds no
+    doc-side shuffle either way because it keys on the map-side host
+    expression.
+    """
+    per_host = anchors.groupBy("host").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rnk", "anchor"))),
+            lambda s: s["anchor"],
+        ).alias("anchor_texts"),
+        F.sum("n_refs").cast("int").alias("n_anchor_refs"),
+    )
+    out = docs.withColumn("__host__", url_host(F.col(url_col))).join(
+        per_host, F.col("__host__") == per_host["host"], "left"
+    )
+    return (
+        out.drop("host", "__host__")
+        .withColumn(
+            "anchor_texts",
+            F.coalesce("anchor_texts", F.array().cast("array<string>")),
+        )
+        .withColumn("n_anchor_refs", F.coalesce("n_anchor_refs", F.lit(0)))
+    )

@@ -1,0 +1,136 @@
+"""Crawl-frontier signal tests: hand-pinned churn cases + DuckDB hash
+cross-checks (beyond the 50-query registry, so the oracles run
+in-test), plus the deterministic revisit-priority arithmetic."""
+
+from __future__ import annotations
+
+import duckdb
+
+from fusus_spark.operators.frontier import (
+    host_change_stats,
+    revisit_priority,
+    url_change_stats,
+)
+from tools.parity import value_hash
+
+
+def _snapshots() -> list[tuple[str, str, str]]:
+    """(url, content_hash, crawl_date): a churner, a static page, a
+    single-observation url, and a host mixing both."""
+    rows = []
+    # churns every snapshot
+    for i, d in enumerate(["2026-01-01", "2026-01-08", "2026-01-15", "2026-01-22"]):
+        rows.append(("http://news.com/front", f"h{i}", d))
+    # static across 3 snapshots
+    for d in ["2026-01-01", "2026-01-08", "2026-01-15"]:
+        rows.append(("http://docs.com/page", "same", d))
+    # changes once in 3 intervals
+    for hsh, d in [("a", "2026-01-01"), ("a", "2026-01-08"),
+                   ("b", "2026-01-15"), ("b", "2026-01-22")]:
+        rows.append(("http://mix.com/x", hsh, d))
+    rows.append(("http://mix.com/once", "solo", "2026-01-10"))
+    # duplicate (url, date) rows: tie-break must stay deterministic
+    rows.append(("http://docs.com/page", "same", "2026-01-15"))
+    return rows
+
+
+def test_url_change_stats_hand_cases(spark):
+    df = spark.createDataFrame(
+        _snapshots(), "url string, content_hash string, crawl_date string"
+    )
+    got = {r["url"]: r for r in url_change_stats(df).collect()}
+    assert got["http://news.com/front"]["n_changes"] == 3
+    assert got["http://news.com/front"]["change_ratio_e6"] == 1_000_000
+    assert got["http://news.com/front"]["last_hash"] == "h3"
+    assert got["http://docs.com/page"]["n_changes"] == 0
+    assert got["http://docs.com/page"]["n_snapshots"] == 4  # incl. the dup row
+    assert got["http://mix.com/x"]["n_changes"] == 1
+    assert got["http://mix.com/x"]["change_ratio_e6"] == 333_333
+    assert got["http://mix.com/once"]["n_snapshots"] == 1
+    assert got["http://mix.com/once"]["change_ratio_e6"] == 0
+
+
+def test_url_and_host_change_stats_match_duckdb(spark):
+    df = spark.createDataFrame(
+        _snapshots(), "url string, content_hash string, crawl_date string"
+    )
+    sdf = url_change_stats(df)
+    con = duckdb.connect()
+    con.sql("CREATE TABLE snaps (url VARCHAR, content_hash VARCHAR, crawl_date VARCHAR)")
+    con.executemany("INSERT INTO snaps VALUES (?, ?, ?)", _snapshots())
+    orc = con.sql("""
+WITH o AS (
+  SELECT url, content_hash, crawl_date,
+         lag(content_hash) OVER (PARTITION BY url ORDER BY crawl_date, content_hash) AS prev
+  FROM snaps
+),
+g AS (
+  SELECT url, count(*)::INT AS n_snapshots,
+         sum(CASE WHEN prev IS NOT NULL AND content_hash != prev THEN 1 ELSE 0 END)::INT AS n_changes,
+         min(crawl_date) AS first_date, max(crawl_date) AS last_date,
+         max(crawl_date || chr(1) || content_hash) AS mx
+  FROM o GROUP BY url
+)
+SELECT url, n_snapshots, n_changes, first_date, last_date,
+       string_split(mx, chr(1))[2] AS last_hash,
+       CASE WHEN n_snapshots > 1
+            THEN round(n_changes / (n_snapshots - 1) * 1000000)
+            ELSE 0 END::BIGINT AS change_ratio_e6
+FROM g
+""")
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+    hdf = host_change_stats(sdf)
+    horc = con.sql("""
+WITH o AS (
+  SELECT url, content_hash, crawl_date,
+         lag(content_hash) OVER (PARTITION BY url ORDER BY crawl_date, content_hash) AS prev
+  FROM snaps
+),
+g AS (
+  SELECT url, count(*) AS n_snapshots,
+         sum(CASE WHEN prev IS NOT NULL AND content_hash != prev THEN 1 ELSE 0 END) AS n_changes
+  FROM o GROUP BY url
+),
+u AS (
+  SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+         CASE WHEN n_snapshots > 1
+              THEN round(n_changes / (n_snapshots - 1) * 1000000)
+              ELSE 0 END::BIGINT AS cr
+  FROM g
+)
+SELECT host, count(*)::INT AS n_urls,
+       round(avg(cr))::BIGINT AS mean_change_ratio_e6,
+       sum(CASE WHEN cr > 500000 THEN 1 ELSE 0 END)::INT AS n_hot_urls,
+       round(sum(CASE WHEN cr > 500000 THEN 1 ELSE 0 END) / count(*) * 1000000)::BIGINT AS hot_ratio_e6
+FROM u WHERE host != '' GROUP BY host
+""")
+    hrows = [tuple(r) for r in hdf.collect()]
+    horows = [tuple(r) for r in horc.fetchall()]
+    assert len(hrows) == len(horows)
+    assert value_hash(hdf.columns, hrows) == value_hash(horc.columns, horows)
+
+
+def test_revisit_priority(spark):
+    df = spark.createDataFrame(
+        _snapshots(), "url string, content_hash string, crawl_date string"
+    )
+    got = {
+        r["url"]: r
+        for r in revisit_priority(
+            url_change_stats(df), as_of_date="2026-02-21", halflife_days=30
+        ).collect()
+    }
+    # churner: smoothed (3+1)/(3+2)=0.8, stale 30d -> 0.8 * 30/30 = 0.8
+    assert got["http://news.com/front"]["priority_e6"] == 800_000
+    # static: (0+1)/(3+2)=0.2, stale 37d -> round(0.2*37/30*1e6)
+    assert got["http://docs.com/page"]["priority_e6"] == round(0.2 * 37 / 30 * 1e6)
+    # single snapshot: 0.5 prior, stale 42d
+    assert got["http://mix.com/once"]["priority_e6"] == round(0.5 * 42 / 30 * 1e6)
+    # churny urls outrank static ones at comparable staleness
+    assert (got["http://news.com/front"]["priority_e6"]
+            > got["http://docs.com/page"]["priority_e6"])

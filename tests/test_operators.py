@@ -497,3 +497,52 @@ def test_media_features_jpeg_real_dims(spark):
     assert (m["width"], m["height"]) == (640, 160)
     r = resize_images(df, target=64).collect()[0]
     assert (r["out_width"], r["out_height"]) == (64, 16)
+
+
+def test_cluster_representatives_quality_based(spark):
+    """Keep-the-best-copy survivor selection: highest score wins, min
+    doc_id on ties, unscored members rank below scored ones; DuckDB
+    window oracle cross-check."""
+    import duckdb
+
+    from fusus_spark.operators.dedup import cluster_representatives
+    from tools.parity import value_hash
+
+    clusters = [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)]
+    quality = [(1, 500_000), (2, 900_000), (3, 900_000),
+               (10, 100_000), (21, 0)]  # 11 unscored; 20 unscored, 21 scored 0
+    cdf = spark.createDataFrame(clusters, "doc_id long, cluster_id long")
+    qdf = spark.createDataFrame(quality, "doc_id long, score_e6 long")
+    got = {r["cluster_id"]: r
+           for r in cluster_representatives(cdf, qdf).collect()}
+    assert got[1]["rep_id"] == 2            # 900k tie -> min doc_id
+    assert got[1]["rep_score_e6"] == 900_000 and got[1]["n_members"] == 3
+    assert got[10]["rep_id"] == 10          # scored beats unscored
+    assert got[20]["rep_id"] == 20          # 0 == missing: min-id fallback
+    assert got[20]["rep_score_e6"] == 0
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE c (doc_id BIGINT, cluster_id BIGINT)")
+    con.sql("CREATE TABLE q (doc_id BIGINT, score_e6 BIGINT)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", clusters)
+    con.executemany("INSERT INTO q VALUES (?, ?)", quality)
+    orc = con.sql("""
+WITH m AS (
+  SELECT c.cluster_id, c.doc_id, coalesce(q.score_e6, 0) AS score
+  FROM c LEFT JOIN q USING (doc_id)
+),
+r AS (
+  SELECT cluster_id, doc_id, score,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY score DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS nm
+  FROM m
+)
+SELECT cluster_id, doc_id AS rep_id, score AS rep_score_e6, nm::INT AS n_members
+FROM r WHERE rn = 1
+""")
+    sdf = cluster_representatives(cdf, qdf)
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)

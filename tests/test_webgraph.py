@@ -203,6 +203,24 @@ def test_links_never_raise_on_junk_bytes(spark):
     ]
 
 
+def test_enrich_with_anchors(spark):
+    """Docs gain the web's description of their host (rnk-ordered
+    anchor array + total inbound refs); anchorless hosts get []/0 and
+    rows pass through unchanged."""
+    from fusus_spark.operators.webgraph import enrich_with_anchors, host_anchor_texts
+
+    anchors = host_anchor_texts(_docs(spark), k=2)
+    docs = spark.createDataFrame(
+        [(1, "http://b.com/landing", "x"), (2, "http://nowhere.org/p", "y")],
+        "doc_id long, url string, text string",
+    )
+    got = {r["doc_id"]: r for r in enrich_with_anchors(docs, anchors).collect()}
+    assert got[1]["anchor_texts"] == ["e to b", "to b"]  # rnk order
+    assert got[1]["n_anchor_refs"] == 2
+    assert got[2]["anchor_texts"] == [] and got[2]["n_anchor_refs"] == 0
+    assert got[1]["text"] == "x"  # passthrough columns intact
+
+
 # -------------------------------------------------------------- host_pagerank
 
 

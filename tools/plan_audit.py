@@ -132,6 +132,27 @@ CHECKS = {
     ],
     # stratified sampling is a pure map-side md5-threshold filter
     "stratified_sample": [("Exchange", 1), ("SortMergeJoin", False)],
+    # frontier churn: per-url window (never a single global partition)
+    # folded by one agg; priority is map-side on top
+    "revisit_priority": [
+        ("Window", True),
+        ("Exchange SinglePartition", False),
+        ("CartesianProduct", False),
+    ],
+    "host_change_stats": [("HashAggregate", True), ("CartesianProduct", False)],
+    # survivor selection is agg-only by design: the sort-free claim —
+    # a per-cluster window would straggle on exactly the big clusters
+    "cluster_representatives": [
+        ("Aggregate", True),
+        ("Window", False),
+        ("CartesianProduct", False),
+    ],
+    # anchors collapse to one row per host via agg; the only Window is
+    # host_anchor_texts' per-host top-k upstream (never SinglePartition)
+    "enrich_with_anchors": [
+        ("Exchange SinglePartition", False),
+        ("CartesianProduct", False),
+    ],
 }
 
 
@@ -280,6 +301,40 @@ def _extra_frames():
             load(spark, sf_dir, "documents"), {"en": 500_000}, default_ppm=250_000
         )
 
+    def _snap_docs(spark, sf_dir):
+        return load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), F.pmod("doc_id", F.lit(50))).alias("url"),
+            F.md5(F.concat(F.lit("c"), F.pmod("doc_id", F.lit(3)))).alias("content_hash"),
+            F.concat(F.lit("2026-01-0"), (F.pmod("doc_id", F.lit(9)) + 1)).alias("crawl_date"),
+        )
+
+    def f_revisit(spark, sf_dir):
+        from fusus_spark.operators.frontier import revisit_priority, url_change_stats
+
+        return revisit_priority(
+            url_change_stats(_snap_docs(spark, sf_dir)), as_of_date="2026-02-01"
+        )
+
+    def f_host_change(spark, sf_dir):
+        from fusus_spark.operators.frontier import host_change_stats, url_change_stats
+
+        return host_change_stats(url_change_stats(_snap_docs(spark, sf_dir)))
+
+    def f_cluster_reps(spark, sf_dir):
+        from fusus_spark.operators.dedup import cluster_representatives
+
+        docs = load(spark, sf_dir, "documents")
+        clusters = docs.select("doc_id", F.pmod("doc_id", F.lit(97)).alias("cluster_id"))
+        quality = docs.select("doc_id", (F.length("text") * 100).alias("score_e6"))
+        return cluster_representatives(clusters, quality)
+
+    def f_enrich(spark, sf_dir):
+        from fusus_spark.operators.webgraph import enrich_with_anchors, host_anchor_texts
+
+        web = _web_docs(spark, sf_dir)
+        return enrich_with_anchors(web, host_anchor_texts(web, k=3))
+
     return {"decontaminate": f_decontam, "dedup_lines": f_lines,
             "redact_pii": f_pii, "dedup_passages": f_passages,
             "pack_sequences": f_pack, "apply_host_policy": f_host_policy,
@@ -289,7 +344,10 @@ def _extra_frames():
             "host_stats": f_host_stats, "repetition_stats": f_repetition,
             "compression_ratio": f_compression, "host_pagerank": f_pagerank,
             "host_anchor_texts": f_anchors,
-            "dedup_by_canonical_url": f_canon, "stratified_sample": f_sample}
+            "dedup_by_canonical_url": f_canon, "stratified_sample": f_sample,
+            "revisit_priority": f_revisit, "host_change_stats": f_host_change,
+            "cluster_representatives": f_cluster_reps,
+            "enrich_with_anchors": f_enrich}
 
 
 def main() -> None:
