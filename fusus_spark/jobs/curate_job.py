@@ -10,6 +10,10 @@
 Tier order is cheapest-signal-first so every tier shrinks the next
 tier's input (the CCNet / RefinedWeb macro shape):
 
+    0. robots opt-out (optional) (pages declaring meta noindex are
+                                  dropped — publisher consent first;
+                                  pure map-side filter, the cheapest
+                                  tier of all)
     1. canonical-URL dedup       (one shuffle on the canonical key)
     1b. host policy (optional)   (domain blocklist broadcast anti-join +
                                   sort-free per-host cap; metadata only)
@@ -59,6 +63,7 @@ def run_job(
     input_path: str,
     output_path: str,
     eval_path: str | None = None,
+    respect_robots: bool = False,
     block_domains_path: str | None = None,
     cap_per_host: int | None = None,
     host_prior_min_rank_e9: int | None = None,
@@ -87,6 +92,16 @@ def run_job(
     out = output_path.rstrip("/")
     docs = spark.read.parquet(input_path)
     summary: dict = {"n_input": docs.count()}
+
+    # 0. optional robots opt-out (needs html): publisher consent before
+    # any other spend — a noindex page must not even pay for dedup.
+    # The signals table is the audit; the filter itself is map-side.
+    if respect_robots and "html" in docs.columns:
+        from fusus_spark.operators.robots import apply_robots_optout, robots_signals
+
+        robots_signals(docs).write.mode("overwrite").parquet(f"{out}/audit/robots")
+        docs = apply_robots_optout(docs)
+        summary["n_after_robots"] = docs.count()
 
     # 1. canonical-URL dedup (cheapest tier; only if a url column exists)
     if "url" in docs.columns:
@@ -260,6 +275,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--input", required=True, help="documents parquet dir")
     p.add_argument("--output", required=True, help="curated corpus output dir")
     p.add_argument("--eval", help="benchmark/eval parquet dir for decontamination")
+    p.add_argument("--respect-robots", action="store_true",
+                   help="drop pages declaring meta robots noindex "
+                        "(tier 0, needs an html column)")
     p.add_argument("--block-domains",
                    help="parquet dir with a 1-column domain blocklist (tier 1b)")
     p.add_argument("--cap-per-host", type=int, default=None,
@@ -288,6 +306,7 @@ def main(argv: list[str] | None = None) -> None:
         input_path=args.input,
         output_path=args.output,
         eval_path=args.eval,
+        respect_robots=args.respect_robots,
         block_domains_path=args.block_domains,
         cap_per_host=args.cap_per_host,
         host_prior_min_rank_e9=args.host_prior_min_rank_e9,

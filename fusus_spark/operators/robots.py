@@ -1,0 +1,112 @@
+"""Robots/opt-out signals: in-page crawl-consent directives.
+
+A training-data pipeline that respects publisher opt-outs needs the
+in-page half of the robots protocol: ``<meta name="robots"
+content="noindex, nofollow">`` (the page asked to be left out of
+indexes — the standard conservative reading excludes it from corpora
+too) and ``<link rel="canonical" href="...">`` (the page DECLARES its
+canonical url — stronger than any heuristic canonicalization, and the
+natural key to fold syndicated copies with). HTTP-header directives
+(X-Robots-Tag) live in the fetch layer's headers, not the html, and
+are out of scope here — document pipelines that have headers should
+merge them upstream.
+
+Same design as webgraph.extract_links: a linear codegen'd regexp scan
+over the raw html cast — RE2-safe patterns (no lookarounds/backrefs)
+so the DuckDB oracle tokenizes identically; one projection per row,
+zero Python, zero shuffle. Attribute order is free in real markup, so
+each signal is the coalesce of a name-first and a content-first
+pattern. The robots CONTENT is matched case-insensitively on a
+lowered copy; the canonical HREF is extracted from the ORIGINAL bytes
+(url paths are case-sensitive) with case-classes on the keywords only.
+
+Reference role analog: the reference's per-page skip/exclusion flags
+(empty-page detection, fusus/book.py page selection) — the "this page
+asked out" bit, here sourced from the page itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# lowered-copy patterns (robots content is case-insensitive by spec)
+_META_NAME_FIRST = (
+    r"""<meta\s[^>]*name\s*=\s*["']robots["'][^>]*content\s*=\s*["']([^"'<>]*)["']"""
+)
+_META_CONTENT_FIRST = (
+    r"""<meta\s[^>]*content\s*=\s*["']([^"'<>]*)["'][^>]*name\s*=\s*["']robots["']"""
+)
+# original-bytes patterns (href case preserved); keyword case-classes
+_REL = r"[rR][eE][lL]"
+_CANON = r"[cC][aA][nN][oO][nN][iI][cC][aA][lL]"
+_HREF = r"[hH][rR][eE][fF]"
+_LINK = r"<[lL][iI][nN][kK]\s"
+_LINK_REL_FIRST = (
+    _LINK + r"[^>]*" + _REL + r"\s*=\s*[\"']" + _CANON
+    + r"[\"'][^>]*" + _HREF + r"\s*=\s*[\"']([^\"'<>]+)[\"']"
+)
+_LINK_HREF_FIRST = (
+    _LINK + r"[^>]*" + _HREF + r"\s*=\s*[\"']([^\"'<>]+)[\"'][^>]*"
+    + _REL + r"\s*=\s*[\"']" + _CANON + r"[\"']"
+)
+
+
+def _directive(content: Column, name: str) -> Column:
+    """True when a robots content list contains the directive as a
+    whole token (comma/space separated — 'noindex' must not match
+    'noindexing')."""
+    return content.rlike(rf"(^|[\s,]){name}([\s,]|$)")
+
+
+def robots_signals(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, robots_content, noindex, nofollow, noarchive,
+    canonical_href) — one codegen'd projection per document.
+
+    ``robots_content`` is the raw (lowered) content of the first
+    matching robots meta ('' when absent); the booleans are whole-token
+    tests over it. ``canonical_href`` is the declared canonical url
+    (null when absent) — feed it through webgraph.resolve_links /
+    functions.url.canonical_url before joining, exactly like any other
+    harvested href.
+    """
+    low = F.lower(F.col(html_col).cast("string"))
+    orig = F.col(html_col).cast("string")
+    content = F.coalesce(
+        F.nullif(F.regexp_extract(low, _META_NAME_FIRST, 1), F.lit("")),
+        F.nullif(F.regexp_extract(low, _META_CONTENT_FIRST, 1), F.lit("")),
+        F.lit(""),
+    )
+    canon = F.nullif(
+        F.coalesce(
+            F.nullif(F.regexp_extract(orig, _LINK_REL_FIRST, 1), F.lit("")),
+            F.nullif(F.regexp_extract(orig, _LINK_HREF_FIRST, 1), F.lit("")),
+        ),
+        F.lit(""),
+    )
+    return docs.select(
+        F.col(url_col).alias("url"),
+        content.alias("robots_content"),
+        _directive(content, "noindex").alias("noindex"),
+        _directive(content, "nofollow").alias("nofollow"),
+        _directive(content, "noarchive").alias("noarchive"),
+        canon.alias("canonical_href"),
+    )
+
+
+def apply_robots_optout(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Drop documents whose page declares ``noindex`` (the conservative
+    opt-out reading); everything else passes through unchanged. Pure
+    map-side filter — the signal is computed inline, no join. Pages
+    with no html or no robots meta are KEPT (absence of a directive is
+    consent under the robots protocol)."""
+    low = F.lower(F.col(html_col).cast("string"))
+    content = F.coalesce(
+        F.nullif(F.regexp_extract(low, _META_NAME_FIRST, 1), F.lit("")),
+        F.nullif(F.regexp_extract(low, _META_CONTENT_FIRST, 1), F.lit("")),
+        F.lit(""),
+    )
+    return docs.where(~_directive(content, "noindex"))

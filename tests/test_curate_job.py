@@ -149,6 +149,36 @@ def test_curate_job_host_policy_tier(spark, tmp_path):
     assert stats == {"keep.org": 4, "spam.example": 3}
 
 
+def test_curate_job_robots_tier(spark, tmp_path):
+    """Opt-in tier 0: meta-noindex pages dropped before any other tier
+    spends on them; the signals audit table records every page."""
+    inp = str(tmp_path / "docs7")
+    out = str(tmp_path / "out7")
+    rows = [
+        (1, "http://a.com/keep",
+         b"<p>body</p>",
+         "the kept document body is here and it reads fine", "en"),
+        (2, "http://a.com/optout",
+         b'<meta name="robots" content="noindex"><p>x</p>',
+         "the opted out document body is here and it reads fine", "en"),
+        (3, "http://a.com/follow",
+         b'<meta name="robots" content="nofollow"><p>y</p>',
+         "the nofollow only document is here and it reads fine", "en"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, url string, html binary, text string, lang string"
+    ).write.parquet(inp)
+
+    summary = run_job(spark, input_path=inp, output_path=out, respect_robots=True)
+    assert summary["n_after_robots"] == 2
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert kept == {1, 3}
+    audit = {r["url"]: r["noindex"]
+             for r in spark.read.parquet(f"{out}/audit/robots").collect()}
+    assert audit == {"http://a.com/keep": False, "http://a.com/optout": True,
+                     "http://a.com/follow": False}
+
+
 def test_curate_job_host_prior_tier(spark, tmp_path):
     """Opt-in tier 1c: hosts ranked below the PageRank floor by the
     crawl's own link graph are dropped; hosts absent from the graph

@@ -1,0 +1,116 @@
+"""Robots/opt-out signal tests: hand-pinned directive cases + DuckDB
+hash cross-check with the identical RE2 patterns (beyond the 50-query
+registry, so the oracle runs in-test)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from fusus_spark.operators.robots import apply_robots_optout, robots_signals
+from tools.parity import value_hash
+
+
+def _pages() -> list[tuple[str, str]]:
+    return [
+        ("http://a.com/1",
+         '<html><head><meta name="robots" content="noindex, nofollow">'
+         '<link rel="canonical" href="http://a.com/Canon"></head><p>x</p></html>'),
+        # attribute order flipped, single directive, uppercase markup
+        ("http://a.com/2",
+         '<META CONTENT="NOINDEX" NAME="robots"><p>y</p>'),
+        ("http://a.com/3",
+         '<meta name="robots" content="index, follow"><p>clean</p>'),
+        # directive must match as a whole token
+        ("http://a.com/4",
+         '<meta name="robots" content="noindexing"><p>lookalike</p>'),
+        # canonical href keeps its CASE; rel after href
+        ("http://a.com/5",
+         '<link href="/MixedCase/Path" rel="canonical"><p>z</p>'),
+        # other meta tags must not shadow (name=viewport with content)
+        ("http://a.com/6",
+         '<meta name="viewport" content="width=1"><p>plain</p>'),
+        ("http://a.com/7", "<p>no head markup at all</p>"),
+        ("http://a.com/8",
+         '<meta name="robots" content="noarchive,nofollow"><p>w</p>'),
+    ]
+
+
+def _docs(spark):
+    rows = [(u, h.encode()) for u, h in _pages()]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_robots_signals_hand_cases(spark):
+    got = {r["url"]: r for r in robots_signals(_docs(spark)).collect()}
+    assert got["http://a.com/1"]["noindex"] is True
+    assert got["http://a.com/1"]["nofollow"] is True
+    assert got["http://a.com/1"]["canonical_href"] == "http://a.com/Canon"
+    assert got["http://a.com/2"]["noindex"] is True  # flipped attrs, caps
+    assert got["http://a.com/3"]["noindex"] is False
+    assert got["http://a.com/4"]["noindex"] is False  # whole-token only
+    assert got["http://a.com/5"]["canonical_href"] == "/MixedCase/Path"
+    assert got["http://a.com/6"]["robots_content"] == ""
+    assert got["http://a.com/7"]["canonical_href"] is None
+    assert got["http://a.com/8"]["noarchive"] is True
+    assert got["http://a.com/8"]["noindex"] is False
+
+
+def test_apply_robots_optout(spark):
+    kept = {r["url"] for r in apply_robots_optout(_docs(spark)).collect()}
+    assert kept == {"http://a.com/3", "http://a.com/4", "http://a.com/5",
+                    "http://a.com/6", "http://a.com/7", "http://a.com/8"}
+
+
+def test_robots_signals_match_duckdb_oracle(spark):
+    from fusus_spark.operators.robots import (
+        _LINK_HREF_FIRST,
+        _LINK_REL_FIRST,
+        _META_CONTENT_FIRST,
+        _META_NAME_FIRST,
+    )
+
+    sdf = robots_signals(_docs(spark))
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pages (url VARCHAR, html VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", _pages())
+    # identical patterns; DuckDB needs the embedded quotes doubled
+    mnf = _META_NAME_FIRST.replace("'", "''")
+    mcf = _META_CONTENT_FIRST.replace("'", "''")
+    lrf = _LINK_REL_FIRST.replace("'", "''")
+    lhf = _LINK_HREF_FIRST.replace("'", "''")
+    tok = r"(^|[\s,]){d}([\s,]|$)"
+    orc = con.sql(f"""
+WITH s AS (
+  SELECT url, lower(html) AS low, html AS orig FROM pages
+),
+c AS (
+  SELECT url,
+    coalesce(nullif(regexp_extract(low, '{mnf}', 1), ''),
+             nullif(regexp_extract(low, '{mcf}', 1), ''), '') AS robots_content,
+    nullif(coalesce(nullif(regexp_extract(orig, '{lrf}', 1), ''),
+                    nullif(regexp_extract(orig, '{lhf}', 1), '')), '') AS canonical_href
+  FROM s
+)
+SELECT url, robots_content,
+       regexp_matches(robots_content, '{tok.format(d="noindex")}') AS noindex,
+       regexp_matches(robots_content, '{tok.format(d="nofollow")}') AS nofollow,
+       regexp_matches(robots_content, '{tok.format(d="noarchive")}') AS noarchive,
+       canonical_href
+FROM c
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+def test_robots_never_raise_on_junk(spark):
+    rows = [("http://x.com/a", b"\xff\xfe<meta name='robots' content='noindex'>"),
+            ("http://x.com/b", None),
+            ("http://x.com/c", b"")]
+    docs = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r for r in robots_signals(docs).collect()}
+    assert got["http://x.com/a"]["noindex"] is True
+    assert got["http://x.com/b"]["robots_content"] == ""
+    assert got["http://x.com/c"]["noindex"] is False

@@ -153,6 +153,9 @@ CHECKS = {
         ("Exchange SinglePartition", False),
         ("CartesianProduct", False),
     ],
+    # robots signals: pure map-side regexp scan, zero shuffle beyond
+    # the testdata-load repartition, fully codegen'd
+    "robots_signals": [("Exchange", 1), ("codegen id", True)],
 }
 
 
@@ -335,6 +338,11 @@ def _extra_frames():
         web = _web_docs(spark, sf_dir)
         return enrich_with_anchors(web, host_anchor_texts(web, k=3))
 
+    def f_robots(spark, sf_dir):
+        from fusus_spark.operators.robots import robots_signals
+
+        return robots_signals(_web_docs(spark, sf_dir))
+
     return {"decontaminate": f_decontam, "dedup_lines": f_lines,
             "redact_pii": f_pii, "dedup_passages": f_passages,
             "pack_sequences": f_pack, "apply_host_policy": f_host_policy,
@@ -347,7 +355,7 @@ def _extra_frames():
             "dedup_by_canonical_url": f_canon, "stratified_sample": f_sample,
             "revisit_priority": f_revisit, "host_change_stats": f_host_change,
             "cluster_representatives": f_cluster_reps,
-            "enrich_with_anchors": f_enrich}
+            "enrich_with_anchors": f_enrich, "robots_signals": f_robots}
 
 
 def main() -> None:
