@@ -730,3 +730,106 @@ def stratified_sample(
         F.col(strata_col),
         key.alias("sample_key"),
     ).where(F.col("sample_key") < thr)
+
+
+def mixture_ppm(
+    docs: DataFrame,
+    *,
+    budget_docs: int,
+    alpha_e6: int = 700_000,
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Temperature-flattened mixture targets per stratum — the
+    GPT-3/Pile domain-balancing rule: sample stratum s with weight
+    ``n_s^alpha`` (alpha < 1 flattens the head so giant domains stop
+    dominating; alpha = 1 is proportional, alpha = 0 uniform across
+    strata), normalized to a total ``budget_docs``.
+
+    Returns (stratum, n_docs, ppm) where ppm = min(1e6,
+    round(budget * n_s^alpha / sum_t(n_t^alpha) / n_s * 1e6)) — the
+    per-stratum keep rate ``stratified_sample_by_table`` applies. The
+    cap at 1e6 means under-budget strata are taken whole (the budget
+    is then under-filled rather than other strata over-sampled —
+    re-run with a larger alpha or budget if exact totals matter).
+
+    Plan: one groupBy(stratum) count + a broadcast of the ONE-ROW
+    total; the table itself stays distributed (at domain granularity
+    it is ~10^7 rows at crawl scale — never collected). ``pow`` is
+    IEEE-double; the e6 rounding is only knife-edge-sensitive to libm
+    ULP differences, so the oracle test pins integer-exact cases
+    (perfect squares at alpha=0.5, and alpha in {0, 1e6}).
+    """
+    n = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = n.withColumn(
+        "__w__", F.pow(F.col("n_docs").cast("double"), F.lit(alpha_e6 / 1e6))
+    )
+    tot = w.agg(F.sum("__w__").alias("__tot__"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_docs",
+            F.least(
+                F.lit(1_000_000),
+                F.round(
+                    F.lit(budget_docs)
+                    * F.col("__w__")
+                    / F.col("__tot__")
+                    / F.col("n_docs")
+                    * 1_000_000
+                ),
+            )
+            .cast("bigint")
+            .alias("ppm"),
+        )
+    )
+
+
+def stratified_sample_by_table(
+    docs: DataFrame,
+    ppm_table: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    default_ppm: int = 0,
+) -> DataFrame:
+    """``stratified_sample`` with the keep rates coming from a TABLE
+    (stratum, ppm) instead of a config dict — the shape mixture_ppm
+    produces, and the only shape that works when strata are DOMAINS
+    (~10^7 rows at crawl scale: too many for a literal map, joined
+    instead; AQE broadcasts it when it is small enough).
+
+    The membership rule is byte-identical to stratified_sample
+    (md5(stratum:doc_id) 5-hex-char threshold), with the threshold
+    computed as an expression from the joined ppm — same 'g'
+    sentinel for >=100%. Strata absent from the table use
+    ``default_ppm``. Returns (doc_id, <strata_col>, sample_key).
+    """
+    space = 16 ** 5
+
+    def hex5_expr(ppm: Column) -> Column:
+        v = F.greatest(F.lit(0), F.round(ppm * space / 1_000_000)).cast("bigint")
+        return F.when(v >= space, F.lit("g")).otherwise(
+            F.lpad(F.lower(F.conv(v.cast("string"), 10, 16)), 5, "0")
+        )
+
+    t = ppm_table.select(
+        F.col("stratum").alias("__stratum__"), F.col("ppm").alias("__ppm__")
+    )
+    joined = docs.join(
+        t, F.col(strata_col) == F.col("__stratum__"), "left"
+    ).withColumn(
+        "__thr__", hex5_expr(F.coalesce("__ppm__", F.lit(default_ppm)))
+    )
+    key = F.substring(
+        F.md5(F.concat(F.col(strata_col), F.lit(":"), F.col(id_col).cast("string"))),
+        1,
+        5,
+    )
+    return joined.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col),
+        key.alias("sample_key"),
+        F.col("__thr__"),
+    ).where(F.col("sample_key") < F.col("__thr__")).drop("__thr__")

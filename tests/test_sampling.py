@@ -408,3 +408,87 @@ def test_split_oversize_null_text(spark):
     rows = {r["doc_id"]: tuple(r) for r in split_oversize(docs, max_tokens=4, overlap=1).collect()}
     assert rows[1] == (1, 0, 1, 0, 0, "")
     assert rows[2] == (2, 0, 1, 0, 2, "a b")
+
+
+def test_mixture_ppm_temperature_flattening(spark):
+    """Temperature targets: alpha=1 is proportional (uniform ppm),
+    alpha=0 is uniform-across-strata, alpha=0.5 flattens the head —
+    integer-exact cases (perfect-square counts) + DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from fusus_spark.operators.curate import mixture_ppm
+
+    # 1600 'big' + 400 'mid' + 100 'small' docs (perfect squares)
+    rows = ([(i, "big") for i in range(1600)]
+            + [(2000 + i, "mid") for i in range(400)]
+            + [(3000 + i, "small") for i in range(100)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    # alpha=1: every stratum sampled at budget/total
+    p1 = {r["stratum"]: r["ppm"]
+          for r in mixture_ppm(docs, budget_docs=210, alpha_e6=1_000_000).collect()}
+    assert p1 == {"big": 100_000, "mid": 100_000, "small": 100_000}
+
+    # alpha=0.5: weights 40/20/10 -> targets 120/60/30 of budget 210
+    p5 = {r["stratum"]: r["ppm"]
+          for r in mixture_ppm(docs, budget_docs=210, alpha_e6=500_000).collect()}
+    assert p5 == {"big": 75_000, "mid": 150_000, "small": 300_000}
+
+    # alpha=0: equal doc targets per stratum; small stratum capped at 100%
+    p0 = {r["stratum"]: r["ppm"]
+          for r in mixture_ppm(docs, budget_docs=300, alpha_e6=0).collect()}
+    assert p0 == {"big": 62_500, "mid": 250_000, "small": 1_000_000}
+
+    # DuckDB oracle (same pow/round arithmetic on the exact cases)
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.sql("CREATE TABLE d (doc_id BIGINT, lang VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    orc = {r[0]: r[2] for r in con.sql("""
+WITH n AS (SELECT lang AS stratum, count(*) AS n_docs FROM d GROUP BY lang),
+w AS (SELECT *, pow(n_docs, 0.5) AS wt FROM n),
+t AS (SELECT sum(wt) AS tot FROM w)
+SELECT stratum, n_docs,
+       least(1000000, round(210 * wt / tot / n_docs * 1000000))::BIGINT AS ppm
+FROM w, t
+""").fetchall()}
+    assert orc == p5
+
+
+def test_stratified_sample_by_table_matches_dict_variant(spark):
+    """The table-driven sampler must select the BYTE-IDENTICAL subset
+    the dict-driven one selects for the same rates (same md5 rule),
+    and absent strata fall back to default_ppm."""
+    from fusus_spark.operators.curate import (
+        stratified_sample,
+        stratified_sample_by_table,
+    )
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(900)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 250_000, "fr": 1_000_000}
+    want = {(r["doc_id"], r["lang"])
+            for r in stratified_sample(docs, rates, default_ppm=50_000).collect()}
+    table = spark.createDataFrame(list(rates.items()), "stratum string, ppm long")
+    got = {(r["doc_id"], r["lang"])
+           for r in stratified_sample_by_table(
+               docs, table, default_ppm=50_000).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_mixture_pipeline_end_to_end(spark):
+    """mixture_ppm -> stratified_sample_by_table: the sampled corpus
+    approaches the temperature targets (binomial tolerance)."""
+    from fusus_spark.operators.curate import mixture_ppm, stratified_sample_by_table
+
+    rows = ([(i, "big") for i in range(1600)]
+            + [(10_000 + i, "small") for i in range(100)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    ppm = mixture_ppm(docs, budget_docs=425, alpha_e6=500_000)
+    out = stratified_sample_by_table(docs, ppm)
+    by = {r["lang"]: r["cnt"] for r in
+          out.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    # targets: weights 40/10 -> 340/85 docs; md5 draw is binomial
+    assert 260 <= by["big"] <= 420
+    assert 55 <= by["small"] <= 100

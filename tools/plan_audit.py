@@ -156,6 +156,16 @@ CHECKS = {
     # robots signals: pure map-side regexp scan, zero shuffle beyond
     # the testdata-load repartition, fully codegen'd
     "robots_signals": [("Exchange", 1), ("codegen id", True)],
+    # temperature mixture: one stratum agg + a broadcast of the 1-ROW
+    # total (BroadcastNestedLoop over one row is the intended shape;
+    # a CartesianProduct would mean the broadcast was lost)
+    "mixture_ppm": [("HashAggregate", True), ("CartesianProduct", False)],
+    # table-driven sampler: equi-join on the stratum + map-side
+    # threshold compare; never a global sort/partition
+    "stratified_sample_by_table": [
+        ("CartesianProduct", False),
+        ("Exchange SinglePartition", False),
+    ],
 }
 
 
@@ -343,6 +353,22 @@ def _extra_frames():
 
         return robots_signals(_web_docs(spark, sf_dir))
 
+    def f_mixture(spark, sf_dir):
+        from fusus_spark.operators.curate import mixture_ppm
+
+        return mixture_ppm(
+            load(spark, sf_dir, "documents"), budget_docs=100, alpha_e6=500_000
+        )
+
+    def f_sample_table(spark, sf_dir):
+        from fusus_spark.operators.curate import (
+            mixture_ppm, stratified_sample_by_table)
+
+        docs = load(spark, sf_dir, "documents")
+        return stratified_sample_by_table(
+            docs, mixture_ppm(docs, budget_docs=100, alpha_e6=500_000)
+        )
+
     return {"decontaminate": f_decontam, "dedup_lines": f_lines,
             "redact_pii": f_pii, "dedup_passages": f_passages,
             "pack_sequences": f_pack, "apply_host_policy": f_host_policy,
@@ -355,7 +381,9 @@ def _extra_frames():
             "dedup_by_canonical_url": f_canon, "stratified_sample": f_sample,
             "revisit_priority": f_revisit, "host_change_stats": f_host_change,
             "cluster_representatives": f_cluster_reps,
-            "enrich_with_anchors": f_enrich, "robots_signals": f_robots}
+            "enrich_with_anchors": f_enrich, "robots_signals": f_robots,
+            "mixture_ppm": f_mixture,
+            "stratified_sample_by_table": f_sample_table}
 
 
 def main() -> None:
