@@ -101,7 +101,11 @@ def run_job(
 
         robots_signals(docs).write.mode("overwrite").parquet(f"{out}/audit/robots")
         docs = apply_robots_optout(docs)
-        summary["n_after_robots"] = docs.count()
+        # count from the WRITTEN audit (survivors = not-noindex rows),
+        # per the job invariant: never re-run a tier's lineage to count
+        summary["n_after_robots"] = (
+            spark.read.parquet(f"{out}/audit/robots").where(~F.col("noindex")).count()
+        )
 
     # 1. canonical-URL dedup (cheapest tier; only if a url column exists)
     if "url" in docs.columns:

@@ -54,8 +54,24 @@ _LINK_HREF_FIRST = (
 def _directive(content: Column, name: str) -> Column:
     """True when a robots content list contains the directive as a
     whole token (comma/space separated — 'noindex' must not match
-    'noindexing')."""
-    return content.rlike(rf"(^|[\s,]){name}([\s,]|$)")
+    'noindexing'). The ``none`` directive is defined by the robots
+    meta spec as 'noindex, nofollow', so it implies both."""
+    pat = rf"(^|[\s,]){name}([\s,]|$)"
+    if name in ("noindex", "nofollow"):
+        pat = rf"(^|[\s,])({name}|none)([\s,]|$)"
+    return content.rlike(pat)
+
+
+def _robots_content(html_col: str) -> Column:
+    """The raw (lowered) robots meta content — the ONE expression both
+    the signals table and the opt-out filter compile against, so the
+    audit and the filter can never disagree."""
+    low = F.lower(F.col(html_col).cast("string"))
+    return F.coalesce(
+        F.nullif(F.regexp_extract(low, _META_NAME_FIRST, 1), F.lit("")),
+        F.nullif(F.regexp_extract(low, _META_CONTENT_FIRST, 1), F.lit("")),
+        F.lit(""),
+    )
 
 
 def robots_signals(
@@ -71,13 +87,8 @@ def robots_signals(
     functions.url.canonical_url before joining, exactly like any other
     harvested href.
     """
-    low = F.lower(F.col(html_col).cast("string"))
     orig = F.col(html_col).cast("string")
-    content = F.coalesce(
-        F.nullif(F.regexp_extract(low, _META_NAME_FIRST, 1), F.lit("")),
-        F.nullif(F.regexp_extract(low, _META_CONTENT_FIRST, 1), F.lit("")),
-        F.lit(""),
-    )
+    content = _robots_content(html_col)
     canon = F.nullif(
         F.coalesce(
             F.nullif(F.regexp_extract(orig, _LINK_REL_FIRST, 1), F.lit("")),
@@ -100,13 +111,9 @@ def apply_robots_optout(
 ) -> DataFrame:
     """Drop documents whose page declares ``noindex`` (the conservative
     opt-out reading); everything else passes through unchanged. Pure
-    map-side filter — the signal is computed inline, no join. Pages
-    with no html or no robots meta are KEPT (absence of a directive is
-    consent under the robots protocol)."""
-    low = F.lower(F.col(html_col).cast("string"))
-    content = F.coalesce(
-        F.nullif(F.regexp_extract(low, _META_NAME_FIRST, 1), F.lit("")),
-        F.nullif(F.regexp_extract(low, _META_CONTENT_FIRST, 1), F.lit("")),
-        F.lit(""),
-    )
-    return docs.where(~_directive(content, "noindex"))
+    map-side filter — the signal is computed inline via the same
+    ``_robots_content`` expression the audit table uses, no join.
+    Pages with no html or no robots meta are KEPT (absence of a
+    directive is consent under the robots protocol); ``none`` counts
+    as noindex per the spec."""
+    return docs.where(~_directive(_robots_content(html_col), "noindex"))

@@ -389,13 +389,15 @@ def host_anchor_texts(
     use: a host whose inbound anchors are all "cheap pills" is telling
     you something its own pages won't).
 
-    Returns (host, anchor, n_refs, rnk), rnk 1..k per host. Only
-    CROSS-host anchors count (same-host nav text describes the site's
-    menu, not its reputation) and empty anchors are dropped. Plan:
-    map-side link harvest -> one groupBy((host, anchor)) count -> per-
-    host window top-k with a deterministic (count DESC, anchor ASC)
-    tie-break; the window partitions by host, never a single global
-    partition.
+    Returns (host, anchor, n_refs, host_refs, rnk), rnk 1..k per host;
+    ``host_refs`` is the host's TOTAL inbound cross-host reference
+    count over ALL its anchors (computed before the top-k cut, so
+    consumers get the untruncated signal). Only CROSS-host anchors
+    count (same-host nav text describes the site's menu, not its
+    reputation) and empty anchors are dropped. Plan: map-side link
+    harvest -> one groupBy((host, anchor)) count -> per-host window
+    top-k with a deterministic (count DESC, anchor ASC) tie-break; the
+    windows partition by host, never a single global partition.
     """
     links = resolve_links(extract_links(docs, url_col, html_col))
     pairs = (
@@ -418,8 +420,10 @@ def host_anchor_texts(
     from pyspark.sql import Window
 
     w = Window.partitionBy("host").orderBy(F.desc("n_refs"), F.asc("anchor"))
+    wh = Window.partitionBy("host")
     return (
-        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        counts.withColumn("host_refs", F.sum("n_refs").over(wh).cast("int"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= k)
     )
 
@@ -434,10 +438,13 @@ def enrich_with_anchors(
     a retrieval key).
 
     ``anchors`` is ``host_anchor_texts`` output (host, anchor, n_refs,
-    rnk). Each doc gains ``anchor_texts`` (array<string>, rnk-ordered —
-    the deterministic top-k) and ``n_anchor_refs`` (total inbound
-    cross-host references); hosts with no inbound anchors get [] / 0,
-    and rows pass through otherwise unchanged.
+    host_refs, rnk). Each doc gains ``anchor_texts`` (array<string>,
+    rnk-ordered — the deterministic top-k) and ``n_anchor_refs`` (the
+    host's TOTAL inbound cross-host references — host_refs is computed
+    before the top-k cut, so the count is not k-truncated); hosts with
+    no inbound anchors get [] / 0, and rows pass through otherwise
+    unchanged — including any pre-existing ``host`` column (the join
+    key is privately aliased).
 
     Plan: the anchors side collapses FIRST to one row per host
     (sort_array of (rnk, anchor) structs -> ordered array: an agg, not
@@ -446,18 +453,18 @@ def enrich_with_anchors(
     doc-side shuffle either way because it keys on the map-side host
     expression.
     """
-    per_host = anchors.groupBy("host").agg(
+    per_host = anchors.groupBy(F.col("host").alias("__ahost__")).agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("rnk", "anchor"))),
             lambda s: s["anchor"],
         ).alias("anchor_texts"),
-        F.sum("n_refs").cast("int").alias("n_anchor_refs"),
+        F.max("host_refs").cast("int").alias("n_anchor_refs"),
     )
     out = docs.withColumn("__host__", url_host(F.col(url_col))).join(
-        per_host, F.col("__host__") == per_host["host"], "left"
+        per_host, F.col("__host__") == F.col("__ahost__"), "left"
     )
     return (
-        out.drop("host", "__host__")
+        out.drop("__ahost__", "__host__")
         .withColumn(
             "anchor_texts",
             F.coalesce("anchor_texts", F.array().cast("array<string>")),

@@ -6,12 +6,17 @@ from __future__ import annotations
 
 import duckdb
 
+from fusus_spark.functions.url import _HOST_RE
 from fusus_spark.operators.frontier import (
     host_change_stats,
     revisit_priority,
     url_change_stats,
 )
 from tools.parity import value_hash
+
+# the IMPORTED host pattern (single-backslash python-level escapes for
+# DuckDB's verbatim string literals) — never a hand-copied duplicate
+_HOST_RE_SQL = _HOST_RE.replace("'", "''")
 
 
 def _snapshots() -> list[tuple[str, str, str]]:
@@ -85,7 +90,7 @@ FROM g
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
 
     hdf = host_change_stats(sdf)
-    horc = con.sql("""
+    horc = con.sql(f"""
 WITH o AS (
   SELECT url, content_hash, crawl_date,
          lag(content_hash) OVER (PARTITION BY url ORDER BY crawl_date, content_hash) AS prev
@@ -97,7 +102,7 @@ g AS (
   FROM o GROUP BY url
 ),
 u AS (
-  SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+  SELECT lower(regexp_extract(url, '{_HOST_RE_SQL}', 1)) AS host,
          CASE WHEN n_snapshots > 1
               THEN round(n_changes / (n_snapshots - 1) * 1000000)
               ELSE 0 END::BIGINT AS cr
@@ -119,12 +124,38 @@ def test_revisit_priority(spark):
     df = spark.createDataFrame(
         _snapshots(), "url string, content_hash string, crawl_date string"
     )
-    got = {
-        r["url"]: r
-        for r in revisit_priority(
-            url_change_stats(df), as_of_date="2026-02-21", halflife_days=30
-        ).collect()
-    }
+    sdf = revisit_priority(
+        url_change_stats(df), as_of_date="2026-02-21", halflife_days=30
+    )
+    got = {r["url"]: r for r in sdf.collect()}
+
+    # DuckDB oracle: identical Laplace-smoothed churn x staleness rule
+    con = duckdb.connect()
+    con.sql("CREATE TABLE snaps (url VARCHAR, content_hash VARCHAR, crawl_date VARCHAR)")
+    con.executemany("INSERT INTO snaps VALUES (?, ?, ?)", _snapshots())
+    orc = con.sql("""
+WITH o AS (
+  SELECT url, content_hash, crawl_date,
+         lag(content_hash) OVER (PARTITION BY url ORDER BY crawl_date, content_hash) AS prev
+  FROM snaps
+),
+g AS (
+  SELECT url, count(*)::INT AS n_snapshots,
+         sum(CASE WHEN prev IS NOT NULL AND content_hash != prev THEN 1 ELSE 0 END)::INT AS n_changes,
+         max(crawl_date) AS last_date
+  FROM o GROUP BY url
+)
+SELECT url, n_snapshots, n_changes, last_date,
+       round((n_changes + 1) / (n_snapshots - 1 + 2)
+             * greatest(datediff('day', CAST(last_date AS DATE), DATE '2026-02-21'), 0)
+             / 30 * 1000000)::BIGINT AS priority_e6
+FROM g
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
     # churner: smoothed (3+1)/(3+2)=0.8, stale 30d -> 0.8 * 30/30 = 0.8
     assert got["http://news.com/front"]["priority_e6"] == 800_000
     # static: (0+1)/(3+2)=0.2, stale 37d -> round(0.2*37/30*1e6)

@@ -32,6 +32,8 @@ def _pages() -> list[tuple[str, str]]:
         ("http://a.com/7", "<p>no head markup at all</p>"),
         ("http://a.com/8",
          '<meta name="robots" content="noarchive,nofollow"><p>w</p>'),
+        # 'none' is spec-defined as 'noindex, nofollow'
+        ("http://a.com/9", '<meta name="robots" content="none"><p>n</p>'),
     ]
 
 
@@ -53,6 +55,8 @@ def test_robots_signals_hand_cases(spark):
     assert got["http://a.com/7"]["canonical_href"] is None
     assert got["http://a.com/8"]["noarchive"] is True
     assert got["http://a.com/8"]["noindex"] is False
+    assert got["http://a.com/9"]["noindex"] is True   # none == noindex
+    assert got["http://a.com/9"]["nofollow"] is True  # none == nofollow
 
 
 def test_apply_robots_optout(spark):
@@ -79,7 +83,9 @@ def test_robots_signals_match_duckdb_oracle(spark):
     mcf = _META_CONTENT_FIRST.replace("'", "''")
     lrf = _LINK_REL_FIRST.replace("'", "''")
     lhf = _LINK_HREF_FIRST.replace("'", "''")
-    tok = r"(^|[\s,]){d}([\s,]|$)"
+    # 'none' implies noindex and nofollow, mirroring _directive
+    tok = r"(^|[\s,])({d}|none)([\s,]|$)"
+    tok_plain = r"(^|[\s,]){d}([\s,]|$)"
     orc = con.sql(f"""
 WITH s AS (
   SELECT url, lower(html) AS low, html AS orig FROM pages
@@ -95,7 +101,7 @@ c AS (
 SELECT url, robots_content,
        regexp_matches(robots_content, '{tok.format(d="noindex")}') AS noindex,
        regexp_matches(robots_content, '{tok.format(d="nofollow")}') AS nofollow,
-       regexp_matches(robots_content, '{tok.format(d="noarchive")}') AS noarchive,
+       regexp_matches(robots_content, '{tok_plain.format(d="noarchive")}') AS noarchive,
        canonical_href
 FROM c
 """)

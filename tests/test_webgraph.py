@@ -220,6 +220,47 @@ def test_enrich_with_anchors(spark):
     assert got[2]["anchor_texts"] == [] and got[2]["n_anchor_refs"] == 0
     assert got[1]["text"] == "x"  # passthrough columns intact
 
+    # n_anchor_refs is the host TOTAL, not the top-k sum: with k=1 the
+    # anchor list truncates but the reference count must not
+    k1 = {r["doc_id"]: r for r in enrich_with_anchors(
+        docs, host_anchor_texts(_docs(spark), k=1)).collect()}
+    assert len(k1[1]["anchor_texts"]) == 1 and k1[1]["n_anchor_refs"] == 2
+
+    # a pre-existing 'host' column on the docs side survives untouched
+    docs_h = docs.withColumn("host", docs["url"])
+    out_h = enrich_with_anchors(docs_h, anchors)
+    assert "host" in out_h.columns
+    assert {r["host"] for r in out_h.collect()} == {r["url"] for r in docs_h.collect()}
+
+    # DuckDB oracle: ordered array + untruncated total per host
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.sql("CREATE TABLE a (host VARCHAR, anchor VARCHAR, n_refs INT, host_refs INT, rnk INT)")
+    con.executemany("INSERT INTO a VALUES (?, ?, ?, ?, ?)",
+                    [(r["host"], r["anchor"], r["n_refs"], r["host_refs"], r["rnk"])
+                     for r in anchors.collect()])
+    con.sql("CREATE TABLE d (doc_id BIGINT, url VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)",
+                    [(1, "http://b.com/landing", "x"), (2, "http://nowhere.org/p", "y")])
+    orows = con.sql("""
+WITH p AS (
+  SELECT host, array_agg(anchor ORDER BY rnk) AS anchor_texts,
+         max(host_refs) AS n_anchor_refs
+  FROM a GROUP BY host
+)
+SELECT d.doc_id, d.url, d.text,
+       coalesce(p.anchor_texts, []) AS anchor_texts,
+       coalesce(p.n_anchor_refs, 0)::INT AS n_anchor_refs
+FROM d LEFT JOIN p
+  ON lower(regexp_extract(d.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) = p.host
+""").fetchall()
+    sdf = enrich_with_anchors(docs, anchors)
+    assert value_hash(sdf.columns, [tuple(r) for r in sdf.collect()]) == value_hash(
+        ["doc_id", "url", "text", "anchor_texts", "n_anchor_refs"],
+        [tuple(r) for r in orows],
+    )
+
 
 # -------------------------------------------------------------- host_pagerank
 
@@ -373,6 +414,7 @@ c AS (
   GROUP BY host, anchor
 )
 SELECT host, anchor, n_refs,
+       sum(n_refs) OVER (PARTITION BY host)::INT AS host_refs,
        row_number() OVER (PARTITION BY host ORDER BY n_refs DESC, anchor ASC)::INT AS rnk
 FROM c QUALIFY rnk <= 2
 """).fetchall()
@@ -380,5 +422,5 @@ FROM c QUALIFY rnk <= 2
     srows = [tuple(r) for r in sdf.collect()]
     assert len(srows) == len(orows)
     assert value_hash(sdf.columns, srows) == value_hash(
-        ["host", "anchor", "n_refs", "rnk"], [tuple(r) for r in orows]
+        ["host", "anchor", "n_refs", "host_refs", "rnk"], [tuple(r) for r in orows]
     )
