@@ -32,6 +32,10 @@ tier's input (the CCNet / RefinedWeb macro shape):
     6. PII redaction             (zero-shuffle regexp chain)
     7. packing plan (optional)   (pack_sequences over the final corpus:
                                   the training-sample grouping table)
+    8. mixture sampling (optional) (temperature-flattened n^alpha
+                                  per-stratum rates over the final
+                                  corpus -> corpus_sampled; the full
+                                  corpus stays on disk for audit)
 
 Every tier writes an AUDIT table under ``<output>/audit/`` and the
 summary is derived from those written tables — the job never re-runs a
@@ -73,6 +77,9 @@ def run_job(
     decontam_n: int = 13,
     stop_lang: str = "en",
     pack_target: int | None = None,
+    mixture_budget: int | None = None,
+    mixture_alpha_e6: int = 700_000,
+    mixture_strata: str = "lang",
 ) -> dict:
     """The job body, session-agnostic (tests drive it directly).
 
@@ -271,6 +278,32 @@ def run_job(
         ).parquet(f"{out}/packing")
         packing = spark.read.parquet(f"{out}/packing")
         summary["n_sequences"] = packing.select("shard", "seq_id").distinct().count()
+
+    # 8. optional temperature mixture sampling over the final corpus:
+    # the n^alpha flattened per-stratum rates are written as the audit
+    # (the rate table IS the mixture decision), the sampled ids join
+    # back map-side, and the full corpus stays on disk above it.
+    if mixture_budget is not None:
+        if mixture_budget <= 0:
+            raise ValueError("mixture_budget must be a positive doc count")
+        from fusus_spark.operators.curate import (
+            mixture_ppm,
+            stratified_sample_by_table,
+        )
+
+        rates = mixture_ppm(
+            corpus, budget_docs=mixture_budget,
+            alpha_e6=mixture_alpha_e6, strata_col=mixture_strata,
+        )
+        rates.write.mode("overwrite").parquet(f"{out}/audit/mixture_ppm")
+        rates = spark.read.parquet(f"{out}/audit/mixture_ppm")
+        picked = stratified_sample_by_table(
+            corpus, rates, strata_col=mixture_strata
+        ).select("doc_id")
+        corpus.join(picked, "doc_id").write.mode("overwrite").parquet(
+            f"{out}/corpus_sampled"
+        )
+        summary["n_sampled"] = spark.read.parquet(f"{out}/corpus_sampled").count()
     return summary
 
 
@@ -302,6 +335,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--pack-target", type=int, default=None,
                    help="emit <output>/packing via pack_sequences at this "
                         "token target (tier 7, off when absent)")
+    p.add_argument("--mixture-budget", type=int, default=None,
+                   help="emit <output>/corpus_sampled at this doc budget "
+                        "via n^alpha temperature mixture (tier 8)")
+    p.add_argument("--mixture-alpha-e6", type=int, default=700_000,
+                   help="e6-scaled temperature alpha (1e6 proportional, "
+                        "0 uniform across strata)")
+    p.add_argument("--mixture-strata", default="lang",
+                   help="stratum column for the mixture (e.g. lang)")
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("fusus-curate").getOrCreate()
@@ -320,6 +361,9 @@ def main(argv: list[str] | None = None) -> None:
         decontam_n=args.decontam_n,
         stop_lang=args.stop_lang,
         pack_target=args.pack_target,
+        mixture_budget=args.mixture_budget,
+        mixture_alpha_e6=args.mixture_alpha_e6,
+        mixture_strata=args.mixture_strata,
     )
     print(json.dumps(summary))
     spark.stop()

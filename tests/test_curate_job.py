@@ -230,6 +230,32 @@ def test_curate_job_host_prior_tier(spark, tmp_path):
     assert s2["n_after_host_prior"] == 3
 
 
+def test_curate_job_mixture_tier(spark, tmp_path):
+    """Opt-in tier 8: the final corpus gains a temperature-sampled
+    subset; the full corpus and the rate-table audit stay on disk."""
+    inp = str(tmp_path / "docs8")
+    out = str(tmp_path / "out8")
+    rows = [(i, "the steady document number %d is here and it reads fine" % i,
+             "en" if i < 64 else "fr") for i in range(80)]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(inp)
+
+    summary = run_job(spark, input_path=inp, output_path=out,
+                      mixture_budget=40, mixture_alpha_e6=500_000)
+    assert summary["n_final"] == 80
+    rates = {r["stratum"]: r["ppm"] for r in
+             spark.read.parquet(f"{out}/audit/mixture_ppm").collect()}
+    # weights sqrt(64)=8, sqrt(16)=4 -> targets 8/12*40, 4/12*40
+    assert rates == {"en": round(40 * 8 / 12 / 64 * 1e6),
+                     "fr": round(40 * 4 / 12 / 16 * 1e6)}
+    sampled = spark.read.parquet(f"{out}/corpus_sampled")
+    assert summary["n_sampled"] == sampled.count()
+    assert 10 <= summary["n_sampled"] <= 70  # binomial around 40
+    # sampled is a subset of the corpus with the full schema
+    corpus_ids = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert {r["doc_id"] for r in sampled.collect()} <= corpus_ids
+    assert set(sampled.columns) == set(spark.read.parquet(f"{out}/corpus").columns)
+
+
 def test_curate_job_packing_tier(spark, tmp_path):
     """Opt-in tier 7: the final corpus gains a packing plan; every
     surviving doc appears exactly once."""
