@@ -172,7 +172,11 @@ def canonical_url(url) -> Column:
     q = F.regexp_extract(c, r"\?(.*)$", 1)
     kept = F.array_join(F.filter(F.split(q, "&"), _is_kept_param), "&")
     c = F.when(kept == "", base).otherwise(F.concat(base, F.lit("?"), kept))
-    c = F.regexp_replace(c, r"(.)/$", r"$1")  # trailing slash (non-root)
+    # trailing slash (non-root): the preceding char must not be ':' or
+    # '/' — else a degenerate 'http://' (empty authority after a
+    # fragment-only url) loses one separator slash per application and
+    # canonicalization stops being idempotent (caught by the fuzz test)
+    c = F.regexp_replace(c, r"([^:/])/$", r"$1")
     return c
 
 

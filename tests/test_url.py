@@ -193,7 +193,7 @@ u AS (
   SELECT url, host, path_depth, n_params, has_tracking,
        regexp_replace(
          CASE WHEN kept = '' THEN base ELSE base || '?' || kept END,
-         '(.)/$', '\\1') AS canonical
+         '([^:/])/$', '\\1') AS canonical
   FROM u2
 ),
 l AS (
@@ -348,3 +348,41 @@ SELECT b.doc_id FROM b LEFT JOIN t ON b.host = t.h
 WHERE t.thr IS NULL OR substring(md5(b.host || ':' || b.doc_id), 1, 5) < t.thr
 """).fetchall()
     assert sorted(kept) == sorted(r[0] for r in orows)
+
+
+def test_canonical_url_fuzz_idempotent_and_total(spark):
+    """Adversarial url soup (random %-sequences, repeated #/?/&, junk
+    schemes, unicode, empty parts): canonical_url and url_features must
+    be TOTAL (no exception for any string) and canonicalization must
+    stay idempotent — the property that makes the key a dedup identity.
+    Deterministic seeded generator: failures reproduce exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fusus_spark.functions.url import canonical_url
+
+    rng = random.Random(0xF00D)
+    alphabet = (
+        "abcXYZ019-._~%#?&=/:@+!$'()*,;[]é中 "
+        "%%2525%7e%7E%zz%4"
+    )
+    urls = []
+    for i in range(400):
+        n = rng.randint(0, 40)
+        body = "".join(rng.choice(alphabet) for _ in range(n))
+        scheme = rng.choice(["http://", "https://", "HTTPS://", "ftp://", "", "//"])
+        urls.append(f"{scheme}{body}")
+    urls += ["", "%", "??", "##", "http://", "https://?", "http://#", "%%%",
+             "http://h.com/%", "http://h.com/%%41", "http://h.com/??a=%",
+             "http://example.co.uk:443/%7e/index.html?utm_a=%26&#x#y"]
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        "url", canonical_url(F.col("url")).alias("c1")
+    ).withColumn("c2", canonical_url(F.col("c1")))
+    rows = out.collect()  # totality: no exception for any input
+    bad = [(r["url"], r["c1"], r["c2"]) for r in rows if r["c1"] != r["c2"]]
+    assert bad == [], bad[:5]
+    # url_features is total too (host/domain/path on the same soup)
+    assert url_features(df).count() == len(urls)
