@@ -183,3 +183,36 @@ def test_psl_lookup_compiles_to_inset(spark):
         registrable_domain(F.col("host")).alias("d")
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "INSET" in plan.upper()
+
+
+def test_registrable_domain_fuzz_total(spark):
+    """Adversarial host soup (empty labels, unicode, dots everywhere,
+    wildcards' TLDs, enormous label counts): registrable_domain and
+    public_suffix must be TOTAL and mutually consistent (the
+    registrable domain is the suffix plus one label whenever it is
+    non-empty). Seeded: failures reproduce exactly."""
+    import random
+
+    from fusus_spark.functions.psl import public_suffix
+
+    rng = random.Random(0xD0C5)
+    label_pool = ["a", "bb", "co", "uk", "ck", "www", "jp", "kawasaki",
+                  "city", "", ".", "x-y", "é", "blogspot", "com", "github",
+                  "io", "s3", "amazonaws"]
+    hosts = []
+    for _ in range(300):
+        n = rng.randint(1, 7)
+        hosts.append(".".join(rng.choice(label_pool) for _ in range(n)))
+    hosts += ["", ".", "..", "...", ".com", "com.", ".co.uk", "co.uk."]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    rows = df.select(
+        "host",
+        registrable_domain(F.col("host")).alias("d"),
+        public_suffix(F.col("host")).alias("s"),
+    ).collect()  # totality
+    for r in rows:
+        if r["d"]:
+            # registrable = exactly one label + '.' + the public suffix
+            assert r["d"].endswith("." + r["s"]), (r["host"], r["d"], r["s"])
+            assert r["d"].count(".") == r["s"].count(".") + 1
+            assert r["host"] == r["d"] or r["host"].endswith("." + r["d"])

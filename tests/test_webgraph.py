@@ -189,6 +189,37 @@ def test_resolve_links_page_level_matches_urljoin(spark):
            for r in resolve_links(weird, page_level=True).collect()}
     assert out == {"mailto:x@y.z": None, "#frag": None, "a/b": None}
 
+    # seeded fuzz: random dot-segment soup over random source paths,
+    # all compared against the same independent resolver — the fixed
+    # grid above cannot cover the '..'-past-root / empty-segment /
+    # trailing-dot interaction space
+    import random
+
+    rng = random.Random(0xBEEF)
+    seg_pool = ["a", "b9", ".", "..", "", "x.y", "%7e"]
+    fuzz_rows = []
+    for i in range(250):
+        src = "http://h.com/" + "/".join(
+            rng.choice(["p", "q2", "r"]) for _ in range(rng.randint(0, 3))
+        ) + rng.choice(["", "/"])
+        h = "/".join(rng.choice(seg_pool) for _ in range(rng.randint(1, 6)))
+        h += rng.choice(["", "/", "?k=v", "#z"])
+        if rng.random() < 0.3:
+            h = "/" + h
+        fuzz_rows.append((src, h))
+    fdf = spark.createDataFrame(fuzz_rows, "src_url string, href string")
+    fgot = {(r["src_url"], r["href"]): r["resolved"]
+            for r in resolve_links(fdf, page_level=True).collect()}
+    for s, h in fuzz_rows:
+        hp = h.split("#", 1)[0].partition("?")[0]
+        if h.startswith(("/", "?")):
+            want = ref_resolve(s, h)
+        elif hp == "":  # fragment-only / empty: intra-page, stays null
+            want = None
+        else:
+            want = ref_resolve(s, h)
+        assert fgot[(s, h)] == want, (s, h, fgot[(s, h)], want)
+
 
 def test_links_never_raise_on_junk_bytes(spark):
     rows = [
