@@ -54,6 +54,7 @@ def run_job(
     max_html_bytes: int = 4 * 1024 * 1024,
     by_date: bool = False,
     dates: list[str] | None = None,
+    respect_robots: bool = False,
 ) -> dict:
     """The job body, session-agnostic (tests drive it directly).
 
@@ -122,6 +123,7 @@ def run_job(
             dates=dates,
             emit=emit,
             max_html_bytes=max_html_bytes,
+            respect_robots=respect_robots,
         )
     return run_extraction_job(
         spark,
@@ -131,6 +133,7 @@ def run_job(
         n_buckets,
         emit=emit,
         max_html_bytes=max_html_bytes,
+        respect_robots=respect_robots,
     )
 
 
@@ -149,6 +152,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="comma list of output tables from the one fused parse: "
                         "words,extracted,removals (multi-kind layout: <output>/<kind>/bucket=k)")
     p.add_argument("--max-html-bytes", type=int, default=4 * 1024 * 1024)
+    p.add_argument("--respect-robots", action="store_true",
+                   help="drop meta-noindex pages BEFORE parsing "
+                        "(publisher consent; map-side filter)")
     p.add_argument("--by-date", action="store_true",
                    help="input uses the crawl_date=D/bucket=K layout; restart "
                         "grid becomes (crawl_date, bucket)")
@@ -178,6 +184,7 @@ def main(argv: list[str] | None = None) -> None:
         max_html_bytes=args.max_html_bytes,
         by_date=args.by_date,
         dates=[d.strip() for d in args.dates.split(",") if d.strip()] if args.dates else None,
+        respect_robots=args.respect_robots,
     )
     print(json.dumps(summary))
     spark.stop()

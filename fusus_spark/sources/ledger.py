@@ -318,6 +318,7 @@ def run_extraction_job(
     fail_after: int | None = None,
     fail_before_commit: int | None = None,
     max_html_bytes: int = 4 * 1024 * 1024,
+    respect_robots: bool = False,
 ) -> dict:
     """Resumable bucket-at-a-time extraction job.
 
@@ -383,6 +384,13 @@ def run_extraction_job(
             t0 = time.time()
             # Partition-pruned read: only this bucket's files are scanned.
             docs = spark.read.parquet(input_path).where(F.col("bucket") == bucket)
+            if respect_robots:
+                # consent filter BEFORE the parse: a meta-noindex page
+                # must not pay for extraction (map-side regexp; rows_in
+                # below counts the docs actually processed)
+                from fusus_spark.operators.robots import apply_robots_optout
+
+                docs = apply_robots_optout(docs)
             stats = docs.agg(
                 F.count("*").alias("rows_in"),
                 F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).alias("bytes_in"),

@@ -352,3 +352,31 @@ def test_bucket_lock_exception_release_and_reentrancy(spark, bucketed_input, tmp
         f.write("")  # empty: exactly what a mid-write lock looks like
     assert BucketLock(ledger_path).acquire(1) is False
     os.unlink(os.path.join(locks, "bucket=1.lock"))
+
+
+def test_extraction_job_respect_robots(spark, tmp_path):
+    """respect_robots drops meta-noindex pages BEFORE the parse: they
+    appear in no output table and rows_in counts processed docs only."""
+    from tests.fixtures import fixture_documents
+
+    rows = []
+    for i, d in enumerate(fixture_documents()[:12]):
+        html = d["html"]
+        if i % 3 == 0:  # every third page opts out
+            html = b'<meta name="robots" content="noindex">' + html
+        rows.append((d["url"], d["warc_ts"], html, d["text"], d["lang"]))
+    docs = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+    inp = str(tmp_path / "rb_in")
+    write_bucketed_input(docs, inp, 2)
+
+    out = str(tmp_path / "rb_out")
+    summary = run_extraction_job(
+        spark, inp, out, str(tmp_path / "rb_ledger"), 2, respect_robots=True
+    )
+    assert summary["processed"] == 2
+    opted = {r[0] for i, r in enumerate(rows) if i % 3 == 0}
+    words = spark.read.parquet(out + "/bucket=*")
+    assert words.where(words["url"].isin(list(opted))).count() == 0
+    assert words.count() > 0
+    rows_in = sum(r["rows_in"] for r in Ledger(str(tmp_path / "rb_ledger")).rows())
+    assert rows_in == 12 - len(opted)
