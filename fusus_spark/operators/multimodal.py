@@ -40,6 +40,48 @@ def sniff_media_type(payload: bytes) -> str:
     return "application/octet-stream"
 
 
+def parse_gif_header(payload: bytes) -> tuple[int, int] | None:
+    """GIF87a/89a logical-screen dimensions: the 6-byte signature is
+    followed by width/height as little-endian uint16 (GIF spec §17-18).
+    Stdlib-only, validates the full signature."""
+    import struct
+
+    if len(payload) < 10 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", payload[6:10])
+    if w == 0 or h == 0:
+        return None
+    return int(w), int(h)
+
+
+def parse_webp_header(payload: bytes) -> tuple[int, int] | None:
+    """WebP dimensions from the RIFF container: VP8X (canvas size as
+    24-bit little-endian minus-one fields), VP8L (14-bit packed
+    minus-one fields), or lossy VP8 (frame tag + 14-bit dimensions).
+    Stdlib-only marker walk, per the WebP container spec."""
+    import struct
+
+    if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    fourcc = payload[12:16]
+    if fourcc == b"VP8X" and len(payload) >= 30:
+        wm = int.from_bytes(payload[24:27], "little")
+        hm = int.from_bytes(payload[27:30], "little")
+        return wm + 1, hm + 1
+    if fourcc == b"VP8L" and len(payload) >= 25 and payload[20] == 0x2F:
+        bits = int.from_bytes(payload[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return w, h
+    if fourcc == b"VP8 " and len(payload) >= 30:
+        # key frame: 3-byte frame tag, start code 9D 01 2A, then dims
+        if payload[23:26] != b"\x9d\x01\x2a":
+            return None
+        w, h = struct.unpack("<HH", payload[26:30])
+        return (w & 0x3FFF), (h & 0x3FFF)
+    return None
+
+
 def decode_real(payload: bytes) -> tuple[int, int, list[float]]:
     """The real decode path — requires PIL/cv2/ffmpeg, absent here.
 
@@ -133,8 +175,14 @@ def parse_jpeg_sof(payload: bytes) -> tuple[int, int] | None:
 
 def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
     """Real dimensions for the formats with a pure-stdlib path (PNG
-    IHDR, JPEG SOF); None -> caller falls back to the stub."""
-    return parse_png_ihdr(payload) or parse_jpeg_sof(payload)
+    IHDR, JPEG SOF, GIF logical screen, WebP RIFF chunks); None ->
+    caller falls back to the stub."""
+    return (
+        parse_png_ihdr(payload)
+        or parse_jpeg_sof(payload)
+        or parse_gif_header(payload)
+        or parse_webp_header(payload)
+    )
 
 
 def decode_stub(payload: bytes, dim: int = 8) -> tuple[int, int, list[float]]:

@@ -546,3 +546,48 @@ FROM r WHERE rn = 1
     orows = [tuple(r) for r in orc.fetchall()]
     assert len(srows) == len(orows)
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+def test_parse_gif_header():
+    from fusus_spark.operators.multimodal import parse_gif_header
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 6
+    assert parse_gif_header(gif) == (320, 200)
+    assert parse_gif_header(b"GIF87a" + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")) == (1, 1)
+    assert parse_gif_header(b"GIF89a\x00\x00\x00\x00") is None  # zero dims
+    assert parse_gif_header(b"GIFXYa" + b"\x01\x00\x01\x00") is None
+    assert parse_gif_header(b"GIF89") is None  # truncated
+
+
+def test_parse_webp_header():
+    from fusus_spark.operators.multimodal import parse_webp_header
+
+    def riff(fourcc: bytes, chunk: bytes) -> bytes:
+        body = b"WEBP" + fourcc + len(chunk).to_bytes(4, "little") + chunk
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    # VP8X: 4 feature bytes + 24-bit (w-1) + 24-bit (h-1)
+    vp8x = riff(b"VP8X", b"\x00\x00\x00\x00"
+                + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))
+    assert parse_webp_header(vp8x) == (640, 480)
+
+    # VP8L: signature 0x2F then 14-bit packed (w-1), (h-1)
+    bits = (99) | ((49) << 14)  # 100 x 50
+    vp8l = riff(b"VP8L", b"\x2f" + bits.to_bytes(4, "little"))
+    assert parse_webp_header(vp8l) == (100, 50)
+
+    # lossy VP8: 3-byte frame tag + start code + uint16 dims (14-bit)
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + (800).to_bytes(2, "little") + (600).to_bytes(2, "little"))
+    assert parse_webp_header(vp8) == (800, 600)
+
+    assert parse_webp_header(b"RIFF\x00\x00\x00\x00WAVEfmt ") is None
+    assert parse_webp_header(vp8x[:20]) is None  # truncated
+
+
+def test_parse_image_dims_dispatches_all_formats():
+    from fusus_spark.operators.multimodal import parse_image_dims
+
+    gif = b"GIF89a" + (7).to_bytes(2, "little") + (9).to_bytes(2, "little") + b"\x00" * 6
+    assert parse_image_dims(gif) == (7, 9)
+    assert parse_image_dims(b"not an image") is None
