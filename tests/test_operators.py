@@ -591,3 +591,44 @@ def test_parse_image_dims_dispatches_all_formats():
     gif = b"GIF89a" + (7).to_bytes(2, "little") + (9).to_bytes(2, "little") + b"\x00" * 6
     assert parse_image_dims(gif) == (7, 9)
     assert parse_image_dims(b"not an image") is None
+
+
+def _wav(ch=2, rate=44100, bits=16, n_samples=44100, extra_chunk=False) -> bytes:
+    """Minimal valid WAVE built with stdlib struct — the golden."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+                      ch * bits // 8, bits)
+    data = b"\x00" * (n_samples * ch * bits // 8)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # LIST chunk with odd length: word-alignment path
+        chunks += b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    body = b"WAVE" + chunks
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_wav_header():
+    from fusus_spark.operators.multimodal import parse_wav_header
+
+    assert parse_wav_header(_wav()) == (2, 44100, 16, 1000)
+    assert parse_wav_header(_wav(ch=1, rate=8000, bits=8, n_samples=4000)) == \
+        (1, 8000, 8, 500)
+    assert parse_wav_header(_wav(extra_chunk=True)) == (2, 44100, 16, 1000)
+    assert parse_wav_header(b"RIFF\x00\x00\x00\x00AVI LIST") is None
+    assert parse_wav_header(_wav()[:20]) is None  # truncated
+    assert parse_wav_header(b"ID3\x03junk") is None
+
+
+def test_audio_meta_operator(spark):
+    from fusus_spark.operators.multimodal import audio_meta
+
+    rows = [("u1", _wav()), ("u2", _wav(ch=1, rate=16000, bits=16, n_samples=8000)),
+            ("u3", b"\x89PNG\r\n not audio"), ("u4", None)]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in audio_meta(df).collect()}
+    assert got["u1"]["n_channels"] == 2 and got["u1"]["duration_ms"] == 1000
+    assert got["u2"]["sample_rate_hz"] == 16000 and got["u2"]["duration_ms"] == 500
+    assert got["u3"]["n_channels"] is None
+    assert got["u3"]["media_type"] == "image/png"
+    assert got["u4"]["n_bytes"] == 0 and got["u4"]["duration_ms"] is None

@@ -166,6 +166,8 @@ CHECKS = {
         ("CartesianProduct", False),
         ("Exchange SinglePartition", False),
     ],
+    # audio metadata: exactly one fused Arrow python stage, no shuffle
+    "audio_meta": [("MapInPandas", 1), ("Exchange", 1)],
 }
 
 
@@ -353,6 +355,15 @@ def _extra_frames():
 
         return robots_signals(_web_docs(spark, sf_dir))
 
+    def f_audio(spark, sf_dir):
+        from fusus_spark.operators.multimodal import audio_meta
+
+        docs = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://m"), "doc_id").alias("url"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        return audio_meta(docs)
+
     def f_mixture(spark, sf_dir):
         from fusus_spark.operators.curate import mixture_ppm
 
@@ -383,7 +394,8 @@ def _extra_frames():
             "cluster_representatives": f_cluster_reps,
             "enrich_with_anchors": f_enrich, "robots_signals": f_robots,
             "mixture_ppm": f_mixture,
-            "stratified_sample_by_table": f_sample_table}
+            "stratified_sample_by_table": f_sample_table,
+            "audio_meta": f_audio}
 
 
 def main() -> None:
