@@ -759,8 +759,14 @@ def mixture_ppm(
     ULP differences, so the oracle test pins integer-exact cases
     (perfect squares at alpha=0.5, and alpha in {0, 1e6}).
     """
-    n = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
-        F.count("*").alias("n_docs")
+    # NULL strata are EXCLUDED from the mixture: the sampler's equi-join
+    # and md5 key can never select them, so counting them here would
+    # silently depress every real stratum's rate and underfill the
+    # budget while the audit table claimed otherwise
+    n = (
+        docs.where(F.col(strata_col).isNotNull())
+        .groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.count("*").alias("n_docs"))
     )
     w = n.withColumn(
         "__w__", F.pow(F.col("n_docs").cast("double"), F.lit(alpha_e6 / 1e6))

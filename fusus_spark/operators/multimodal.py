@@ -34,6 +34,16 @@ _MAGIC = [
 
 
 def sniff_media_type(payload: bytes) -> str:
+    # RIFF is a container: the subtype lives at offset 8 (WEBP images
+    # must not be typed as audio just because they share the prefix)
+    if payload.startswith(b"RIFF") and len(payload) >= 12:
+        sub = payload[8:12]
+        if sub == b"WEBP":
+            return "image/webp"
+        if sub == b"WAVE":
+            return "audio/wav"
+        if sub == b"AVI ":
+            return "video/avi"
     for magic, mt in _MAGIC:
         if payload.startswith(magic):
             return mt
@@ -78,7 +88,10 @@ def parse_webp_header(payload: bytes) -> tuple[int, int] | None:
         if payload[23:26] != b"\x9d\x01\x2a":
             return None
         w, h = struct.unpack("<HH", payload[26:30])
-        return (w & 0x3FFF), (h & 0x3FFF)
+        w, h = w & 0x3FFF, h & 0x3FFF
+        if w == 0 or h == 0:  # corrupt/crafted: fall back, never (0,0)
+            return None
+        return w, h
     return None
 
 
@@ -199,41 +212,57 @@ def decode_stub(payload: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
+def _map_payloads(df: DataFrame, payload_col: str, schema: str, row_fn) -> DataFrame:
+    """The ONE (url, payload) Arrow-batch scaffold behind
+    media_features and audio_meta: prune to (url, payload), coerce
+    null payloads to b'' (a fix to this plumbing — e.g. the
+    NaN-on-null class of bug — lands in every payload operator at
+    once), call ``row_fn(url, payload) -> dict`` per row, and emit the
+    batch under ``schema``. One fused mapInPandas stage."""
+    pruned = df.select("url", F.col(payload_col).alias("payload"))
+    names = [part.strip().split(" ")[0] for part in schema.split(",")]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in names}
+            for url, payload in zip(pdf["url"].tolist(), pdf["payload"].tolist()):
+                payload = bytes(payload) if payload is not None else b""
+                vals = row_fn(url, payload)
+                for k in names:
+                    rows[k].append(vals[k])
+            yield pd.DataFrame(rows)
+
+    return pruned.mapInPandas(run, schema=schema)
+
+
 def media_features(df: DataFrame, payload_col: str = "payload",
                    use_stub: bool = True) -> DataFrame:
     """(url, payload binary) -> media metadata + feature vector.
 
     One fused mapInPandas pass (same physical shape as the HTML
-    extraction stage: binary in, struct-ish columns out). PNG and JPEG
-    payloads get REAL width/height from their headers (IHDR / SOF
-    marker walk, stdlib only — no image lib needed); other formats use
-    the decode stub (or decode_real when use_stub=False and the libs
-    exist).
+    extraction stage: binary in, struct-ish columns out). PNG/JPEG/
+    GIF/WebP payloads get REAL width/height from their headers (stdlib
+    marker walks — no image lib needed); other formats use the decode
+    stub (or decode_real when use_stub=False and the libs exist).
     """
-    pruned = df.select("url", F.col(payload_col).alias("payload"))
     decode = decode_stub if use_stub else decode_real
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {k: [] for k in
-                    ("url", "media_type", "n_bytes", "magic_hex", "width",
-                     "height", "feature")}
-            for url, payload in zip(pdf["url"].tolist(), pdf["payload"].tolist()):
-                payload = bytes(payload) if payload is not None else b""
-                rows["url"].append(url)
-                rows["media_type"].append(sniff_media_type(payload))
-                rows["n_bytes"].append(len(payload))
-                rows["magic_hex"].append(payload[:4].hex().upper())
-                w, h, feat = decode(payload)
-                real_dims = parse_image_dims(payload)
-                if real_dims is not None:
-                    w, h = real_dims
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["feature"].append(feat)
-            yield pd.DataFrame(rows)
+    def row(url, payload):
+        w, h, feat = decode(payload)
+        real_dims = parse_image_dims(payload)
+        if real_dims is not None:
+            w, h = real_dims
+        return {
+            "url": url,
+            "media_type": sniff_media_type(payload),
+            "n_bytes": len(payload),
+            "magic_hex": payload[:4].hex().upper(),
+            "width": w,
+            "height": h,
+            "feature": feat,
+        }
 
-    return pruned.mapInPandas(run, schema=MEDIA_META_SCHEMA)
+    return _map_payloads(df, payload_col, MEDIA_META_SCHEMA, row)
 
 
 def parse_wav_header(payload: bytes):
@@ -287,27 +316,22 @@ def audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     the sniffed type, never an exception. Same fused mapInPandas
     physical shape as the extraction stage; verification is golden
     bytes + an independent struct reference in tests (byte-format
-    walks are not SQL-expressible, the repo's non-SQL-oracle rule)."""
-    pruned = df.select("url", F.col(payload_col).alias("payload"))
+    walks are not SQL-expressible, the repo's non-SQL-oracle rule).
+    Batch plumbing comes from the shared ``_map_payloads`` scaffold."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {k: [] for k in
-                    ("url", "media_type", "n_bytes", "n_channels",
-                     "sample_rate_hz", "bits_per_sample", "duration_ms")}
-            for url, payload in zip(pdf["url"].tolist(), pdf["payload"].tolist()):
-                payload = bytes(payload) if payload is not None else b""
-                meta = parse_wav_header(payload)
-                rows["url"].append(url)
-                rows["media_type"].append(sniff_media_type(payload))
-                rows["n_bytes"].append(len(payload))
-                rows["n_channels"].append(meta[0] if meta else None)
-                rows["sample_rate_hz"].append(meta[1] if meta else None)
-                rows["bits_per_sample"].append(meta[2] if meta else None)
-                rows["duration_ms"].append(meta[3] if meta else None)
-            yield pd.DataFrame(rows)
+    def row(url, payload):
+        meta = parse_wav_header(payload)
+        return {
+            "url": url,
+            "media_type": sniff_media_type(payload),
+            "n_bytes": len(payload),
+            "n_channels": meta[0] if meta else None,
+            "sample_rate_hz": meta[1] if meta else None,
+            "bits_per_sample": meta[2] if meta else None,
+            "duration_ms": meta[3] if meta else None,
+        }
 
-    return pruned.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+    return _map_payloads(df, payload_col, AUDIO_META_SCHEMA, row)
 
 
 RESIZED_SCHEMA = (

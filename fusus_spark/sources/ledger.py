@@ -366,6 +366,12 @@ def run_extraction_job(
     locked = 0
     for bucket in range(n_buckets):
         lineage = input_lineage(input_path, bucket)
+        if respect_robots:
+            # the consent filter is part of the bucket's identity:
+            # toggling it must invalidate done buckets (a resume with a
+            # different policy would otherwise silently skip them and
+            # leave noindex pages in — or out of — the committed output)
+            lineage += "+robots"
         if ledger.is_done(bucket, lineage):
             skipped += 1
             continue

@@ -632,3 +632,27 @@ def test_audio_meta_operator(spark):
     assert got["u3"]["n_channels"] is None
     assert got["u3"]["media_type"] == "image/png"
     assert got["u4"]["n_bytes"] == 0 and got["u4"]["duration_ms"] is None
+
+
+def test_webp_sniff_and_zero_dim_guard():
+    from fusus_spark.operators.multimodal import parse_webp_header, sniff_media_type
+
+    import struct
+
+    def riff(fourcc: bytes, chunk: bytes) -> bytes:
+        body = b"WEBP" + fourcc + len(chunk).to_bytes(4, "little") + chunk
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    # RIFF subtypes resolve at offset 8; bare RIFF keeps the old label
+    assert sniff_media_type(riff(b"VP8X", b"\x00" * 10)) == "image/webp"
+    assert sniff_media_type(b"RIFF\x04\x00\x00\x00WAVEfmt ") == "audio/wav"
+    assert sniff_media_type(b"RIFF\x04\x00\x00\x00AVI LIST") == "video/avi"
+    assert sniff_media_type(b"RIFF\x00\x00") == "audio/wav-or-avi"
+
+    # crafted zero dims (raw zeros or 0x4000 multiples masking to 0)
+    # must fall back to None, never a truthy (0, 0)
+    z1 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a" + b"\x00\x00\x00\x00")
+    z2 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+              + struct.pack("<HH", 0x4000, 0x4000))
+    assert parse_webp_header(z1) is None
+    assert parse_webp_header(z2) is None

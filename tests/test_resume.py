@@ -380,3 +380,19 @@ def test_extraction_job_respect_robots(spark, tmp_path):
     assert words.count() > 0
     rows_in = sum(r["rows_in"] for r in Ledger(str(tmp_path / "rb_ledger")).rows())
     assert rows_in == 12 - len(opted)
+
+
+def test_respect_robots_is_part_of_the_resume_key(spark, bucketed_input, tmp_path):
+    """Toggling --respect-robots must invalidate done buckets: a resume
+    under a different consent policy reprocesses, never skips."""
+    out = str(tmp_path / "rk_out")
+    ledger_path = str(tmp_path / "rk_ledger")
+    s1 = run_extraction_job(spark, bucketed_input, out, ledger_path, N_BUCKETS)
+    assert s1["processed"] == N_BUCKETS
+    s2 = run_extraction_job(spark, bucketed_input, out, ledger_path, N_BUCKETS,
+                            respect_robots=True)
+    assert s2["processed"] == N_BUCKETS and s2["skipped"] == 0
+    # and the robots-mode run is itself resumable
+    s3 = run_extraction_job(spark, bucketed_input, out, ledger_path, N_BUCKETS,
+                            respect_robots=True)
+    assert s3["skipped"] == N_BUCKETS

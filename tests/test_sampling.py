@@ -492,3 +492,18 @@ def test_mixture_pipeline_end_to_end(spark):
     # targets: weights 40/10 -> 340/85 docs; md5 draw is binomial
     assert 260 <= by["big"] <= 420
     assert 55 <= by["small"] <= 100
+
+
+def test_mixture_ppm_excludes_null_strata(spark):
+    """Docs with a NULL stratum can never be sampled (equi-join and md5
+    key both skip NULL), so they must not depress real strata's rates
+    or appear in the audit table."""
+    from fusus_spark.operators.curate import mixture_ppm, stratified_sample_by_table
+
+    rows = [(i, "en") for i in range(64)] + [(100 + i, None) for i in range(16)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = mixture_ppm(docs, budget_docs=40, alpha_e6=500_000)
+    got = {r["stratum"]: r["ppm"] for r in rates.collect()}
+    assert got == {"en": 625_000}  # 40/64 of the ONLY real stratum
+    out = stratified_sample_by_table(docs, rates)
+    assert out.where("lang is null").count() == 0
