@@ -302,6 +302,50 @@ def parse_wav_header(payload: bytes):
     return ch, rate, bits, duration_ms
 
 
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+                      128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64,
+                      80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000),   # MPEG1
+              2: (22050, 24000, 16000),   # MPEG2
+              0: (11025, 12000, 8000)}    # MPEG2.5
+
+
+def parse_mp3_header(payload: bytes):
+    """MP3 (MPEG Layer III) metadata from the first audio frame header,
+    stdlib-only: skips an ID3v2 tag (syncsafe size), finds the frame
+    sync, reads version/bitrate/sample-rate/channel-mode from the
+    bitrate tables, and estimates duration from the audio byte count
+    at the first frame's bitrate (exact for CBR, an estimate for VBR —
+    stated in the schema's contract). Returns (n_channels,
+    sample_rate_hz, None, duration_ms) — bits-per-sample is not a
+    lossy-codec concept — or None for non-MP3 payloads."""
+    n = len(payload)
+    i = 0
+    if payload[:3] == b"ID3" and n >= 10:
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)  # syncsafe
+        i = 10 + size
+    if i + 4 > n or payload[i] != 0xFF or (payload[i + 1] & 0xE0) != 0xE0:
+        return None
+    h1, h2, h3 = payload[i + 1], payload[i + 2], payload[i + 3]
+    version = (h1 >> 3) & 0x3    # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (h1 >> 1) & 0x3      # 1 == Layer III
+    if version == 1 or layer != 1:
+        return None
+    br_idx = (h2 >> 4) & 0xF
+    sr_idx = (h2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free/bad bitrate or reserved rate
+    table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+    bitrate_kbps = table[br_idx]
+    rate = _MP3_RATES[version][sr_idx]
+    channels = 1 if ((h3 >> 6) & 0x3) == 3 else 2
+    duration_ms = round((n - i) * 8 * 1000 / (bitrate_kbps * 1000))
+    return channels, rate, None, duration_ms
+
+
 AUDIO_META_SCHEMA = (
     "url string, media_type string, n_bytes long, n_channels int, "
     "sample_rate_hz int, bits_per_sample int, duration_ms long"
@@ -311,16 +355,18 @@ AUDIO_META_SCHEMA = (
 def audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """(url, payload binary) -> audio metadata; the audio sibling of
     ``media_features``. WAV payloads get REAL channels/rate/bits/
-    duration from the RIFF fmt/data chunks (stdlib marker walk — no
-    audio lib in this container); everything else yields nulls with
-    the sniffed type, never an exception. Same fused mapInPandas
+    duration from the RIFF fmt/data chunks, and MP3 payloads REAL
+    channels/rate plus a bitrate-derived duration (exact for CBR)
+    from the first frame header (stdlib marker walks — no audio lib
+    in this container); everything else yields nulls with the sniffed
+    type, never an exception. Same fused mapInPandas
     physical shape as the extraction stage; verification is golden
     bytes + an independent struct reference in tests (byte-format
     walks are not SQL-expressible, the repo's non-SQL-oracle rule).
     Batch plumbing comes from the shared ``_map_payloads`` scaffold."""
 
     def row(url, payload):
-        meta = parse_wav_header(payload)
+        meta = parse_wav_header(payload) or parse_mp3_header(payload)
         return {
             "url": url,
             "media_type": sniff_media_type(payload),

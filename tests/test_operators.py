@@ -656,3 +656,41 @@ def test_webp_sniff_and_zero_dim_guard():
               + struct.pack("<HH", 0x4000, 0x4000))
     assert parse_webp_header(z1) is None
     assert parse_webp_header(z2) is None
+
+
+def test_parse_mp3_header():
+    from fusus_spark.operators.multimodal import parse_mp3_header
+
+    def id3(size: int) -> bytes:
+        # syncsafe 4x7-bit size
+        b = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                   (size >> 7) & 0x7F, size & 0x7F])
+        return b"ID3\x03\x00\x00" + b
+
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo: FF FB 90 00
+    frame = b"\xff\xfb\x90\x00"
+    audio = frame + b"\x00" * (16000 - 4)  # 16000 audio bytes
+    mp3 = id3(100) + b"\x00" * 100 + audio
+    got = parse_mp3_header(mp3)
+    # duration = 16000 bytes * 8 / 128000 bps = 1000 ms
+    assert got == (2, 44100, None, 1000)
+
+    # no ID3, mono (mode bits 11), MPEG2 (V2 table): FF F3 90 C0
+    # -> version 2, L3, idx 9 = 80kbps, 22050 Hz
+    m2 = b"\xff\xf3\x90\xc0" + b"\x00" * (9996)
+    assert parse_mp3_header(m2) == (1, 22050, None, 1000)
+
+    assert parse_mp3_header(b"ID3\x03\x00\x00\x00\x00\x00\x7fjunk") is None
+    assert parse_mp3_header(b"\xff\xfb") is None          # truncated
+    assert parse_mp3_header(b"\xff\xfb\xf0\x00" + b"\x00" * 100) is None  # bad bitrate idx
+    assert parse_mp3_header(b"RIFF....WAVE") is None
+
+
+def test_audio_meta_covers_mp3(spark):
+    from fusus_spark.operators.multimodal import audio_meta
+
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * (32000 - 4)  # 2000 ms at 128kbps
+    df = spark.createDataFrame([("m", mp3)], "url string, payload binary")
+    r = audio_meta(df).collect()[0]
+    assert r["n_channels"] == 2 and r["sample_rate_hz"] == 44100
+    assert r["bits_per_sample"] is None and r["duration_ms"] == 2000
