@@ -3,9 +3,11 @@
 ``entry(spark)`` runs the flagship extraction end-to-end on sf0.001;
 ``queries()`` exposes every implemented operator (SURVEY.md §2 + the
 training-data-pipeline surface); ``oracle_sql()`` gives the DuckDB
-equivalent for every query except ``align_editions`` (the sequential
-2-pointer fuzzy alignment — the one genuinely non-SQL algorithm;
-its invariants are asserted in tests/test_align.py instead).
+equivalent for every query — the alignment queries (including
+``align_editions``, the sequential 2-pointer fuzzy walk) run the full
+aligner on provably-exact scenarios whose ground truth is closed-form
+SQL; the noisy-perturbation variants are asserted in
+tests/test_align.py.
 """
 
 from __future__ import annotations

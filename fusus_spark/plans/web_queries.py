@@ -1052,43 +1052,35 @@ FROM toc
 
 
 def q_align_editions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-edition fuzzy alignment (J1, fusus/align.py doDiffs analog).
+    """Cross-edition fuzzy alignment WITH the doCase exception path
+    (J1, fusus/align.py doDiffs + doCase analogs) — full oracle.
 
-    Edition A = the documents' token streams; edition B = a
-    deterministic perturbation (every 17th token dropped, every 23rd
-    mutated) — the OCR-noise analog. Aligned per doc via
-    cogroup+applyInPandas, with a deterministic manual-exception table
-    (the doCase analog: docs 0-4 get a curated slot-5 -> slot-5
-    override, exercising the force-pair path end-to-end). Rows-only
-    check (inherently sequential algorithm, no SQL equivalent);
-    invariants in tests/test_align.py.
+    Runs the provably-exact scenario (see the _exact_align_rows block
+    comment below) plus a deterministic manual-exception table: docs
+    0-4 force-pair A slot 3 onto its B partner (slot 4 — slot 3 is
+    exactly where the first sentinel pends, so the consult exercises
+    the force-pair catch-up emit end-to-end). The exception targets the
+    pair the ladder would have matched anyway, so its ONLY closed-form
+    effect is distance = MANUAL_DISTANCE (-1) on that pair; every other
+    row is the exact scenario's ground truth, making the whole output
+    SQL-reconstructable (the r4 verdict's "swap the slot" item — the
+    noisy-perturbation variant this replaces stays covered by
+    tests/test_align.py).
     """
-    from fusus_spark.operators.align import align_editions
-
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    toks = docs.select(
-        F.col("doc_id").cast("string").alias("url"),
-        F.posexplode(tokens("text")).alias("slot", "word"),
-    ).select("url", F.col("slot").cast("long").alias("slot"), "word")
-    ed_b = (
-        toks.where(F.pmod(F.col("slot"), F.lit(17)) != 3)
-        .withColumn(
-            "word",
-            F.when(F.pmod(F.col("slot"), F.lit(23)) == 5,
-                   F.concat(F.col("word"), F.lit("x"))).otherwise(F.col("word")),
-        )
-        .withColumn(
-            "slot",
-            (F.row_number().over(
-                Window.partitionBy("url").orderBy("slot")
-            ) - 1).cast("long"),
-        )
-    )
     exceptions = spark.createDataFrame(
-        [(str(d), 5, 5) for d in range(5)],
+        [(str(d), 3, 4) for d in range(5)],
         "url string, slot_a long, slot_b long",
     )
-    return align_editions(toks, ed_b, exceptions=exceptions)
+    rows = _exact_align_rows(spark, sf_dir, exceptions=exceptions)
+    return rows.select(
+        "url",
+        F.col("slot_a").cast("bigint").alias("slot_a"),
+        "word_a",
+        F.col("distance").cast("int").alias("distance"),
+        F.round(F.col("ratio") * 1000000).cast("bigint").alias("ratio_e6"),
+        "word_b",
+        F.col("slot_b").cast("bigint").alias("slot_b"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1210,8 +1202,8 @@ ORACLE_NORMALIZE_ARABIC = _normalize_arabic_oracle_sql()
 # ---------------------------------------------------------------------------
 # Alignment with a FULL oracle: the provably-exact scenario.
 #
-# align_editions above is rows-only because noisy perturbations make the
-# fuzzy walk non-SQL. These queries instead build an edition pair whose
+# Noisy perturbations make the fuzzy walk non-SQL, so the registry
+# queries (align_editions included) build an edition pair whose
 # ladder alignment PROVABLY equals the closed-form ground truth, so the
 # real aligner (cogroup + applyInPandas, combis, lookahead — the whole
 # J1 machinery) runs on the Spark side while a pure-SQL oracle
@@ -1229,7 +1221,9 @@ ORACLE_NORMALIZE_ARABIC = _normalize_arabic_oracle_sql()
 _ALIGN_SENTINEL = "q9q9q9q9"
 
 
-def _exact_align_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exact_align_rows(
+    spark: SparkSession, sf_dir: str, exceptions: DataFrame | None = None
+) -> DataFrame:
     from fusus_spark.operators.align import align_editions
 
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
@@ -1255,7 +1249,7 @@ def _exact_align_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("sent")
     )
-    return align_editions(toks, ed_b)
+    return align_editions(toks, ed_b, exceptions=exceptions)
 
 
 # Shared oracle CTE prefix reconstructing the ground-truth alignment.
@@ -1290,6 +1284,21 @@ sent_rows AS (
   FROM base WHERE s % 17 = 3
 ),
 m AS (SELECT * FROM token_rows UNION ALL SELECT * FROM sent_rows)
+"""
+
+
+# The exception on docs 0-4 forces the (slot_a=3, slot_b=4) pair that
+# the ladder matches anyway (s=3 is 0-distance: 3%23 != 5), so the only
+# delta vs the ground truth is the MANUAL_DISTANCE marker on that pair;
+# on docs with < 4 tokens neither slot exists and the exception is
+# inert on BOTH sides (the oracle's CASE then matches no row).
+ORACLE_ALIGN_EDITIONS = f"""
+WITH {_ALIGN_EXACT_CTES}
+SELECT url, slot_a, word_a,
+       (CASE WHEN url IN ('0', '1', '2', '3', '4') AND slot_a = 3
+             THEN -1 ELSE distance END)::INT AS distance,
+       ratio_e6, word_b, slot_b
+FROM m
 """
 
 
@@ -1522,5 +1531,5 @@ WEB_ORACLES: dict[str, str] = {
     "align_merged": ORACLE_ALIGN_MERGED,
     "align_quality": ORACLE_ALIGN_QUALITY,
     "align_stretches": ORACLE_ALIGN_STRETCHES,
-    # rows-only (deliberately no oracle): align_editions only
+    "align_editions": ORACLE_ALIGN_EDITIONS,
 }
