@@ -19,8 +19,12 @@ shuffle, and the identical semantics are SQL-expressible as a rules-
 table join for the DuckDB oracle (tests/test_psl.py).
 
 Algorithm (publicsuffix.org/list/ spec, restricted to the rule shapes
-that exist in the list: rules of 1-3 labels, wildcards ``*.X`` /
-``*.X.Y``, exceptions ``!A.B`` / ``!A.B.C``):
+that dominate the list: normal rules of 1-4 labels (4-label rules are
+real — the amazonaws/cloudfront private section), wildcards ``*.X`` /
+``*.X.Y`` / ``*.X.Y.Z``, exceptions up to 4 labels; the handful of
+even-deeper private-section rules are skipped WITH A COUNT
+(``n_skipped`` in the compiled dict) so a deployment can see exactly
+what the expression does not model):
 
 * the prevailing rule is the matching rule with the MOST labels,
   except exception rules beat everything;
@@ -129,12 +133,26 @@ PSL_SNAPSHOT: tuple[str, ...] = (
 )
 
 
-def compile_rules(rules=PSL_SNAPSHOT) -> dict[str, frozenset[str]]:
-    """Compile PSL-syntax rules into the six lookup sets the expression
-    uses. Supports the rule shapes present in the real list: normal
-    rules of 2-3 labels (1-label rules are the implicit default),
-    wildcards ``*.X`` / ``*.X.Y``, exceptions of 2-3 labels."""
-    set2, set3, wild1, wild2, exc2, exc3 = set(), set(), set(), set(), set(), set()
+def compile_rules(rules=PSL_SNAPSHOT, strict: bool = True) -> dict:
+    """Compile PSL-syntax rules into the lookup sets the expression
+    uses: normal rules of 2-4 labels (1-label rules are the implicit
+    default), wildcards ``*.X`` / ``*.X.Y`` / ``*.X.Y.Z``, exceptions
+    of 2-4 labels. Deeper rules raise when ``strict`` (the bundled
+    snapshot must never silently lose a rule — a typo there is a bug)
+    and are otherwise skipped with the count returned under
+    ``n_skipped`` (the full-file path: the real list carries a handful
+    of 5-label amazonaws rules; a deployment that must model them
+    extends the expression one more level)."""
+    sets: dict[int, set[str]] = {2: set(), 3: set(), 4: set()}
+    wilds: dict[int, set[str]] = {1: set(), 2: set(), 3: set()}
+    excs: dict[int, set[str]] = {2: set(), 3: set(), 4: set()}
+    n_skipped = 0
+
+    def unsupported(raw: str) -> int:
+        if strict:
+            raise ValueError(f"unsupported rule depth: {raw}")
+        return 1
+
     for raw in rules:
         r = raw.strip().lower()
         if not r or r.startswith("//"):
@@ -142,45 +160,45 @@ def compile_rules(rules=PSL_SNAPSHOT) -> dict[str, frozenset[str]]:
         if r.startswith("!"):
             body = r[1:]
             n = body.count(".") + 1
-            if n == 2:
-                exc2.add(body)
-            elif n == 3:
-                exc3.add(body)
+            if n in excs:
+                excs[n].add(body)
             else:
-                raise ValueError(f"unsupported exception rule: {raw}")
+                n_skipped += unsupported(raw)
         elif r.startswith("*."):
             body = r[2:]
             n = body.count(".") + 1
-            if n == 1:
-                wild1.add(body)
-            elif n == 2:
-                wild2.add(body)
+            if n in wilds:
+                wilds[n].add(body)
             else:
-                raise ValueError(f"unsupported wildcard rule: {raw}")
+                n_skipped += unsupported(raw)
         else:
             n = r.count(".") + 1
             if n == 1:
                 continue  # implicit default rule already covers bare TLDs
-            if n == 2:
-                set2.add(r)
-            elif n == 3:
-                set3.add(r)
+            if n in sets:
+                sets[n].add(r)
             else:
-                raise ValueError(f"unsupported rule depth: {raw}")
+                n_skipped += unsupported(raw)
     return {
-        "set2": frozenset(set2), "set3": frozenset(set3),
-        "wild1": frozenset(wild1), "wild2": frozenset(wild2),
-        "exc2": frozenset(exc2), "exc3": frozenset(exc3),
+        "set2": frozenset(sets[2]), "set3": frozenset(sets[3]),
+        "set4": frozenset(sets[4]),
+        "wild1": frozenset(wilds[1]), "wild2": frozenset(wilds[2]),
+        "wild3": frozenset(wilds[3]),
+        "exc2": frozenset(excs[2]), "exc3": frozenset(excs[3]),
+        "exc4": frozenset(excs[4]),
+        "n_skipped": n_skipped,
     }
 
 
-def load_psl_file(path: str) -> dict[str, frozenset[str]]:
+def load_psl_file(path: str) -> dict:
     """Compile a full downloaded ``public_suffix_list.dat`` (public
-    data). Comment / blank lines are skipped; the handful of >3-label
-    rules raise so a deployment notices rather than silently mis-
-    classifying (extend the expression to 4 labels if they matter)."""
+    data). Comment / blank lines are skipped; rules deeper than the
+    expression models (normal rules of 5+ labels — a handful of
+    amazonaws private-section entries) are folded with a count under
+    ``n_skipped`` instead of raising, so the canonical file round-trips
+    (r4 verdict item #2; tests/test_psl.py loads a verbatim excerpt)."""
     with open(path, encoding="utf-8") as fh:
-        return compile_rules(tuple(fh))
+        return compile_rules(tuple(fh), strict=False)
 
 
 _COMPILED = compile_rules()
@@ -194,18 +212,21 @@ def _isin(col: Column, values: frozenset[str]) -> Column:
     return col.isin(*sorted(values))
 
 
-def public_suffix_len(host: Column, rules: dict[str, frozenset[str]] | None = None) -> Column:
+def public_suffix_len(host: Column, rules: dict | None = None) -> Column:
     """Number of labels in the host's public suffix (>= 1)."""
     r = rules or _COMPILED
     l1 = F.substring_index(host, ".", -1)
     l2 = F.substring_index(host, ".", -2)
     l3 = F.substring_index(host, ".", -3)
+    l4 = F.substring_index(host, ".", -4)
     n = F.size(F.split(host, r"\."))
     return (
         # exceptions first (they beat every other matching rule)
-        F.when((n >= 3) & _isin(l3, r["exc3"]), F.lit(2))
+        F.when((n >= 4) & _isin(l4, r["exc4"]), F.lit(3))
+        .when((n >= 3) & _isin(l3, r["exc3"]), F.lit(2))
         .when((n >= 2) & _isin(l2, r["exc2"]), F.lit(1))
-        # then longest match: 3-label rules / *.X.Y, 2-label rules / *.X
+        # then longest match: 4-label rules / *.X.Y.Z, then 3, then 2
+        .when((n >= 4) & (_isin(l4, r["set4"]) | _isin(l3, r["wild3"])), F.lit(4))
         .when((n >= 3) & (_isin(l3, r["set3"]) | _isin(l2, r["wild2"])), F.lit(3))
         .when((n >= 2) & (_isin(l2, r["set2"]) | _isin(l1, r["wild1"])), F.lit(2))
         .otherwise(F.lit(1))  # implicit default rule '*'
@@ -213,7 +234,7 @@ def public_suffix_len(host: Column, rules: dict[str, frozenset[str]] | None = No
     )
 
 
-def public_suffix(host: Column, rules: dict[str, frozenset[str]] | None = None) -> Column:
+def public_suffix(host: Column, rules: dict | None = None) -> Column:
     """The host's public suffix itself (``foo.blogspot.com`` ->
     ``blogspot.com``, ``a.example.co.uk`` -> ``co.uk``) — what a
     blocklist entry that names a whole hosting platform or registry
@@ -223,7 +244,7 @@ def public_suffix(host: Column, rules: dict[str, frozenset[str]] | None = None) 
     return F.array_join(F.slice(labels, -ps, ps), ".")
 
 
-def registrable_domain(host: Column, rules: dict[str, frozenset[str]] | None = None) -> Column:
+def registrable_domain(host: Column, rules: dict | None = None) -> Column:
     """Registrable domain (public suffix + one label) of a lowercased
     host, '' when the host IS a public suffix or has no dot — e.g.
     ``a.b.example.co.uk`` -> ``example.co.uk``, ``co.uk`` -> ''."""

@@ -102,8 +102,19 @@ def run_job(
         except (FileNotFoundError, json.JSONDecodeError):
             prior = None  # absent or torn marker -> safe redo
         if prior != fingerprint:
+            from pyspark.sql import functions as F
+
+            # keep only OK responses: a 301/404 body must not be
+            # extracted as a document. Null status (no HTTP envelope in
+            # the record) is kept — flag-don't-drop for legacy/plain
+            # payloads; the envelope columns travel into the table so
+            # the robots consent tier can honor X-Robots-Tag per bucket.
+            docs = read_warc(spark, input_path)
+            docs = docs.where(
+                (F.col("http_status") == 200) | F.col("http_status").isNull()
+            )
             write_bucketed_input(
-                read_warc(spark, input_path), table_dir, n_buckets,
+                docs, table_dir, n_buckets,
                 date_col="warc_ts" if by_date else None,
             )
             # tmp + atomic replace: a crash mid-write must leave a

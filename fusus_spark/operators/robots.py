@@ -6,10 +6,12 @@ content="noindex, nofollow">`` (the page asked to be left out of
 indexes — the standard conservative reading excludes it from corpora
 too) and ``<link rel="canonical" href="...">`` (the page DECLARES its
 canonical url — stronger than any heuristic canonicalization, and the
-natural key to fold syndicated copies with). HTTP-header directives
-(X-Robots-Tag) live in the fetch layer's headers, not the html, and
-are out of scope here — document pipelines that have headers should
-merge them upstream.
+natural key to fold syndicated copies with). The HTTP-header half of
+the protocol (``X-Robots-Tag``) is merged too when the input carries
+the fetch layer's header column (sources/warc.py retains it at
+ingest): a header directive is tested with the same whole-token rules
+as the meta content, and a user-agent-scoped value (``googlebot:
+noindex``) counts as an opt-out — the conservative reading.
 
 Same design as webgraph.extract_links: a linear codegen'd regexp scan
 over the raw html cast — RE2-safe patterns (no lookarounds/backrefs)
@@ -74,21 +76,41 @@ def _robots_content(html_col: str) -> Column:
     )
 
 
+def _header_content(docs: DataFrame, xrobots_col: str | None) -> Column:
+    """The lowered X-Robots-Tag value to merge ('' when the column is
+    not present / null). ``xrobots_col=None`` auto-detects the column
+    ``x_robots_tag`` (what sources/warc.py emits), so any caller whose
+    input went through the WARC envelope parse honors headers without
+    wiring."""
+    if xrobots_col is None:
+        xrobots_col = "x_robots_tag" if "x_robots_tag" in docs.columns else ""
+    if not xrobots_col:
+        return F.lit("")
+    return F.lower(F.coalesce(F.col(xrobots_col), F.lit("")))
+
+
 def robots_signals(
-    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+    docs: DataFrame, url_col: str = "url", html_col: str = "html",
+    xrobots_col: str | None = None,
 ) -> DataFrame:
-    """(url, robots_content, noindex, nofollow, noarchive,
-    canonical_href) — one codegen'd projection per document.
+    """(url, robots_content, header_content, noindex, nofollow,
+    noarchive, canonical_href) — one codegen'd projection per document.
 
     ``robots_content`` is the raw (lowered) content of the first
-    matching robots meta ('' when absent); the booleans are whole-token
-    tests over it. ``canonical_href`` is the declared canonical url
-    (null when absent) — feed it through webgraph.resolve_links /
+    matching robots meta ('' when absent); ``header_content`` the
+    lowered X-Robots-Tag header value ('' when absent — auto-detected
+    from the ``x_robots_tag`` column, see ``_header_content``). The
+    booleans are whole-token tests over the UNION of both surfaces
+    (either half of the protocol opts the page out; a UA-scoped header
+    value like ``googlebot: noindex`` still contains the token, the
+    conservative reading). ``canonical_href`` is the declared canonical
+    url (null when absent) — feed it through webgraph.resolve_links /
     functions.url.canonical_url before joining, exactly like any other
     harvested href.
     """
     orig = F.col(html_col).cast("string")
     content = _robots_content(html_col)
+    header = _header_content(docs, xrobots_col)
     canon = F.nullif(
         F.coalesce(
             F.nullif(F.regexp_extract(orig, _LINK_REL_FIRST, 1), F.lit("")),
@@ -99,21 +121,31 @@ def robots_signals(
     return docs.select(
         F.col(url_col).alias("url"),
         content.alias("robots_content"),
-        _directive(content, "noindex").alias("noindex"),
-        _directive(content, "nofollow").alias("nofollow"),
-        _directive(content, "noarchive").alias("noarchive"),
+        header.alias("header_content"),
+        (_directive(content, "noindex")
+         | _directive(header, "noindex")).alias("noindex"),
+        (_directive(content, "nofollow")
+         | _directive(header, "nofollow")).alias("nofollow"),
+        (_directive(content, "noarchive")
+         | _directive(header, "noarchive")).alias("noarchive"),
         canon.alias("canonical_href"),
     )
 
 
 def apply_robots_optout(
-    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+    docs: DataFrame, url_col: str = "url", html_col: str = "html",
+    xrobots_col: str | None = None,
 ) -> DataFrame:
-    """Drop documents whose page declares ``noindex`` (the conservative
-    opt-out reading); everything else passes through unchanged. Pure
-    map-side filter — the signal is computed inline via the same
-    ``_robots_content`` expression the audit table uses, no join.
-    Pages with no html or no robots meta are KEPT (absence of a
-    directive is consent under the robots protocol); ``none`` counts
-    as noindex per the spec."""
-    return docs.where(~_directive(_robots_content(html_col), "noindex"))
+    """Drop documents whose page declares ``noindex`` — via the robots
+    meta OR the X-Robots-Tag header when the input carries the header
+    column (auto-detected, see ``_header_content``) — the conservative
+    opt-out reading; everything else passes through unchanged. Pure
+    map-side filter — the signals are computed inline via the same
+    expressions the audit table uses, no join. Pages with no html, no
+    robots meta and no header are KEPT (absence of a directive is
+    consent under the robots protocol); ``none`` counts as noindex per
+    the spec."""
+    return docs.where(
+        ~_directive(_robots_content(html_col), "noindex")
+        & ~_directive(_header_content(docs, xrobots_col), "noindex")
+    )

@@ -23,9 +23,13 @@ Physical design for 100-TB crawls:
 
 Parsing is pure stdlib (gzip/io/email-free manual header walk): record
 headers up to a blank line, ``Content-Length`` bytes of block, and for
-response records the http body after the first CRLFCRLF. Malformed
-records/files are skipped, never raised — at crawl scale a poison
-segment must not kill the job.
+response records the HTTP ENVELOPE (status line + response headers)
+parsed rather than skipped — real crawl WARCs are full of 301/404
+records, and the headers carry the authoritative ``Content-Type``
+(sniffing is only the fallback) and ``X-Robots-Tag`` (the header half
+of the robots consent protocol; fusus_spark.operators.robots merges
+it). Malformed records/files are skipped, never raised — at crawl
+scale a poison segment must not kill the job.
 
 Reference role analog: the imageFileList directory scan feeding per-page
 processing (/root/reference/fusus/book.py:189-240) — here the "directory"
@@ -42,7 +46,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 WARC_DOCS_SCHEMA = (
-    "url string, warc_ts timestamp, html binary, text string, lang string"
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "http_status int, content_type string, x_robots_tag string"
 )
 
 DEFAULT_MAX_BODY_BYTES = 4 * 1024 * 1024
@@ -69,11 +74,55 @@ def _parse_headers(stream: io.BufferedIOBase) -> dict[str, str] | None:
     return headers
 
 
+def parse_http_envelope(block: bytes) -> tuple[int | None, dict[str, str], bytes]:
+    """Split an HTTP response block into (status, headers, body).
+
+    The status line must look like ``HTTP/x.y NNN ...``; header names
+    are lowercased, values stripped, repeated headers comma-joined (the
+    RFC 9110 list semantics — multiple ``X-Robots-Tag`` lines union
+    their directives). A block that does not start with a status line
+    returns ``(None, {}, block)`` — the whole block stays the body, the
+    pre-envelope behavior — so a non-HTTP payload is flagged (null
+    status), never dropped or mis-split.
+    """
+    if not block.startswith(b"HTTP/"):
+        return None, {}, block
+    sep = block.find(b"\r\n\r\n")
+    head, body = (block[:sep], block[sep + 4 :]) if sep != -1 else (block, b"")
+    lines = head.split(b"\r\n")
+    first = lines[0].split(None, 2)
+    if len(first) < 2 or not first[1].isdigit() or len(first[1]) != 3:
+        return None, {}, block
+    status = int(first[1])
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        if b":" not in line:
+            continue
+        k, _, v = line.partition(b":")
+        key = k.strip().lower().decode("latin-1")
+        val = v.strip().decode("latin-1")
+        headers[key] = f"{headers[key]}, {val}" if key in headers else val
+    return status, headers, body
+
+
+def _media_type(content_type: str | None) -> str | None:
+    """The bare lowercased media type of a Content-Type value
+    (``text/HTML; charset=utf-8`` -> ``text/html``)."""
+    if not content_type:
+        return None
+    return content_type.split(";", 1)[0].strip().lower() or None
+
+
 def iter_warc_records(
     payload: bytes, max_body_bytes: int = DEFAULT_MAX_BODY_BYTES
-) -> Iterator[tuple[str, str | None, bytes]]:
-    """Yield (target_uri, warc_date, http_body) for each response record.
+) -> Iterator[tuple[str, str | None, int | None, str | None, str | None, bytes]]:
+    """Yield (target_uri, warc_date, http_status, content_type,
+    x_robots_tag, http_body) for each response record.
 
+    ``content_type`` is the normalized media type (parameters dropped,
+    lowercased); ``x_robots_tag`` is the lowercased header value with
+    repeated headers comma-joined. Records whose block carries no HTTP
+    envelope yield null status/headers with the raw block as body.
     Accepts plain or gzip (including multi-member, Common Crawl's
     layout) payloads; malformed tails are dropped silently.
     """
@@ -98,12 +147,14 @@ def iter_warc_records(
                 headers.get("warc-type", "").lower() == "response"
                 and headers.get("warc-target-uri")
             ):
-                # http payload: status line + headers, body after CRLFCRLF
-                sep = block.find(b"\r\n\r\n")
-                body = block[sep + 4 :] if sep != -1 else block
+                status, http_headers, body = parse_http_envelope(block)
+                xrt = http_headers.get("x-robots-tag")
                 yield (
                     headers["warc-target-uri"],
                     headers.get("warc-date"),
+                    status,
+                    _media_type(http_headers.get("content-type")),
+                    xrt.lower() if xrt else None,
                     body[:max_body_bytes],
                 )
     except (OSError, EOFError):
@@ -119,9 +170,14 @@ def read_warc(
 ) -> DataFrame:
     """Crawl segment files (``*.warc`` / ``*.warc.gz``) -> documents rows.
 
-    Output matches the input_hint shape (url, warc_ts, html, text,
-    lang): ``text`` is null (it is what extraction produces), ``lang``
-    is the optional crawl-level hint. One task per segment file.
+    Output is the input_hint shape (url, warc_ts, html, text, lang) —
+    ``text`` is null (it is what extraction produces), ``lang`` the
+    optional crawl-level hint — plus the HTTP envelope columns
+    ``http_status`` / ``content_type`` / ``x_robots_tag``. Non-200
+    records are FLAGGED, not dropped (a 301/404 body must never be
+    silently ingested as a document NOR silently lost — the caller
+    decides; jobs/extract_job keeps status 200 and envelope-less null
+    rows). One task per segment file.
     """
     binary = (
         spark.read.format("binaryFile")
@@ -137,10 +193,13 @@ def read_warc(
         for pdf in batches:
             rows: dict[str, list] = {
                 "url": [], "warc_ts": [], "html": [], "text": [], "lang": [],
+                "http_status": [], "content_type": [], "x_robots_tag": [],
             }
             for content in pdf["content"]:
                 payload = bytes(content) if content is not None else b""
-                for uri, date, body in iter_warc_records(payload, max_body_bytes):
+                for uri, date, status, ctype, xrt, body in iter_warc_records(
+                    payload, max_body_bytes
+                ):
                     rows["url"].append(uri)
                     # keep the tz-aware UTC instant: a naive timestamp
                     # would be re-interpreted in the session timezone
@@ -153,6 +212,12 @@ def read_warc(
                     rows["html"].append(body)
                     rows["text"].append(None)
                     rows["lang"].append(lang)
-            yield pd.DataFrame(rows)
+                    rows["http_status"].append(status)
+                    rows["content_type"].append(ctype)
+                    rows["x_robots_tag"].append(xrt)
+            pdf_out = pd.DataFrame(rows)
+            # all-null int columns must stay integral for Arrow
+            pdf_out["http_status"] = pdf_out["http_status"].astype("Int32")
+            yield pdf_out
 
     return binary.mapInPandas(run, schema=WARC_DOCS_SCHEMA)

@@ -15,10 +15,13 @@ from __future__ import annotations
 from fusus_spark.functions.psl import PSL_SNAPSHOT, compile_rules
 
 
-def install_psl_rules(con, rules=None) -> None:
-    """Create + fill the six rules tables in a DuckDB connection."""
-    compiled = compile_rules(rules if rules is not None else PSL_SNAPSHOT)
-    for name in ("set2", "set3", "wild1", "wild2", "exc2", "exc3"):
+def install_psl_rules(con, rules=None, strict: bool = True) -> None:
+    """Create + fill the rules tables in a DuckDB connection."""
+    compiled = compile_rules(
+        rules if rules is not None else PSL_SNAPSHOT, strict=strict
+    )
+    for name in ("set2", "set3", "set4", "wild1", "wild2", "wild3",
+                 "exc2", "exc3", "exc4"):
         con.sql(f"CREATE OR REPLACE TABLE {name} (r VARCHAR)")
         vals = sorted(compiled[name])
         if vals:
@@ -29,8 +32,11 @@ def install_psl_rules(con, rules=None) -> None:
 # beat everything, then longest match, default 1)
 PSL_PS_CASE = """
     CASE
+      WHEN n >= 4 AND array_to_string(list_slice(ls, n-3, n), '.') IN (SELECT r FROM exc4) THEN 3
       WHEN n >= 3 AND array_to_string(list_slice(ls, n-2, n), '.') IN (SELECT r FROM exc3) THEN 2
       WHEN n >= 2 AND array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM exc2) THEN 1
+      WHEN n >= 4 AND (array_to_string(list_slice(ls, n-3, n), '.') IN (SELECT r FROM set4)
+                    OR array_to_string(list_slice(ls, n-2, n), '.') IN (SELECT r FROM wild3)) THEN 4
       WHEN n >= 3 AND (array_to_string(list_slice(ls, n-2, n), '.') IN (SELECT r FROM set3)
                     OR array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM wild2)) THEN 3
       WHEN n >= 2 AND (array_to_string(list_slice(ls, n-1, n), '.') IN (SELECT r FROM set2)

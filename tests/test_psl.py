@@ -68,14 +68,57 @@ def test_url_domain_uses_psl(spark):
     assert got == ["example.co.uk", "ex.com"]
 
 
-def test_compile_rules_rejects_unsupported_depth():
+def test_compile_rules_depth_contract():
+    # 4-label rules compile now (the amazonaws/cloudfront shapes)
+    c = compile_rules(("a.b.c.d", "*.a.b.c", "!w.a.b.c"))
+    assert c["set4"] == frozenset({"a.b.c.d"})
+    assert c["wild3"] == frozenset({"a.b.c"})
+    assert c["exc4"] == frozenset({"w.a.b.c"})
+    # strict (the snapshot path) still refuses anything deeper
     with pytest.raises(ValueError):
-        compile_rules(("a.b.c.d",))
+        compile_rules(("a.b.c.d.e",))
     with pytest.raises(ValueError):
-        compile_rules(("*.a.b.c",))
+        compile_rules(("*.a.b.c.d",))
+    # non-strict (the full-file path) folds them with a count
+    c = compile_rules(("a.b.c.d.e", "*.a.b.c.d", "co.uk"), strict=False)
+    assert c["n_skipped"] == 2 and c["set2"] == frozenset({"co.uk"})
     # comments / blanks / bare TLDs are fine
     c = compile_rules(("// comment", "", "com", "co.uk"))
-    assert c["set2"] == frozenset({"co.uk"})
+    assert c["set2"] == frozenset({"co.uk"}) and c["n_skipped"] == 0
+
+
+# Representative excerpt of the real public_suffix_list.dat (public
+# data, publicsuffix.org, MPL-2.0) — the rule shapes that broke the r4
+# loader: ICANN wildcards + exceptions, and the private-section
+# amazonaws block with its 3/4/5-label entries.
+PSL_EXCERPT = """\
+// This Source Code Form is subject to the terms of the Mozilla Public
+// License, v. 2.0.
+// ===BEGIN ICANN DOMAINS===
+com
+uk
+co.uk
+// jp : https://jprs.jp/
+jp
+*.kawasaki.jp
+!city.kawasaki.jp
+// ck : https://en.wikipedia.org/wiki/.ck
+*.ck
+!www.ck
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+// Amazon S3 : https://aws.amazon.com/s3/
+s3.amazonaws.com
+s3.us-east-2.amazonaws.com
+s3.dualstack.us-east-1.amazonaws.com
+s3-website-us-east-1.amazonaws.com
+// AWS Elastic Compute Cloud
+*.compute.amazonaws.com
+*.compute.amazonaws.com.cn
+// CloudFront
+cloudfront.net
+// ===END PRIVATE DOMAINS===
+"""
 
 
 def test_load_psl_file_roundtrip(tmp_path):
@@ -87,6 +130,78 @@ def test_load_psl_file_roundtrip(tmp_path):
     assert c["set2"] == frozenset({"co.uk"})
     assert c["wild1"] == frozenset({"ck"})
     assert c["exc2"] == frozenset({"www.ck"})
+
+
+def test_load_psl_file_real_excerpt(tmp_path, spark):
+    """The canonical-file contract (r4 verdict item #2): a verbatim-
+    shaped excerpt of the real list — 4-label amazonaws rules, a
+    3-label wildcard body, a 5-label rule — loads without raising,
+    deeper rules are counted, and the 4-label suffixes resolve."""
+    from fusus_spark.functions.psl import load_psl_file
+
+    p = tmp_path / "public_suffix_list.dat"
+    p.write_text(PSL_EXCERPT, encoding="utf-8")
+    rules = load_psl_file(str(p))
+    assert rules["set4"] == frozenset({"s3.us-east-2.amazonaws.com"})
+    assert rules["wild3"] == frozenset({"compute.amazonaws.com"})
+    # the 5-label dualstack rule and the 4-label wildcard body fold
+    assert rules["n_skipped"] == 2
+    # hyphenated entries are single labels: s3-website-… is a 3-label rule
+    assert {"s3.amazonaws.com", "s3-website-us-east-1.amazonaws.com"} \
+        <= rules["set3"]
+
+    hand = [
+        # 4-label rule: suffix itself has no registrable name
+        ("s3.us-east-2.amazonaws.com", ""),
+        ("bucket.s3.us-east-2.amazonaws.com", "bucket.s3.us-east-2.amazonaws.com"),
+        ("x.bucket.s3.us-east-2.amazonaws.com", "bucket.s3.us-east-2.amazonaws.com"),
+        # *.compute.amazonaws.com: any 4th label is part of the suffix
+        ("ec2-1-2-3-4.compute.amazonaws.com", ""),
+        ("vm.ec2-1-2-3-4.compute.amazonaws.com",
+         "vm.ec2-1-2-3-4.compute.amazonaws.com"),
+        # 3-label private rule still prevails over 2-label
+        ("mysite.s3.amazonaws.com", "mysite.s3.amazonaws.com"),
+        # ICANN shapes from the excerpt
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("city.kawasaki.jp", "city.kawasaki.jp"),
+        ("x.demo.kawasaki.jp", "x.demo.kawasaki.jp"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hand], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", registrable_domain(F.col("host"), rules).alias("d")
+        ).collect()
+    }
+    for host, want in hand:
+        assert got[host] == want, host
+
+    # DuckDB rules-join oracle over the SAME excerpt rules stays green
+    from tests.psl_oracle import PSL_DOMAIN_EXPR, PSL_PS_CASE, install_psl_rules
+
+    hosts = [h for h, _ in hand] + _host_corpus()
+    sdf = spark.createDataFrame([(h,) for h in hosts], "host string").select(
+        "host",
+        public_suffix_len(F.col("host"), rules).alias("ps"),
+        registrable_domain(F.col("host"), rules).alias("domain"),
+    )
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE hosts (host VARCHAR)")
+    con.executemany("INSERT INTO hosts VALUES (?)", [(h,) for h in hosts])
+    install_psl_rules(con, tuple(PSL_EXCERPT.splitlines()), strict=False)
+    orc = con.sql(f"""
+WITH l AS (
+  SELECT host, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
+  FROM hosts
+),
+p AS (SELECT host, ls, n, {PSL_PS_CASE} AS ps FROM l)
+SELECT host, ps::INT AS ps, {PSL_DOMAIN_EXPR} AS domain
+FROM p
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
 
 
 def _host_corpus() -> list[str]:

@@ -98,7 +98,7 @@ c AS (
                     nullif(regexp_extract(orig, '{lhf}', 1), '')), '') AS canonical_href
   FROM s
 )
-SELECT url, robots_content,
+SELECT url, robots_content, '' AS header_content,
        regexp_matches(robots_content, '{tok.format(d="noindex")}') AS noindex,
        regexp_matches(robots_content, '{tok.format(d="nofollow")}') AS nofollow,
        regexp_matches(robots_content, '{tok_plain.format(d="noarchive")}') AS noarchive,
@@ -109,6 +109,43 @@ FROM c
     assert len(srows) == len(orows)
     assert sorted(sdf.columns) == sorted(orc.columns)
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+def test_x_robots_tag_header_merge(spark):
+    """The header half of the protocol (r4 verdict item #9): a column
+    named x_robots_tag is auto-detected and its whole-token directives
+    union with the meta's — including UA-scoped values, conservatively."""
+    rows = [
+        ("http://h.com/1", b"<p>plain</p>", "noindex"),
+        ("http://h.com/2", b"<p>plain</p>", "googlebot: noindex"),
+        ("http://h.com/3", b"<p>plain</p>", "noarchive, nofollow"),
+        ("http://h.com/4", b"<p>plain</p>", "noindexing"),  # whole-token only
+        ("http://h.com/5", b"<p>plain</p>", None),
+        ("http://h.com/6", b'<meta name="robots" content="noindex">', None),
+        ("http://h.com/7", b"<p>plain</p>", "none"),  # none == noindex
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, html binary, x_robots_tag string"
+    )
+    sig = {r["url"]: r for r in robots_signals(docs).collect()}
+    assert sig["http://h.com/1"]["noindex"] is True
+    assert sig["http://h.com/1"]["header_content"] == "noindex"
+    assert sig["http://h.com/2"]["noindex"] is True  # UA-scoped: conservative
+    assert sig["http://h.com/3"]["noindex"] is False
+    assert sig["http://h.com/3"]["nofollow"] is True
+    assert sig["http://h.com/3"]["noarchive"] is True
+    assert sig["http://h.com/4"]["noindex"] is False
+    assert sig["http://h.com/5"]["noindex"] is False
+    assert sig["http://h.com/6"]["noindex"] is True  # meta half still works
+    assert sig["http://h.com/7"]["noindex"] is True
+
+    kept = {r["url"] for r in apply_robots_optout(docs).collect()}
+    assert kept == {"http://h.com/3", "http://h.com/4", "http://h.com/5"}
+
+    # without the column, nothing changes (the pre-envelope behavior)
+    plain = docs.drop("x_robots_tag")
+    kept_plain = {r["url"] for r in apply_robots_optout(plain).collect()}
+    assert kept_plain == {u for u, _h, _x in rows} - {"http://h.com/6"}
 
 
 def test_robots_never_raise_on_junk(spark):

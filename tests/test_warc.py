@@ -17,10 +17,10 @@ def _record(wtype: str, uri: str | None, date: str, block: bytes) -> bytes:
     return b"\r\n".join(head) + b"\r\n\r\n" + block + b"\r\n\r\n"
 
 
-def _http(body: bytes) -> bytes:
-    return (
-        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
-    )
+def _http(body: bytes, status: bytes = b"200 OK",
+          extra: tuple[bytes, ...] = ()) -> bytes:
+    head = [b"HTTP/1.1 " + status, b"Content-Type: text/html"] + list(extra)
+    return b"\r\n".join(head) + b"\r\n\r\n" + body
 
 
 def _segment() -> bytes:
@@ -47,8 +47,10 @@ def test_iter_warc_records_plain_and_gzip():
         recs = list(iter_warc_records(payload))
         assert [r[0] for r in recs] == ["http://ex.com/a", "http://ex.com/b"]
         assert recs[0][1] == "2026-01-01T00:00:01Z"
-        assert recs[0][2].startswith(b"<html><body><nav>")
-        assert recs[1][2] == b"<html><body><p>gamma delta epsilon</p></body></html>"
+        assert recs[0][2] == 200 and recs[0][3] == "text/html"
+        assert recs[0][4] is None  # no X-Robots-Tag header
+        assert recs[0][5].startswith(b"<html><body><nav>")
+        assert recs[1][5] == b"<html><body><p>gamma delta epsilon</p></body></html>"
 
 
 def test_iter_warc_records_robustness():
@@ -67,7 +69,40 @@ def test_iter_warc_records_robustness():
         _http(b"x" * 1000),
     )
     recs = list(iter_warc_records(big, max_body_bytes=100))
-    assert len(recs[0][2]) == 100
+    assert len(recs[0][5]) == 100
+
+
+def test_http_envelope_parsing():
+    """The envelope fields: status, normalized media type, lowered
+    X-Robots-Tag (repeated headers comma-joined), and the no-envelope
+    null fallback that keeps the raw block as the body."""
+    from fusus_spark.sources.warc import parse_http_envelope
+
+    seg = (
+        _record("response", "http://ex.com/301", "2026-01-01T00:00:00Z",
+                _http(b"<html>moved</html>", status=b"301 Moved Permanently",
+                      extra=(b"Location: http://ex.com/new",)))
+        + _record("response", "http://ex.com/404", "2026-01-01T00:00:00Z",
+                  _http(b"<html>gone</html>", status=b"404 Not Found"))
+        + _record("response", "http://ex.com/opt", "2026-01-01T00:00:00Z",
+                  b"HTTP/1.1 200 OK\r\nContent-Type: TEXT/Html; charset=UTF-8\r\n"
+                  b"X-Robots-Tag: NOINDEX\r\nX-Robots-Tag: googlebot: nofollow\r\n"
+                  b"\r\n<html>secret</html>")
+        + _record("response", "http://ex.com/raw", "2026-01-01T00:00:00Z",
+                  b"<html>no envelope at all</html>")
+    )
+    recs = {r[0]: r for r in iter_warc_records(seg)}
+    assert recs["http://ex.com/301"][2] == 301
+    assert recs["http://ex.com/404"][2] == 404
+    assert recs["http://ex.com/opt"][2] == 200
+    assert recs["http://ex.com/opt"][3] == "text/html"  # params dropped, lowered
+    assert recs["http://ex.com/opt"][4] == "noindex, googlebot: nofollow"
+    assert recs["http://ex.com/raw"][2] is None
+    assert recs["http://ex.com/raw"][5] == b"<html>no envelope at all</html>"
+    # malformed status lines: flagged null, block preserved verbatim
+    for junk in (b"HTTP/1.1 OK\r\n\r\nx", b"HTTP/1.1 20 OK\r\n\r\nx", b"HTTP/"):
+        st, hdrs, body = parse_http_envelope(junk)
+        assert st is None and hdrs == {} and body == junk
 
 
 def test_extract_job_warc_input(spark, tmp_path):
@@ -156,6 +191,131 @@ def test_read_warc_to_extraction(spark, tmp_path):
     }
 
 
+def test_warc_envelope_duckdb_oracle(spark, tmp_path):
+    """Beyond-cap in-test oracle: DuckDB recomputes the envelope table
+    (http_status, content_type, x_robots_tag) from the raw HTTP block
+    strings with RE2 extracts and the hashes must match (single-header
+    fixtures — the repeated-header comma-join is hand-pinned in
+    test_http_envelope_parsing)."""
+    import duckdb
+
+    from tools.parity import value_hash
+
+    blocks = [
+        ("http://o.com/1", _http(b"<p>ok</p>")),
+        ("http://o.com/2", _http(b"<p>moved</p>", status=b"301 Moved Permanently")),
+        ("http://o.com/3", _http(b"<p>gone</p>", status=b"404 Not Found")),
+        ("http://o.com/4",
+         b"HTTP/1.1 200 OK\r\nContent-Type: TEXT/Html; charset=UTF-8\r\n"
+         b"X-Robots-Tag: NOINDEX, nofollow\r\n\r\n<p>opt-out</p>"),
+        ("http://o.com/5", b"<p>no envelope</p>"),
+        ("http://o.com/6", b"HTTP/1.1 junk status\r\nContent-Type: a/b\r\n\r\nx"),
+    ]
+    seg = b"".join(
+        _record("response", url, "2026-01-01T00:00:00Z", blk)
+        for url, blk in blocks
+    )
+    (tmp_path / "seg.warc").write_bytes(seg)
+    sdf = read_warc(spark, str(tmp_path)).select(
+        "url", "http_status", "content_type", "x_robots_tag"
+    )
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE blocks (url VARCHAR, block VARCHAR)")
+    con.executemany(
+        "INSERT INTO blocks VALUES (?, ?)",
+        [(u, b.decode("latin-1")) for u, b in blocks],
+    )
+    orc = con.sql(r"""
+WITH env AS (
+  SELECT url,
+    TRY_CAST(nullif(regexp_extract(block,
+      '^HTTP/[^ \t\r\n]+[ \t]+([0-9]{3})([ \t\r\n]|$)', 1), '') AS INT)
+      AS http_status,
+    chr(13) || chr(10) || split_part(
+      block, chr(13) || chr(10) || chr(13) || chr(10), 1) AS head
+  FROM blocks
+)
+SELECT url, http_status,
+  CASE WHEN http_status IS NOT NULL THEN
+    nullif(lower(trim(split_part(regexp_extract(head,
+      '(?i)\r\n[ \t]*content-type[ \t]*:[ \t]*([^\r\n]*)', 1), ';', 1))), '')
+  END AS content_type,
+  CASE WHEN http_status IS NOT NULL THEN
+    nullif(lower(trim(regexp_extract(head,
+      '(?i)\r\n[ \t]*x-robots-tag[ \t]*:[ \t]*([^\r\n]*)', 1))), '')
+  END AS x_robots_tag
+FROM env
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) == len(blocks)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+def test_extract_job_filters_non_200_and_header_robots(spark, tmp_path):
+    """Job-level consent + hygiene drive: non-200 records never reach
+    extraction, and with --respect-robots an X-Robots-Tag: noindex page
+    is dropped map-side before the parse (the header half of the
+    protocol, merged by operators.robots via the retained envelope)."""
+    from pyspark.sql import functions as F
+
+    from fusus_spark.jobs.extract_job import run_job
+
+    seg = (
+        _record("response", "http://ex.com/keep", "2026-01-01T00:00:00Z",
+                _http(b"<html><p>alpha beta</p></html>"))
+        + _record("response", "http://ex.com/optout", "2026-01-01T00:00:00Z",
+                  _http(b"<html><p>gamma delta</p></html>",
+                        extra=(b"X-Robots-Tag: noindex",)))
+        + _record("response", "http://ex.com/gone", "2026-01-01T00:00:00Z",
+                  _http(b"<html><p>not found page</p></html>",
+                        status=b"404 Not Found"))
+        + _record("response", "http://ex.com/moved", "2026-01-01T00:00:00Z",
+                  _http(b"<html><p>redirect stub</p></html>",
+                        status=b"301 Moved Permanently"))
+    )
+    (tmp_path / "segs").mkdir()
+    (tmp_path / "segs" / "seg-0.warc").write_bytes(seg)
+
+    # without consent filtering: 200s only (404/301 flagged out at ingest)
+    run_job(
+        spark,
+        input_path=str(tmp_path / "segs"),
+        output_path=str(tmp_path / "words"),
+        ledger_path=str(tmp_path / "ledger"),
+        n_buckets=2,
+        input_format="warc",
+    )
+    urls = {
+        r["url"]
+        for r in spark.read.parquet(str(tmp_path / "words") + "/bucket=*").collect()
+    }
+    assert urls == {"http://ex.com/keep", "http://ex.com/optout"}
+    # the bucketed table kept the envelope columns for downstream tiers
+    table = spark.read.parquet(str(tmp_path / "words.table"))
+    assert {"http_status", "content_type", "x_robots_tag"} <= set(table.columns)
+    assert table.where(F.col("http_status") != 200).count() == 0
+
+    # with consent filtering: the header opt-out goes too
+    run_job(
+        spark,
+        input_path=str(tmp_path / "segs"),
+        output_path=str(tmp_path / "words2"),
+        ledger_path=str(tmp_path / "ledger2"),
+        n_buckets=2,
+        input_format="warc",
+        table_dir=str(tmp_path / "words.table"),  # reuse the ingested table
+        respect_robots=True,
+    )
+    urls2 = {
+        r["url"]
+        for r in spark.read.parquet(str(tmp_path / "words2") + "/bucket=*").collect()
+    }
+    assert urls2 == {"http://ex.com/keep"}
+
+
 # ------------------------------------------------------------ fuzz hardening
 
 
@@ -175,7 +335,7 @@ def test_iter_warc_records_truncation_never_fabricates():
     def check(i: int) -> None:
         recs = list(iter_warc_records(seg[:i]))
         assert len(recs) <= 2
-        for uri, _date, _body in recs:
+        for uri, *_rest in recs:
             assert any(v.startswith(uri) for v in valid_urls), uri
 
     check()
@@ -218,8 +378,9 @@ def test_iter_warc_records_fuzz_never_raises():
     def check(payload: bytes) -> None:
         recs = list(iter_warc_records(payload))
         assert len(recs) <= 4  # never MORE records than the segment holds
-        for uri, date, body in recs:
+        for uri, date, status, ctype, xrt, body in recs:
             assert isinstance(uri, str) and isinstance(body, bytes)
+            assert status is None or isinstance(status, int)
             # a mutated LENGTH field must never leak one record's block
             # bytes into another record's url field
             assert len(uri) < 200
