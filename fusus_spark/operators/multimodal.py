@@ -44,6 +44,10 @@ def sniff_media_type(payload: bytes) -> str:
             return "audio/wav"
         if sub == b"AVI ":
             return "video/avi"
+    # ISO-BMFF: the ftyp box at offset 4 is the standard detector; the
+    # major brand distinguishes audio-only containers
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "audio/mp4" if payload[8:11] == b"M4A" else "video/mp4"
     for magic, mt in _MAGIC:
         if payload.startswith(magic):
             return mt
@@ -311,23 +315,13 @@ _MP3_RATES = {3: (44100, 48000, 32000),   # MPEG1
               0: (11025, 12000, 8000)}    # MPEG2.5
 
 
-def parse_mp3_header(payload: bytes):
-    """MP3 (MPEG Layer III) metadata from the first audio frame header,
-    stdlib-only: skips an ID3v2 tag (syncsafe size), finds the frame
-    sync, reads version/bitrate/sample-rate/channel-mode from the
-    bitrate tables, and estimates duration from the audio byte count
-    at the first frame's bitrate (exact for CBR, an estimate for VBR —
-    stated in the schema's contract). Returns (n_channels,
-    sample_rate_hz, None, duration_ms) — bits-per-sample is not a
-    lossy-codec concept — or None for non-MP3 payloads."""
-    n = len(payload)
-    i = 0
-    if payload[:3] == b"ID3" and n >= 10:
-        size = 0
-        for b in payload[6:10]:
-            size = (size << 7) | (b & 0x7F)  # syncsafe
-        i = 10 + size
-    if i + 4 > n or payload[i] != 0xFF or (payload[i + 1] & 0xE0) != 0xE0:
+_MP3_SYNC_SCAN = 2048  # bounded forward scan after the ID3 tag
+
+
+def _mp3_frame_at(payload: bytes, i: int):
+    """Decode the frame header at offset i; None when not a valid
+    MPEG Layer III header."""
+    if i + 4 > len(payload) or payload[i] != 0xFF or (payload[i + 1] & 0xE0) != 0xE0:
         return None
     h1, h2, h3 = payload[i + 1], payload[i + 2], payload[i + 3]
     version = (h1 >> 3) & 0x3    # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
@@ -342,8 +336,141 @@ def parse_mp3_header(payload: bytes):
     bitrate_kbps = table[br_idx]
     rate = _MP3_RATES[version][sr_idx]
     channels = 1 if ((h3 >> 6) & 0x3) == 3 else 2
-    duration_ms = round((n - i) * 8 * 1000 / (bitrate_kbps * 1000))
+    duration_ms = round((len(payload) - i) * 8 * 1000 / (bitrate_kbps * 1000))
     return channels, rate, None, duration_ms
+
+
+def parse_mp3_header(payload: bytes):
+    """MP3 (MPEG Layer III) metadata from the first audio frame header,
+    stdlib-only: skips an ID3v2 tag (syncsafe size), then scans forward
+    a bounded window (<= 2 KiB — real files pad junk/cover-art slop
+    between the tag and the first frame) for a VALID frame header
+    (sync word + version/layer/bitrate/rate sanity, so a stray 0xFF in
+    the padding is skipped, not trusted), reads channel-mode/rate from
+    the bitrate tables, and estimates duration from the audio byte
+    count at the first frame's bitrate (exact for CBR, an estimate for
+    VBR — stated in the schema's contract). Without an ID3 tag the
+    frame must start at offset 0 — scanning arbitrary payloads for a
+    sync word would classify random binary as MP3. Returns
+    (n_channels, sample_rate_hz, None, duration_ms) — bits-per-sample
+    is not a lossy-codec concept — or None for non-MP3 payloads."""
+    n = len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)  # syncsafe
+        i = 10 + size
+        for j in range(i, min(i + _MP3_SYNC_SCAN, n - 3)):
+            meta = _mp3_frame_at(payload, j)
+            if meta is not None:
+                return meta
+        return None
+    return _mp3_frame_at(payload, 0)
+
+
+def _iter_boxes(payload: bytes, start: int, end: int):
+    """Walk ISO-BMFF boxes in payload[start:end): yields (type, body
+    start, box end). Handles 64-bit largesize (size==1) and to-end
+    boxes (size==0); stops — never raises — on any malformed size, the
+    shared never-raise contract of the format walks in this module."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(payload[i : i + 4], "big")
+        btype = payload[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(payload[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i  # last box extends to the end of the file
+        if size < hdr or i + size > end:
+            return  # malformed/truncated: stop the walk
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def parse_mp4_meta(payload: bytes) -> tuple[int | None, int | None, int | None] | None:
+    """REAL (pure-stdlib) MP4/ISO-BMFF metadata: walk the top-level
+    boxes to ``moov``, read presentation duration from ``mvhd``
+    (timescale + duration, version 0/1 layouts) and track dimensions
+    from the first ``trak``/``tkhd`` with nonzero width/height (video
+    tracks; audio tracks carry 0x0 — 16.16 fixed-point per the spec).
+    Returns (duration_ms, width, height) — any field None when its box
+    is absent/garbled — or None when the payload is not ISO-BMFF (no
+    ``ftyp`` at offset 4 or no parseable ``moov``). Exactly the RIFF-
+    walk discipline of parse_wav_header, ISO 14496-12 edition.
+
+    Reference role analog: S6's per-page media introspection
+    (/root/reference/fusus/lakhnawi.py:766-860) — typed metadata read
+    from the container's own headers, not inferred."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    duration_ms: int | None = None
+    width: int | None = None
+    height: int | None = None
+    for btype, body, bend in _iter_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in _iter_boxes(payload, body, bend):
+            if ctype == b"mvhd" and duration_ms is None:
+                v = payload[cbody] if cbody < cend else None
+                if v == 0 and cbody + 20 <= cend:
+                    ts = int.from_bytes(payload[cbody + 12 : cbody + 16], "big")
+                    dur = int.from_bytes(payload[cbody + 16 : cbody + 20], "big")
+                elif v == 1 and cbody + 32 <= cend:
+                    ts = int.from_bytes(payload[cbody + 20 : cbody + 24], "big")
+                    dur = int.from_bytes(payload[cbody + 24 : cbody + 32], "big")
+                else:
+                    continue
+                # duration == all-ones means "unknown" per the spec
+                if ts > 0 and dur not in (0xFFFFFFFF, 0xFFFFFFFFFFFFFFFF):
+                    duration_ms = round(dur * 1000 / ts)
+            elif ctype == b"trak" and width is None:
+                for ttype, tbody, tend in _iter_boxes(payload, cbody, cend):
+                    if ttype != b"tkhd":
+                        continue
+                    v = payload[tbody] if tbody < tend else None
+                    off = 76 if v == 0 else 88 if v == 1 else None
+                    if off is None or tbody + off + 8 > tend:
+                        continue
+                    w = int.from_bytes(payload[tbody + off : tbody + off + 4], "big")
+                    h = int.from_bytes(payload[tbody + off + 4 : tbody + off + 8], "big")
+                    if w and h:  # 16.16 fixed; audio tracks are 0x0
+                        width, height = w >> 16, h >> 16
+        return duration_ms, width, height  # one moov per file
+    return None
+
+
+VIDEO_META_SCHEMA = (
+    "url string, media_type string, n_bytes long, width int, height int, "
+    "duration_ms long"
+)
+
+
+def video_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(url, payload binary) -> video metadata; the video sibling of
+    ``audio_meta``. MP4/ISO-BMFF payloads get REAL duration (mvhd) and
+    track dimensions (tkhd) from the box walk — no media lib needed;
+    everything else yields nulls with the sniffed type, never an
+    exception. Same fused mapInPandas shape as the extraction stage;
+    verification is golden bytes per box path (byte-format walks are
+    not SQL-expressible, the repo's non-SQL-oracle rule)."""
+
+    def row(url, payload):
+        meta = parse_mp4_meta(payload)
+        dur, w, h = meta if meta else (None, None, None)
+        return {
+            "url": url,
+            "media_type": sniff_media_type(payload),
+            "n_bytes": len(payload),
+            "width": w,
+            "height": h,
+            "duration_ms": dur,
+        }
+
+    return _map_payloads(df, payload_col, VIDEO_META_SCHEMA, row)
 
 
 AUDIO_META_SCHEMA = (
@@ -442,11 +569,14 @@ def frame_sample(df: DataFrame, n_frames: int = 4, fps: float = 25.0,
                  payload_col: str = "payload", use_stub: bool = True) -> DataFrame:
     """(url, payload) -> uniformly sampled video frames (exploded rows).
 
-    The sampling schedule (uniform over the synthetic duration derived
-    from payload size) and the one-row-per-frame output shape are real;
-    frame decode is stubbed with deterministic bytes — production swaps
-    in an ffmpeg/cv2.VideoCapture seek+read. Row explosion happens
-    INSIDE the Arrow batch (no per-row Python at the Spark level).
+    The sampling schedule is uniform over the REAL container duration
+    when the payload is ISO-BMFF (parse_mp4_meta's mvhd walk), falling
+    back to a synthetic size-derived duration for payloads with no
+    parseable container; the one-row-per-frame output shape is real in
+    both cases. Frame decode is stubbed with deterministic bytes —
+    production swaps in an ffmpeg/cv2.VideoCapture seek+read. Row
+    explosion happens INSIDE the Arrow batch (no per-row Python at the
+    Spark level).
     """
     pruned = df.select("url", F.col(payload_col).alias("payload"))
 
@@ -457,9 +587,13 @@ def frame_sample(df: DataFrame, n_frames: int = 4, fps: float = 25.0,
             rows = {k: [] for k in ("url", "frame_idx", "ts_ms", "frame")}
             for url, payload in zip(pdf["url"].tolist(), pdf["payload"].tolist()):
                 payload = bytes(payload) if payload is not None else b""
-                # synthetic duration: 1 "frame" per 64 bytes at given fps
-                total_frames = max(1, len(payload) // 64)
-                dur_ms = int(total_frames / fps * 1000)
+                meta = parse_mp4_meta(payload)
+                if meta is not None and meta[0]:
+                    dur_ms = meta[0]  # the container's own duration
+                else:
+                    # synthetic fallback: 1 "frame" per 64 bytes at fps
+                    total_frames = max(1, len(payload) // 64)
+                    dur_ms = int(total_frames / fps * 1000)
                 for j in range(n_frames):
                     ts = (dur_ms * j) // max(n_frames - 1, 1) if n_frames > 1 else 0
                     if not use_stub:

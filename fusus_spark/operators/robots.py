@@ -31,26 +31,41 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# lowered-copy patterns (robots content is case-insensitive by spec)
-_META_NAME_FIRST = (
-    r"""<meta\s[^>]*name\s*=\s*["']robots["'][^>]*content\s*=\s*["']([^"'<>]*)["']"""
-)
-_META_CONTENT_FIRST = (
-    r"""<meta\s[^>]*content\s*=\s*["']([^"'<>]*)["'][^>]*name\s*=\s*["']robots["']"""
-)
+# lowered-copy patterns (robots content is case-insensitive by spec).
+# Attribute VALUES may be double-quoted, single-quoted, or unquoted
+# (valid HTML: <meta name=robots content=noindex>) — each value is a
+# 3-way alternation whose capture lands in exactly one of groups 1-3
+# (extracted via _first_group); the unquoted robots name must be
+# DELIMITED ([\s/>]) so name=robotsx never matches. All alternations
+# are RE2-safe (no lookarounds/backrefs) so the DuckDB oracle
+# tokenizes identically.
+_CONTENT_VAL = r"""content\s*=\s*(?:"([^"<>]*)"|'([^'<>]*)'|([^\s"'<>]+))"""
+_NAME_ROBOTS = r"""name\s*=\s*(?:"robots"|'robots'|robots[\s/>])"""
+_META_NAME_FIRST = r"<meta\s[^>]*" + _NAME_ROBOTS + r"[^>]*" + _CONTENT_VAL
+_META_CONTENT_FIRST = r"<meta\s[^>]*" + _CONTENT_VAL + r"[^>]*" + _NAME_ROBOTS
 # original-bytes patterns (href case preserved); keyword case-classes
 _REL = r"[rR][eE][lL]"
 _CANON = r"[cC][aA][nN][oO][nN][iI][cC][aA][lL]"
 _HREF = r"[hH][rR][eE][fF]"
 _LINK = r"<[lL][iI][nN][kK]\s"
-_LINK_REL_FIRST = (
-    _LINK + r"[^>]*" + _REL + r"\s*=\s*[\"']" + _CANON
-    + r"[\"'][^>]*" + _HREF + r"\s*=\s*[\"']([^\"'<>]+)[\"']"
+_HREF_VAL = (
+    _HREF + r"""\s*=\s*(?:"([^"<>]+)"|'([^'<>]+)'|([^\s"'<>]+))"""
 )
-_LINK_HREF_FIRST = (
-    _LINK + r"[^>]*" + _HREF + r"\s*=\s*[\"']([^\"'<>]+)[\"'][^>]*"
-    + _REL + r"\s*=\s*[\"']" + _CANON + r"[\"']"
+_REL_CANON = (
+    _REL + r"\s*=\s*(?:\"" + _CANON + r"\"|'" + _CANON + r"'|"
+    + _CANON + r"[\s/>])"
 )
+_LINK_REL_FIRST = _LINK + r"[^>]*" + _REL_CANON + r"[^>]*" + _HREF_VAL
+_LINK_HREF_FIRST = _LINK + r"[^>]*" + _HREF_VAL + r"[^>]*" + _REL_CANON
+
+
+def _first_group(col: Column, pat: str) -> Column:
+    """The one non-empty capture among the pattern's three value
+    alternations (null when the pattern does not match or the value is
+    empty — '' means absent throughout this module)."""
+    return F.coalesce(
+        *[F.nullif(F.regexp_extract(col, pat, g), F.lit("")) for g in (1, 2, 3)]
+    )
 
 
 def _directive(content: Column, name: str) -> Column:
@@ -70,8 +85,8 @@ def _robots_content(html_col: str) -> Column:
     audit and the filter can never disagree."""
     low = F.lower(F.col(html_col).cast("string"))
     return F.coalesce(
-        F.nullif(F.regexp_extract(low, _META_NAME_FIRST, 1), F.lit("")),
-        F.nullif(F.regexp_extract(low, _META_CONTENT_FIRST, 1), F.lit("")),
+        _first_group(low, _META_NAME_FIRST),
+        _first_group(low, _META_CONTENT_FIRST),
         F.lit(""),
     )
 
@@ -111,12 +126,9 @@ def robots_signals(
     orig = F.col(html_col).cast("string")
     content = _robots_content(html_col)
     header = _header_content(docs, xrobots_col)
-    canon = F.nullif(
-        F.coalesce(
-            F.nullif(F.regexp_extract(orig, _LINK_REL_FIRST, 1), F.lit("")),
-            F.nullif(F.regexp_extract(orig, _LINK_HREF_FIRST, 1), F.lit("")),
-        ),
-        F.lit(""),
+    canon = F.coalesce(
+        _first_group(orig, _LINK_REL_FIRST),
+        _first_group(orig, _LINK_HREF_FIRST),
     )
     return docs.select(
         F.col(url_col).alias("url"),

@@ -694,3 +694,118 @@ def test_audio_meta_covers_mp3(spark):
     r = audio_meta(df).collect()[0]
     assert r["n_channels"] == 2 and r["sample_rate_hz"] == 44100
     assert r["bits_per_sample"] is None and r["duration_ms"] == 2000
+
+
+def test_parse_mp3_forward_scan():
+    """Junk between the ID3 tag and the first frame (r4 verdict item
+    #4): the bounded scan skips it — including stray sync-lookalike
+    bytes that fail header validation — but never scans past 2 KiB,
+    and never scans at all without an ID3 tag."""
+    from fusus_spark.operators.multimodal import parse_mp3_header
+
+    def id3(size: int) -> bytes:
+        b = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                   (size >> 7) & 0x7F, size & 0x7F])
+        return b"ID3\x03\x00\x00" + b
+
+    frame = b"\xff\xfb\x90\x00"
+    audio = frame + b"\x00" * (16000 - 4)
+    # 40 junk bytes incl. a bare sync byte and a bad-bitrate lookalike
+    junk = b"\x00\xff\x00garbage" + b"\xff\xfb\xf0\x00" + b"pad" * 8 + b"!"
+    got = parse_mp3_header(id3(10) + b"\x00" * 10 + junk + audio)
+    assert got == (2, 44100, None, 1000)
+    # junk longer than the scan window: honest None, not a far-off guess
+    assert parse_mp3_header(id3(10) + b"\x00" * 10 + b"\x01" * 3000 + audio) is None
+    # no ID3 tag: no scanning — random binary must not classify as MP3
+    assert parse_mp3_header(b"\x00" * 7 + frame + b"\x00" * 100) is None
+
+
+def _mp4_box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
+    if largesize:
+        return (1).to_bytes(4, "big") + btype + (len(body) + 16).to_bytes(8, "big") + body
+    return (len(body) + 8).to_bytes(4, "big") + btype + body
+
+
+def _mp4(timescale=1000, duration=5000, w=640, h=480, v=0,
+         largesize=False) -> bytes:
+    """Minimal valid ISO-BMFF built with stdlib ints — the golden:
+    ftyp + moov(mvhd, audio trak @0x0, video trak @WxH)."""
+    if v == 0:
+        mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+                + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+                + b"\x00" * 80)
+        tk = b"\x00\x00\x00\x00" + b"\x00" * 72
+    else:
+        mvhd = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+                + b"\x00" * 80)
+        tk = b"\x01\x00\x00\x00" + b"\x00" * 84
+    tkhd_audio = tk + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+    tkhd_video = tk + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+    moov = (_mp4_box(b"mvhd", mvhd)
+            + _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd_audio))
+            + _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd_video)))
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isommp42")
+    return ftyp + _mp4_box(b"moov", moov, largesize=largesize)
+
+
+def test_parse_mp4_meta():
+    from fusus_spark.operators.multimodal import parse_mp4_meta
+
+    # version 0 boxes: duration 5000/1000 ticks -> 5000 ms, video dims
+    # from the SECOND trak (the audio trak's 0x0 must be skipped)
+    assert parse_mp4_meta(_mp4()) == (5000, 640, 480)
+    # version 1 boxes (64-bit times) and a 64-bit largesize moov
+    assert parse_mp4_meta(_mp4(v=1, timescale=600, duration=1200,
+                               w=1920, h=1080)) == (2000, 1920, 1080)
+    assert parse_mp4_meta(_mp4(largesize=True)) == (5000, 640, 480)
+    # unknown duration sentinel (all-ones) -> null duration, real dims
+    assert parse_mp4_meta(_mp4(duration=0xFFFFFFFF)) == (None, 640, 480)
+    # truncation anywhere: None or partial fields, never a raise
+    full = _mp4()
+    for i in range(0, len(full), 7):
+        got = parse_mp4_meta(full[:i])
+        assert got is None or isinstance(got, tuple)
+    assert parse_mp4_meta(b"not a video") is None
+    assert parse_mp4_meta(b"") is None
+    # zero-size box claiming to extend past its container: walk stops
+    evil = _mp4_box(b"ftyp", b"isom") + (10 ** 9).to_bytes(4, "big") + b"moov"
+    assert parse_mp4_meta(evil) is None
+
+
+def test_video_meta_operator(spark):
+    from fusus_spark.operators.multimodal import video_meta
+
+    rows = [("v1", _mp4()), ("v2", _mp4(v=1, timescale=600, duration=600, w=320, h=240)),
+            ("x", b"\x89PNG\r\n not video"), ("n", None)]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in video_meta(df).collect()}
+    assert got["v1"]["width"] == 640 and got["v1"]["duration_ms"] == 5000
+    assert got["v1"]["media_type"] == "video/mp4"
+    assert got["v2"]["height"] == 240 and got["v2"]["duration_ms"] == 1000
+    assert got["x"]["width"] is None and got["x"]["media_type"] == "image/png"
+    assert got["n"]["n_bytes"] == 0 and got["n"]["duration_ms"] is None
+
+
+def test_frame_sample_uses_real_duration(spark):
+    """ISO-BMFF payloads sample over the container's OWN duration
+    (r4 verdict item #3); non-container payloads keep the synthetic
+    size-derived schedule."""
+    from fusus_spark.operators.multimodal import frame_sample
+
+    mp4 = _mp4(timescale=1000, duration=6000)
+    junk = b"j" * 640  # synthetic: 10 "frames" at 25 fps -> 400 ms
+    df = spark.createDataFrame(
+        [("real", mp4), ("fake", junk)], "url string, payload binary"
+    )
+    got = {}
+    for r in frame_sample(df, n_frames=4, fps=25.0).collect():
+        got.setdefault(r["url"], []).append((r["frame_idx"], r["ts_ms"]))
+    assert sorted(got["real"]) == [(0, 0), (1, 2000), (2, 4000), (3, 6000)]
+    assert sorted(got["fake"]) == [(0, 0), (1, 133), (2, 266), (3, 400)]
+    # m4a brand sniffs as audio container
+    from fusus_spark.operators.multimodal import sniff_media_type
+
+    m4a = _mp4_box(b"ftyp", b"M4A \x00\x00\x02\x00isom")
+    assert sniff_media_type(m4a) == "audio/mp4"
+    assert sniff_media_type(_mp4()) == "video/mp4"

@@ -34,6 +34,16 @@ def _pages() -> list[tuple[str, str]]:
          '<meta name="robots" content="noarchive,nofollow"><p>w</p>'),
         # 'none' is spec-defined as 'noindex, nofollow'
         ("http://a.com/9", '<meta name="robots" content="none"><p>n</p>'),
+        # unquoted attribute values are valid HTML (r4 verdict item #5)
+        ("http://a.com/10", "<meta name=robots content=noindex><p>u</p>"),
+        ("http://a.com/11", "<meta content=nofollow name=robots ><p>u2</p>"),
+        ("http://a.com/12", "<link rel=canonical href=/plain/Path><p>u3</p>"),
+        # the unquoted name must be DELIMITED: robotsx is another meta
+        ("http://a.com/13", "<meta name=robotsx content=noindex><p>u4</p>"),
+        # single-quoted values
+        ("http://a.com/14",
+         "<meta name='robots' content='noarchive'>"
+         "<link rel='canonical' href='/Sq/q'><p>u5</p>"),
     ]
 
 
@@ -57,12 +67,21 @@ def test_robots_signals_hand_cases(spark):
     assert got["http://a.com/8"]["noindex"] is False
     assert got["http://a.com/9"]["noindex"] is True   # none == noindex
     assert got["http://a.com/9"]["nofollow"] is True  # none == nofollow
+    assert got["http://a.com/10"]["noindex"] is True  # unquoted values
+    assert got["http://a.com/11"]["nofollow"] is True
+    assert got["http://a.com/11"]["noindex"] is False
+    assert got["http://a.com/12"]["canonical_href"] == "/plain/Path"
+    assert got["http://a.com/13"]["robots_content"] == ""  # delimited name
+    assert got["http://a.com/14"]["noarchive"] is True
+    assert got["http://a.com/14"]["canonical_href"] == "/Sq/q"
 
 
 def test_apply_robots_optout(spark):
     kept = {r["url"] for r in apply_robots_optout(_docs(spark)).collect()}
     assert kept == {"http://a.com/3", "http://a.com/4", "http://a.com/5",
-                    "http://a.com/6", "http://a.com/7", "http://a.com/8"}
+                    "http://a.com/6", "http://a.com/7", "http://a.com/8",
+                    "http://a.com/11", "http://a.com/12", "http://a.com/13",
+                    "http://a.com/14"}
 
 
 def test_robots_signals_match_duckdb_oracle(spark):
@@ -93,9 +112,17 @@ WITH s AS (
 c AS (
   SELECT url,
     coalesce(nullif(regexp_extract(low, '{mnf}', 1), ''),
-             nullif(regexp_extract(low, '{mcf}', 1), ''), '') AS robots_content,
-    nullif(coalesce(nullif(regexp_extract(orig, '{lrf}', 1), ''),
-                    nullif(regexp_extract(orig, '{lhf}', 1), '')), '') AS canonical_href
+             nullif(regexp_extract(low, '{mnf}', 2), ''),
+             nullif(regexp_extract(low, '{mnf}', 3), ''),
+             nullif(regexp_extract(low, '{mcf}', 1), ''),
+             nullif(regexp_extract(low, '{mcf}', 2), ''),
+             nullif(regexp_extract(low, '{mcf}', 3), ''), '') AS robots_content,
+    coalesce(nullif(regexp_extract(orig, '{lrf}', 1), ''),
+             nullif(regexp_extract(orig, '{lrf}', 2), ''),
+             nullif(regexp_extract(orig, '{lrf}', 3), ''),
+             nullif(regexp_extract(orig, '{lhf}', 1), ''),
+             nullif(regexp_extract(orig, '{lhf}', 2), ''),
+             nullif(regexp_extract(orig, '{lhf}', 3), '')) AS canonical_href
   FROM s
 )
 SELECT url, robots_content, '' AS header_content,

@@ -168,6 +168,8 @@ CHECKS = {
     ],
     # audio metadata: exactly one fused Arrow python stage, no shuffle
     "audio_meta": [("MapInPandas", 1), ("Exchange", 1)],
+    # video metadata (ISO-BMFF box walk): same single-stage contract
+    "video_meta": [("MapInPandas", 1), ("Exchange", 1)],
 }
 
 
@@ -364,6 +366,15 @@ def _extra_frames():
         )
         return audio_meta(docs)
 
+    def f_video(spark, sf_dir):
+        from fusus_spark.operators.multimodal import video_meta
+
+        docs = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://v"), "doc_id").alias("url"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        return video_meta(docs)
+
     def f_mixture(spark, sf_dir):
         from fusus_spark.operators.curate import mixture_ppm
 
@@ -395,7 +406,7 @@ def _extra_frames():
             "enrich_with_anchors": f_enrich, "robots_signals": f_robots,
             "mixture_ppm": f_mixture,
             "stratified_sample_by_table": f_sample_table,
-            "audio_meta": f_audio}
+            "audio_meta": f_audio, "video_meta": f_video}
 
 
 def main() -> None:
