@@ -17,6 +17,7 @@ reference's book scan (fusus/book.py:189-240 file filtering) — here the
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves the hints here
 from pyspark.sql import Column, DataFrame, functions as F
 
 # scheme://host[:port]/path?query#fragment — RE2-safe piecewise extracts.
@@ -30,21 +31,68 @@ def url_host(url) -> Column:
     return F.lower(F.regexp_extract(url, _HOST_RE, 1))
 
 
+def idna_fold(host) -> Column:
+    """Unicode form of a lowercased host: ``xn--`` punycode labels are
+    decoded via stdlib ``encodings.idna.ToUnicode`` so ``bücher.de``
+    and ``xn--bcher-kva.de`` unify under one host/domain key (IDN
+    twins are the same site; unfolded they defeat host policy and
+    URL-level dedup at crawl scale).
+
+    The one Python surface in this module, and deliberately Arrow-
+    batched: the hot path is a vectorized ``str.contains('xn--')``
+    mask over the whole batch — punycode hosts are a small fraction of
+    any real crawl — and only the masked rows pay the per-label decode
+    loop. Undecodable labels (junk punycode) stay verbatim, so the
+    fold is total and idempotent; ASCII hosts pass through untouched.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def fold(hosts: pd.Series) -> pd.Series:
+        import encodings.idna as stdlib_idna
+
+        mask = hosts.str.contains("xn--", na=False)
+        if not mask.any():
+            return hosts
+
+        def one(h: str) -> str:
+            out = []
+            for lab in h.split("."):
+                if lab.startswith("xn--"):
+                    try:
+                        lab = stdlib_idna.ToUnicode(lab)
+                    except UnicodeError:
+                        pass  # junk punycode: keep the raw label
+                out.append(lab)
+            return ".".join(out)
+
+        res = hosts.copy()
+        res[mask] = hosts[mask].map(one)
+        return res
+
+    return fold(host)
+
+
 def url_path(url) -> Column:
     """Path component ('' for bare host urls)."""
     return F.regexp_extract(url, _PATH_RE, 1)
 
 
-def url_domain(url) -> Column:
+def url_domain(url, fold_idna: bool = False) -> Column:
     """Registrable domain of the url's host, public-suffix-list backed:
     ``a.b.example.co.uk`` -> ``example.co.uk`` (the last-two-labels
     heuristic would return ``co.uk`` and mis-aggregate every
     ccTLD-registered host). Pure-JVM InSet lookups over the static PSL
     snapshot — see functions/psl.py; '' when the host IS a public
-    suffix or has no dot."""
+    suffix or has no dot. ``fold_idna=True`` decodes punycode labels
+    first (``idna_fold``) so IDN twins share one domain key — off by
+    default because it adds the module's only Python stage."""
     from fusus_spark.functions.psl import registrable_domain
 
-    return registrable_domain(url_host(url))
+    host = url_host(url)
+    if fold_idna:
+        host = idna_fold(host)
+    return registrable_domain(host)
 
 
 def url_path_depth(url) -> Column:
@@ -180,13 +228,19 @@ def canonical_url(url) -> Column:
     return c
 
 
-def url_features(docs: DataFrame, url_col: str = "url") -> DataFrame:
-    """Per-url curation features, one codegen'd projection."""
+def url_features(docs: DataFrame, url_col: str = "url",
+                 fold_idna: bool = False) -> DataFrame:
+    """Per-url curation features, one codegen'd projection (plus one
+    Arrow-batched fold stage when ``fold_idna`` — host and domain are
+    then computed over the decoded punycode form)."""
     u = F.col(url_col)
+    host = idna_fold(url_host(u)) if fold_idna else url_host(u)
+    from fusus_spark.functions.psl import registrable_domain
+
     return docs.select(
         u.alias("url"),
-        url_host(u).alias("host"),
-        url_domain(u).alias("domain"),
+        host.alias("host"),
+        registrable_domain(host).alias("domain"),
         url_path_depth(u).alias("path_depth"),
         url_query_param_count(u).alias("n_params"),
         url_has_tracking(u).alias("has_tracking"),

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from fusus_spark.functions.url import dedup_by_canonical_url, url_features
 from tools.parity import value_hash
@@ -74,6 +75,87 @@ def test_url_features_hand_cases(spark):
     assert r["path_depth"] == 3
     assert r["n_params"] == 2
     assert r["has_tracking"] is True
+
+
+def test_idna_fold_hand_cases(spark):
+    """IDN punycode fold (r4 verdict item #7): xn-- labels decode to
+    their unicode form so IDN twins unify; junk punycode and plain
+    ASCII pass through verbatim (total + idempotent)."""
+    from fusus_spark.functions.url import idna_fold, url_host
+
+    cases = [
+        ("http://xn--bcher-kva.de/x", "bücher.de"),
+        ("http://www.xn--mnchen-3ya.de/", "www.münchen.de"),
+        ("http://bücher.de/x", "bücher.de"),           # already unicode
+        ("http://plain.example.com/x", "plain.example.com"),
+        ("http://xn--zzzz!!.com/", "xn--zzzz!!.com"),  # junk: verbatim
+        ("http://mixed.xn--bcher-kva.co.uk/", "mixed.bücher.co.uk"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["h"]
+        for r in df.select(
+            "url", idna_fold(url_host(F.col("url"))).alias("h")
+        ).collect()
+    }
+    for url, want in cases:
+        assert got[url] == want, url
+    # idempotent: folding the folded host is the identity
+    df2 = spark.createDataFrame([(h,) for _, h in cases], "host string")
+    got2 = [r["h"] for r in df2.select(idna_fold(F.col("host")).alias("h")).collect()]
+    assert got2 == [h for _, h in cases]
+
+
+def test_url_features_fold_idna_matches_duckdb_fold_join(spark):
+    """fold_idna=True: host/domain computed over the decoded form; the
+    oracle joins DuckDB's regexp-extracted raw host against a
+    precomputed (raw -> folded) table — the independent ground truth —
+    then reuses the PSL rules join for the domain."""
+    from tests.psl_oracle import PSL_DOMAIN_EXPR, PSL_PS_CASE, install_psl_rules
+    from tools.parity import value_hash
+
+    urls = [
+        "http://xn--bcher-kva.de/x",
+        "https://shop.xn--mnchen-3ya.de/p?utm_source=a",
+        "http://xn--bcher-kva.blogspot.com/post",   # PSL over folded host
+        "http://plain.example.co.uk/y",
+        "http://xn--zzzz!!.com/",                    # junk punycode
+    ]
+    folds = {  # hand-maintained ground truth (precomputed folds)
+        "xn--bcher-kva.de": "bücher.de",
+        "shop.xn--mnchen-3ya.de": "shop.münchen.de",
+        "xn--bcher-kva.blogspot.com": "bücher.blogspot.com",
+    }
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    sdf = url_features(df, fold_idna=True).select("url", "host", "domain")
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE u (url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in urls])
+    con.sql("CREATE TABLE folds (raw VARCHAR, folded VARCHAR)")
+    con.executemany("INSERT INTO folds VALUES (?, ?)", list(folds.items()))
+    install_psl_rules(con)
+    host_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+    orc = con.sql(f"""
+WITH h AS (
+  SELECT url, lower(regexp_extract(url, '{host_re}', 1)) AS raw FROM u
+),
+f AS (
+  SELECT url, coalesce(folds.folded, h.raw) AS host
+  FROM h LEFT JOIN folds ON h.raw = folds.raw
+),
+l AS (
+  SELECT url, host, string_split(host, '.') AS ls,
+         len(string_split(host, '.')) AS n
+  FROM f
+),
+p AS (SELECT url, host, ls, n, {PSL_PS_CASE} AS ps FROM l)
+SELECT url, host, {PSL_DOMAIN_EXPR} AS domain FROM p
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
 
 
 def _synthetic_urls() -> list[str]:
