@@ -29,6 +29,8 @@ _MAGIC = [
     (b"GIF8", "image/gif"),
     (b"RIFF", "audio/wav-or-avi"),
     (b"ID3", "audio/mpeg"),
+    (b"fLaC", "audio/flac"),
+    (b"OggS", "audio/ogg"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
 ]
 
@@ -473,6 +475,73 @@ def video_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return _map_payloads(df, payload_col, VIDEO_META_SCHEMA, row)
 
 
+def parse_flac_header(payload: bytes):
+    """FLAC metadata from the STREAMINFO block (always the first
+    metadata block per the spec), stdlib-only: the packed 64-bit field
+    carries sample rate (20 bits), channels-1 (3), bits-per-sample-1
+    (5) and total samples (36) — duration is exact, not bitrate-
+    derived. Returns the audio_meta tuple or None for non-FLAC."""
+    if len(payload) < 26 or payload[:4] != b"fLaC":
+        return None
+    if (payload[4] & 0x7F) != 0:  # first block must be STREAMINFO
+        return None
+    blk_len = int.from_bytes(payload[5:8], "big")
+    if blk_len < 34:
+        return None
+    u = int.from_bytes(payload[18:26], "big")
+    rate = u >> 44
+    channels = ((u >> 41) & 0x7) + 1
+    bps = ((u >> 36) & 0x1F) + 1
+    total = u & ((1 << 36) - 1)
+    if rate == 0:
+        return None
+    duration_ms = round(total * 1000 / rate) if total else None
+    return channels, rate, bps, duration_ms
+
+
+def parse_ogg_header(payload: bytes):
+    """OGG (Vorbis/Opus) metadata, stdlib-only: channels + rate from
+    the id header in the first page's packet, duration ESTIMATED from
+    the last page's granule position (PCM sample count; Opus granules
+    are 48 kHz by spec — pre-skip ignored, stated estimate). Returns
+    the audio_meta tuple (bits_per_sample None — lossy codecs) or None
+    for non-OGG payloads."""
+    n = len(payload)
+    if n < 28 or payload[:4] != b"OggS" or payload[4] != 0:
+        return None
+    nsegs = payload[26]
+    body = 27 + nsegs
+    if body + 16 > n:
+        return None
+    channels = rate = gran_rate = None
+    if payload[body : body + 7] == b"\x01vorbis" and body + 16 <= n:
+        channels = payload[body + 11]
+        rate = int.from_bytes(payload[body + 12 : body + 16], "little")
+        gran_rate = rate
+    elif payload[body : body + 8] == b"OpusHead" and body + 16 <= n:
+        channels = payload[body + 9]
+        rate = int.from_bytes(payload[body + 12 : body + 16], "little")
+        gran_rate = 48000  # Opus granules are always 48 kHz
+    if not channels or not rate:
+        return None
+    # last-page granule: scan back over a few OggS candidates (the
+    # capture pattern can occur inside packet data — version byte 0 and
+    # a sane granule filter those)
+    duration_ms = None
+    pos = n
+    for _ in range(4):
+        i = payload.rfind(b"OggS", 0, pos)
+        if i < 0:
+            break
+        if i + 14 <= n and payload[i + 4] == 0:
+            gran = int.from_bytes(payload[i + 6 : i + 14], "little")
+            if gran != 0xFFFFFFFFFFFFFFFF and gran > 0:
+                duration_ms = round(gran * 1000 / gran_rate)
+                break
+        pos = i
+    return channels, rate, None, duration_ms
+
+
 AUDIO_META_SCHEMA = (
     "url string, media_type string, n_bytes long, n_channels int, "
     "sample_rate_hz int, bits_per_sample int, duration_ms long"
@@ -481,19 +550,21 @@ AUDIO_META_SCHEMA = (
 
 def audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """(url, payload binary) -> audio metadata; the audio sibling of
-    ``media_features``. WAV payloads get REAL channels/rate/bits/
-    duration from the RIFF fmt/data chunks, and MP3 payloads REAL
-    channels/rate plus a bitrate-derived duration (exact for CBR)
-    from the first frame header (stdlib marker walks — no audio lib
-    in this container); everything else yields nulls with the sniffed
-    type, never an exception. Same fused mapInPandas
-    physical shape as the extraction stage; verification is golden
-    bytes + an independent struct reference in tests (byte-format
-    walks are not SQL-expressible, the repo's non-SQL-oracle rule).
-    Batch plumbing comes from the shared ``_map_payloads`` scaffold."""
+    ``media_features``. WAV (RIFF fmt/data chunks), MP3 (frame header,
+    bitrate-derived duration — exact for CBR), FLAC (STREAMINFO packed
+    field, exact duration) and OGG Vorbis/Opus (id-header channels/
+    rate, last-page-granule duration estimate) all get REAL metadata
+    from stdlib marker walks — no audio lib in this container;
+    everything else yields nulls with the sniffed type, never an
+    exception. Same fused mapInPandas physical shape as the extraction
+    stage; verification is golden bytes + an independent struct
+    reference in tests (byte-format walks are not SQL-expressible, the
+    repo's non-SQL-oracle rule). Batch plumbing comes from the shared
+    ``_map_payloads`` scaffold."""
 
     def row(url, payload):
-        meta = parse_wav_header(payload) or parse_mp3_header(payload)
+        meta = (parse_wav_header(payload) or parse_mp3_header(payload)
+                or parse_flac_header(payload) or parse_ogg_header(payload))
         return {
             "url": url,
             "media_type": sniff_media_type(payload),

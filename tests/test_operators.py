@@ -720,6 +720,74 @@ def test_parse_mp3_forward_scan():
     assert parse_mp3_header(b"\x00" * 7 + frame + b"\x00" * 100) is None
 
 
+def _flac(rate=44100, ch=2, bps=16, total=132300) -> bytes:
+    """Minimal valid FLAC header (STREAMINFO only) — the golden."""
+    import struct
+
+    packed = (rate << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    si = (struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+          + packed.to_bytes(8, "big") + b"\x00" * 16)
+    return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+
+def _ogg_page(body: bytes, granule: int = 0, first: bool = True) -> bytes:
+    segs = bytes([min(len(body), 255)])
+    return (b"OggS\x00" + (b"\x02" if first else b"\x04")
+            + granule.to_bytes(8, "little") + b"\x00" * 12
+            + bytes([1]) + segs + body)
+
+
+def test_parse_flac_header():
+    from fusus_spark.operators.multimodal import parse_flac_header
+
+    assert parse_flac_header(_flac()) == (2, 44100, 16, 3000)
+    assert parse_flac_header(_flac(rate=48000, ch=1, bps=24, total=48000)) == \
+        (1, 48000, 24, 1000)
+    # unknown total samples (0): null duration, real layout
+    assert parse_flac_header(_flac(total=0)) == (2, 44100, 16, None)
+    assert parse_flac_header(_flac()[:20]) is None  # truncated
+    assert parse_flac_header(b"fLaX junk") is None
+    # first block not STREAMINFO: refuse rather than misread
+    bad = b"fLaC" + bytes([0x84]) + (34).to_bytes(3, "big") + b"\x00" * 34
+    assert parse_flac_header(bad) is None
+
+
+def test_parse_ogg_header():
+    from fusus_spark.operators.multimodal import parse_ogg_header
+
+    vorbis_id = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+                 + (44100).to_bytes(4, "little") + b"\x00" * 16)
+    ogg = _ogg_page(vorbis_id) + _ogg_page(b"\xffdata", granule=88200, first=False)
+    assert parse_ogg_header(ogg) == (2, 44100, None, 2000)
+
+    opus_id = (b"OpusHead\x01" + bytes([1]) + (312).to_bytes(2, "little")
+               + (16000).to_bytes(4, "little") + b"\x00" * 4)
+    ogg2 = _ogg_page(opus_id) + _ogg_page(b"odata", granule=96000, first=False)
+    # opus granules are 48 kHz regardless of the 16 kHz input rate
+    assert parse_ogg_header(ogg2) == (1, 16000, None, 2000)
+
+    # single-page stream: the first page's granule (0) -> null duration
+    assert parse_ogg_header(_ogg_page(vorbis_id)) == (2, 44100, None, None)
+    assert parse_ogg_header(b"OggS\x01rest") is None  # bad version
+    assert parse_ogg_header(b"not ogg") is None
+    assert parse_ogg_header(_ogg_page(b"\x03vorbis junk")) is None  # not an id header
+
+
+def test_audio_meta_covers_flac_and_ogg(spark):
+    from fusus_spark.operators.multimodal import audio_meta
+
+    vorbis_id = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+                 + (22050).to_bytes(4, "little") + b"\x00" * 16)
+    ogg = _ogg_page(vorbis_id) + _ogg_page(b"d", granule=44100, first=False)
+    rows = [("f", _flac()), ("o", ogg)]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in audio_meta(df).collect()}
+    assert got["f"]["media_type"] == "audio/flac"
+    assert got["f"]["bits_per_sample"] == 16 and got["f"]["duration_ms"] == 3000
+    assert got["o"]["media_type"] == "audio/ogg"
+    assert got["o"]["sample_rate_hz"] == 22050 and got["o"]["duration_ms"] == 2000
+
+
 def _mp4_box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
     if largesize:
         return (1).to_bytes(4, "big") + btype + (len(body) + 16).to_bytes(8, "big") + body
