@@ -144,6 +144,151 @@ def robots_signals(
     )
 
 
+# ---------------------------------------------------------------------------
+# robots.txt — the FILE half of the exclusion protocol (RFC 9309),
+# completing the consent stack next to the meta (in-page) and
+# X-Robots-Tag (header) halves above.
+
+
+def _rule_regex(pattern: str) -> str:
+    """RFC 9309 path pattern -> RE2-safe regex: '*' matches any
+    sequence, a TRAILING '$' anchors the end, every other byte is
+    literal. Anchored at the path start (rules are path prefixes)."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch in r"\.[]{}()<>^$+?|":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + ("$" if anchored else "")
+
+
+def parse_robots_txt_rules(body: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """Parse one robots.txt into the (allow, path_pattern) rules of the
+    group that governs ``agent`` (RFC 9309 §2.2.1: the union of all
+    groups whose user-agent token matches the product token
+    case-insensitively; the '*' groups apply only when no specific
+    group matched). Empty-pattern rules are ignored per the RFC
+    (``Disallow:`` alone means allow-all). Plain Python on a single
+    config-sized text — called per host inside the Arrow batch."""
+    agent = agent.lower()
+    specific: list[tuple[bool, str]] = []
+    wild: list[tuple[bool, str]] = []
+    saw_specific_group = False
+    cur: list[str] = []
+    in_group_body = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                cur = []  # a new group starts after any rule line
+                in_group_body = False
+            cur.append(val.lower())
+            if val.lower() == agent:
+                # a matching group EXISTS: even if it carries no rules,
+                # it governs (allow-all), never the '*' fallback
+                saw_specific_group = True
+        elif key in ("allow", "disallow"):
+            in_group_body = True
+            if not val:
+                continue  # empty pattern: no rule (Disallow: == allow all)
+            rule = (key == "allow", val)
+            if agent in cur:
+                specific.append(rule)
+            elif "*" in cur:
+                wild.append(rule)
+        # other keys (sitemap, crawl-delay) don't close a group per RFC
+    return specific if saw_specific_group else wild
+
+
+def robots_txt_rules(
+    robots: DataFrame, agent: str = "*",
+    host_col: str = "host", body_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) -> exploded rule rows (host, allow, pattern,
+    pattern_len, regex) for the group governing ``agent``.
+
+    The parse runs in one Arrow ``mapInPandas`` stage (a robots.txt is
+    config-sized — RFC 9309 caps the parse requirement at 500 KiB);
+    the rule-to-url MATCH in ``apply_robots_txt`` is pure JVM/SQL so
+    the precedence logic is DuckDB-oracle-able (tests/test_robots.py),
+    the parser itself being golden-pinned like the repo's other
+    byte-format walks. ``pattern_len`` is the RFC's precedence key
+    (longest match wins; allow wins length ties)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"host": [], "allow": [], "pattern": [],
+                    "pattern_len": [], "regex": []}
+            for host, body in zip(pdf[host_col].tolist(), pdf[body_col].tolist()):
+                for allow, pat in parse_robots_txt_rules(body or "", agent):
+                    rows["host"].append(host)
+                    rows["allow"].append(allow)
+                    rows["pattern"].append(pat)
+                    rows["pattern_len"].append(len(pat))
+                    rows["regex"].append(_rule_regex(pat))
+            yield pd.DataFrame(rows)
+
+    return robots.select(host_col, body_col).mapInPandas(
+        run,
+        schema="host string, allow boolean, pattern string, "
+               "pattern_len int, regex string",
+    )
+
+
+def apply_robots_txt(
+    docs: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Filter docs to urls the per-host robots.txt rules ALLOW (RFC
+    9309 longest-match precedence, allow wins ties; urls on hosts with
+    no rules — or matching no rule — are allowed, absence is consent).
+
+    Plan: docs left-join rules on host (one shuffle each side; fan-out
+    bounded by the rules-per-host count, itself bounded by the RFC's
+    500 KiB parse cap), per-row regex match (the pattern is a column,
+    so this stays a JVM expression — no Python), then ONE max-of-struct
+    aggregation per url picks the prevailing rule: no window, so a
+    mega-host with millions of urls never becomes a single-task
+    straggler. Reference role analog: the reference's page-selection
+    front door (fusus/book.py:189-240), here driven by the site's own
+    declared policy file."""
+    from fusus_spark.functions.url import url_host, url_path
+
+    u = F.col(url_col)
+    keyed = docs.withColumn("_rb_host", url_host(u)).withColumn(
+        "_rb_path", F.when(url_path(u) == "", "/").otherwise(url_path(u))
+    )
+    joined = keyed.join(
+        rules.withColumnRenamed("host", "_rb_host"), "_rb_host", "left"
+    )
+    # column-valued pattern: the SQL rlike form (the Column API only
+    # accepts literal patterns)
+    matched = F.col("regex").isNotNull() & F.expr("_rb_path rlike regex")
+    # prevailing rule = max (pattern_len, allow) over matching rules —
+    # allow=true sorts above disallow at equal length, the RFC tie-break
+    verdict_col = F.when(
+        matched, F.struct(F.col("pattern_len"), F.col("allow"))
+    )
+    allowed = (
+        joined.groupBy(url_col)
+        .agg(F.max(verdict_col).alias("_verdict"))
+        .where(F.col("_verdict").isNull() | F.col("_verdict.allow"))
+        .select(url_col)
+    )
+    return docs.join(allowed, url_col, "left_semi")
+
+
 def apply_robots_optout(
     docs: DataFrame, url_col: str = "url", html_col: str = "html",
     xrobots_col: str | None = None,

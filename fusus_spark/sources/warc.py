@@ -105,6 +105,65 @@ def parse_http_envelope(block: bytes) -> tuple[int | None, dict[str, str], bytes
     return status, headers, body
 
 
+def decode_http_body(
+    headers: dict[str, str], body: bytes, max_bytes: int | None = None
+) -> bytes:
+    """Undo the wire encodings a raw capture preserves, stdlib-only:
+    ``Transfer-Encoding: chunked`` (hex-size chunk walk) first, then
+    ``Content-Encoding: gzip/x-gzip/deflate`` (zlib; deflate tried
+    both zlib-wrapped and raw per the historical server split). Servers
+    send these on real fetches, so a WARC body is often NOT the
+    document bytes — without this step a chunked page leaks hex chunk
+    sizes into the extracted text and a gzip page is binary junk.
+    Brotli (``br``) has no stdlib codec: left verbatim (the sniffed
+    media type will not be html, so extraction routes it as junk
+    rather than mis-parsing). Any malformed framing returns the bytes
+    as-is — the never-raise ingest contract. ``max_bytes`` caps the
+    DECOMPRESSED size via zlib's bounded decompressobj — a 4 KiB gzip
+    bomb must not expand into executor memory; the truncated output
+    falls under the same ingest cap every body gets.
+    """
+    import zlib
+
+    def inflate(data: bytes, wbits: int) -> bytes:
+        d = zlib.decompressobj(wbits=wbits)
+        return d.decompress(data, max_bytes) if max_bytes else d.decompress(data)
+
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        out = []
+        i = 0
+        n = len(body)
+        try:
+            while i < n:
+                eol = body.index(b"\r\n", i)
+                size = int(body[i:eol].split(b";", 1)[0], 16)  # ext ignored
+                if size == 0:
+                    break
+                start = eol + 2
+                if start + size > n:
+                    raise ValueError("truncated chunk")
+                out.append(body[start : start + size])
+                i = start + size + 2  # skip the chunk's trailing CRLF
+            body = b"".join(out)
+        except (ValueError, IndexError):
+            pass  # malformed framing: keep the raw bytes
+    enc = headers.get("content-encoding", "").strip().lower()
+    if enc in ("gzip", "x-gzip"):
+        try:
+            body = inflate(body, wbits=47)  # gzip or zlib header
+        except zlib.error:
+            pass
+    elif enc == "deflate":
+        try:
+            body = inflate(body, wbits=15)
+        except zlib.error:
+            try:
+                body = inflate(body, wbits=-15)  # raw deflate
+            except zlib.error:
+                pass
+    return body
+
+
 def _media_type(content_type: str | None) -> str | None:
     """The bare lowercased media type of a Content-Type value
     (``text/HTML; charset=utf-8`` -> ``text/html``)."""
@@ -148,6 +207,8 @@ def iter_warc_records(
                 and headers.get("warc-target-uri")
             ):
                 status, http_headers, body = parse_http_envelope(block)
+                if http_headers:
+                    body = decode_http_body(http_headers, body, max_body_bytes)
                 xrt = http_headers.get("x-robots-tag")
                 yield (
                     headers["warc-target-uri"],

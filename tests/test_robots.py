@@ -175,6 +175,126 @@ def test_x_robots_tag_header_merge(spark):
     assert kept_plain == {u for u, _h, _x in rows} - {"http://h.com/6"}
 
 
+ROBOTS_TXT = """\
+# site policy
+User-agent: specialbot
+Disallow: /private/
+
+User-agent: *
+Disallow: /tmp/
+Disallow: /search$
+Allow: /tmp/public/
+Disallow: /*.pdf$
+Allow:
+Crawl-delay: 2
+
+User-agent: otherbot
+User-agent: thirdbot
+Disallow: /
+"""
+
+
+def test_parse_robots_txt_rules():
+    from fusus_spark.operators.robots import _rule_regex, parse_robots_txt_rules
+
+    # '*' agent gets the wildcard group (empty Allow: dropped per RFC)
+    assert parse_robots_txt_rules(ROBOTS_TXT, "*") == [
+        (False, "/tmp/"), (False, "/search$"),
+        (True, "/tmp/public/"), (False, "/*.pdf$"),
+    ]
+    # a named agent gets ITS group, never the wildcard fallback
+    assert parse_robots_txt_rules(ROBOTS_TXT, "specialbot") == [(False, "/private/")]
+    # two user-agent lines share one group
+    assert parse_robots_txt_rules(ROBOTS_TXT, "thirdbot") == [(False, "/")]
+    # a matching group with no rules governs (allow-all), no fallback;
+    # the empty Disallow closes the group (RFC: consecutive user-agent
+    # lines — even across blank lines — would otherwise share a group)
+    txt = "User-agent: emptybot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    assert parse_robots_txt_rules(txt, "emptybot") == []
+    assert parse_robots_txt_rules(txt, "someone") == [(False, "/")]
+    # and WITHOUT a rule line between them, both agents share the group
+    shared = "User-agent: emptybot\n\nUser-agent: *\nDisallow: /\n"
+    assert parse_robots_txt_rules(shared, "emptybot") == [(False, "/")]
+    assert parse_robots_txt_rules("", "*") == []
+    # pattern translation: wildcards, anchors, escaped metacharacters
+    assert _rule_regex("/a/*.pdf$") == r"^/a/.*\.pdf$"
+    assert _rule_regex("/plain") == "^/plain"
+    assert _rule_regex("/q?x=(1)") == r"^/q\?x=\(1\)"
+
+
+def test_apply_robots_txt_matches_duckdb_oracle(spark):
+    """The file half of the protocol: parse goldens above; here the
+    JVM match/precedence stage (longest match wins, allow wins ties,
+    absence is consent) against a DuckDB oracle over the SAME parsed
+    rules table — beyond-cap in-test oracle discipline."""
+    import duckdb
+
+    from fusus_spark.operators.robots import apply_robots_txt, robots_txt_rules
+
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS_TXT), ("b.com", "User-agent: *\nDisallow: /\nAllow: /pub/\n")],
+        "host string, robots_txt string",
+    )
+    rules = robots_txt_rules(robots, agent="*")
+    urls = [
+        "http://a.com/",                    # no match: allowed
+        "http://a.com/tmp/x",               # /tmp/ disallow
+        "http://a.com/tmp/public/x",        # longer allow wins
+        "http://a.com/search",              # $-anchored disallow
+        "http://a.com/search/results",      # anchor must NOT match
+        "http://a.com/docs/file.pdf",       # /*.pdf$ wildcard disallow
+        "http://a.com/docs/file.pdf.html",  # $ anchor: allowed
+        "http://b.com/anything",            # blanket disallow
+        "http://b.com/pub/ok",              # allow same-length+ wins
+        "http://c.com/no/robots/at/all",    # host without rules
+    ]
+    docs = spark.createDataFrame([(u,) for u in urls], "url string")
+    kept = {r["url"] for r in apply_robots_txt(docs, rules).collect()}
+    assert kept == {
+        "http://a.com/",
+        "http://a.com/tmp/public/x",
+        "http://a.com/search/results",
+        "http://a.com/docs/file.pdf.html",
+        "http://b.com/pub/ok",
+        "http://c.com/no/robots/at/all",
+    }
+
+    from tools.parity import value_hash
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE urls (url VARCHAR)")
+    con.executemany("INSERT INTO urls VALUES (?)", [(u,) for u in urls])
+    con.sql("CREATE TABLE rules (host VARCHAR, allow BOOLEAN, pattern VARCHAR, "
+            "pattern_len INT, regex VARCHAR)")
+    con.executemany("INSERT INTO rules VALUES (?, ?, ?, ?, ?)",
+                    [tuple(r) for r in rules.collect()])
+    host_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+    path_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+    orc = con.sql(f"""
+WITH k AS (
+  SELECT url, lower(regexp_extract(url, '{host_re}', 1)) AS host,
+         CASE WHEN regexp_extract(url, '{path_re}', 1) = '' THEN '/'
+              ELSE regexp_extract(url, '{path_re}', 1) END AS path
+  FROM urls
+),
+j AS (
+  SELECT k.url, r.allow, r.pattern_len,
+         r.regex IS NOT NULL AND regexp_matches(k.path, r.regex) AS m
+  FROM k LEFT JOIN rules r ON k.host = r.host
+),
+v AS (
+  SELECT url, max(CASE WHEN m THEN struct_pack(l := pattern_len, a := allow) END) AS verdict
+  FROM j GROUP BY url
+)
+SELECT url FROM v WHERE verdict IS NULL OR verdict.a
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert {r[0] for r in orows} == kept
+    sdf = apply_robots_txt(docs, rules).select("url")
+    assert value_hash(["url"], [tuple(r) for r in sdf.collect()]) == \
+        value_hash(["url"], orows)
+
+
 def test_robots_never_raise_on_junk(spark):
     rows = [("http://x.com/a", b"\xff\xfe<meta name='robots' content='noindex'>"),
             ("http://x.com/b", None),

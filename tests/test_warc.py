@@ -191,6 +191,52 @@ def test_read_warc_to_extraction(spark, tmp_path):
     }
 
 
+def test_decode_http_body():
+    """Wire-encoding fidelity: chunked framing removed, gzip/deflate
+    bodies decompressed, malformed/unknown encodings verbatim."""
+    import zlib
+
+    from fusus_spark.sources.warc import decode_http_body
+
+    chunked = b"5\r\nhello\r\n6;ext=1\r\n world\r\n0\r\n\r\n"
+    assert decode_http_body({"transfer-encoding": "chunked"}, chunked) == b"hello world"
+    html = b"<html><p>compressed page</p></html>"
+    assert decode_http_body({"content-encoding": "gzip"}, gzip.compress(html)) == html
+    assert decode_http_body({"content-encoding": "deflate"},
+                            zlib.compress(html)) == html
+    co = zlib.compressobj(wbits=-15)
+    raw_deflate = co.compress(html) + co.flush()
+    assert decode_http_body({"content-encoding": "deflate"}, raw_deflate) == html
+    # chunked THEN gzip (the wire order servers apply in reverse)
+    gz = gzip.compress(html)
+    framed = (hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n")
+    assert decode_http_body(
+        {"transfer-encoding": "chunked", "content-encoding": "gzip"}, framed
+    ) == html
+    # malformed framing / truncated gzip / unknown coding: verbatim
+    assert decode_http_body({"transfer-encoding": "chunked"}, b"zz\r\nnope") == b"zz\r\nnope"
+    assert decode_http_body({"content-encoding": "gzip"}, b"\x1f\x8bnope") == b"\x1f\x8bnope"
+    assert decode_http_body({"content-encoding": "br"}, b"brotli-bytes") == b"brotli-bytes"
+    assert decode_http_body({}, html) == html
+    # gzip-bomb guard: decompressed output is CAPPED, not ballooned
+    bomb = gzip.compress(b"\x00" * 10_000_000)
+    out = decode_http_body({"content-encoding": "gzip"}, bomb, max_bytes=4096)
+    assert len(out) == 4096
+
+
+def test_warc_records_decode_wire_encodings():
+    """End-to-end through the record walk: a chunked+gzip response
+    yields the DOCUMENT bytes, not the wire bytes."""
+    html = b"<html><main><p>zeta eta theta</p></main></html>"
+    gz = gzip.compress(html)
+    block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+             b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n"
+             + hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n")
+    seg = _record("response", "http://ex.com/gz", "2026-01-01T00:00:00Z", block)
+    recs = list(iter_warc_records(seg))
+    assert recs[0][2] == 200 and recs[0][5] == html
+
+
 def test_warc_envelope_duckdb_oracle(spark, tmp_path):
     """Beyond-cap in-test oracle: DuckDB recomputes the envelope table
     (http_status, content_type, x_robots_tag) from the raw HTTP block

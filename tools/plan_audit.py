@@ -170,6 +170,15 @@ CHECKS = {
     "audio_meta": [("MapInPandas", 1), ("Exchange", 1)],
     # video metadata (ISO-BMFF box walk): same single-stage contract
     "video_meta": [("MapInPandas", 1), ("Exchange", 1)],
+    # robots.txt match/precedence: host join + ONE max-of-struct agg —
+    # never a per-url window (mega-hosts must not straggle) and never
+    # an all-pairs join; the parse is the only Python stage
+    "apply_robots_txt": [
+        ("Aggregate", True),  # max-of-struct compiles to SortAggregate
+        ("Window", False),
+        ("CartesianProduct", False),
+        ("MapInPandas", 1),
+    ],
 }
 
 
@@ -375,6 +384,20 @@ def _extra_frames():
         )
         return video_meta(docs)
 
+    def f_robots_txt(spark, sf_dir):
+        from fusus_spark.operators.robots import apply_robots_txt, robots_txt_rules
+
+        docs = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), "doc_id").alias("url")
+        )
+        robots = spark.createDataFrame(
+            [(f"h{i}.com", "User-agent: *\nDisallow: /p/1\nAllow: /p/10\n")
+             for i in range(7)],
+            "host string, robots_txt string",
+        )
+        return apply_robots_txt(docs, robots_txt_rules(robots))
+
     def f_mixture(spark, sf_dir):
         from fusus_spark.operators.curate import mixture_ppm
 
@@ -406,7 +429,8 @@ def _extra_frames():
             "enrich_with_anchors": f_enrich, "robots_signals": f_robots,
             "mixture_ppm": f_mixture,
             "stratified_sample_by_table": f_sample_table,
-            "audio_meta": f_audio, "video_meta": f_video}
+            "audio_meta": f_audio, "video_meta": f_video,
+            "apply_robots_txt": f_robots_txt}
 
 
 def main() -> None:
