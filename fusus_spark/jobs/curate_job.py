@@ -68,6 +68,8 @@ def run_job(
     output_path: str,
     eval_path: str | None = None,
     respect_robots: bool = False,
+    robots_txt_path: str | None = None,
+    robots_agent: str = "*",
     block_domains_path: str | None = None,
     cap_per_host: int | None = None,
     host_prior_min_rank_e9: int | None = None,
@@ -113,6 +115,24 @@ def run_job(
         summary["n_after_robots"] = (
             spark.read.parquet(f"{out}/audit/robots").where(~F.col("noindex")).count()
         )
+
+    # 0b. optional robots.txt rules — the FILE half of the consent
+    # protocol (RFC 9309), fed from a (host, robots_txt) parquet the
+    # fetch layer produced. The parsed rules table is the audit; the
+    # filtered docs are materialized like tier 1b so the count reads
+    # written parquet and downstream tiers re-plan from columnar files.
+    if robots_txt_path is not None and "url" in docs.columns:
+        from fusus_spark.operators.robots import apply_robots_txt, robots_txt_rules
+
+        robots_txt_rules(
+            spark.read.parquet(robots_txt_path), agent=robots_agent
+        ).write.mode("overwrite").parquet(f"{out}/audit/robots_txt_rules")
+        rules = spark.read.parquet(f"{out}/audit/robots_txt_rules")
+        apply_robots_txt(docs, rules).write.mode("overwrite").parquet(
+            f"{out}/stage/robots_txt"
+        )
+        docs = spark.read.parquet(f"{out}/stage/robots_txt")
+        summary["n_after_robots_txt"] = docs.count()
 
     # 1. canonical-URL dedup (cheapest tier; only if a url column exists)
     if "url" in docs.columns:
@@ -315,6 +335,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--respect-robots", action="store_true",
                    help="drop pages declaring meta robots noindex "
                         "(tier 0, needs an html column)")
+    p.add_argument("--robots-txt",
+                   help="(host, robots_txt) parquet dir: apply RFC 9309 "
+                        "robots.txt rules as tier 0b (needs a url column)")
+    p.add_argument("--robots-agent", default="*",
+                   help="user-agent product token for robots.txt group "
+                        "selection (default '*')")
     p.add_argument("--block-domains",
                    help="parquet dir with a 1-column domain blocklist (tier 1b)")
     p.add_argument("--cap-per-host", type=int, default=None,
@@ -352,6 +378,8 @@ def main(argv: list[str] | None = None) -> None:
         output_path=args.output,
         eval_path=args.eval,
         respect_robots=args.respect_robots,
+        robots_txt_path=args.robots_txt,
+        robots_agent=args.robots_agent,
         block_domains_path=args.block_domains,
         cap_per_host=args.cap_per_host,
         host_prior_min_rank_e9=args.host_prior_min_rank_e9,

@@ -179,6 +179,43 @@ def test_curate_job_robots_tier(spark, tmp_path):
                      "http://a.com/follow": False}
 
 
+def test_curate_job_robots_txt_tier(spark, tmp_path):
+    """Opt-in tier 0b: RFC 9309 robots.txt rules from a (host,
+    robots_txt) parquet — the FILE half of the consent protocol —
+    filter by longest-match before any other tier spends; the parsed
+    rules land as an audit table."""
+    inp = str(tmp_path / "docs8")
+    rb = str(tmp_path / "robots8")
+    out = str(tmp_path / "out8")
+    rows = [
+        (1, "http://a.com/public/page",
+         "the first public document body is here and it reads fine", "en"),
+        (2, "http://a.com/private/page",
+         "the disallowed document body is here and it reads fine", "en"),
+        (3, "http://a.com/private/ok/page",
+         "the allow override document is here and it reads fine", "en"),
+        (4, "http://norules.com/anything",
+         "the host without robots file is here and it reads fine", "en"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, url string, text string, lang string"
+    ).write.parquet(inp)
+    spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n")],
+        "host string, robots_txt string",
+    ).write.parquet(rb)
+
+    summary = run_job(
+        spark, input_path=inp, output_path=out, robots_txt_path=rb
+    )
+    assert summary["n_after_robots_txt"] == 3
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert kept == {1, 3, 4}
+    rules = {(r["allow"], r["pattern"])
+             for r in spark.read.parquet(f"{out}/audit/robots_txt_rules").collect()}
+    assert rules == {(False, "/private/"), (True, "/private/ok/")}
+
+
 def test_curate_job_host_prior_tier(spark, tmp_path):
     """Opt-in tier 1c: hosts ranked below the PageRank floor by the
     crawl's own link graph are dropped; hosts absent from the graph
