@@ -84,8 +84,13 @@ def run_job(
         # bucket; changed segments re-ingest and the lineage flip
         # correctly invalidates the affected buckets. The marker file's
         # '_' prefix keeps it invisible to Spark's directory listing.
-        # layout change (bucket count OR date partitioning) must re-ingest
-        entries = [f"n_buckets={n_buckets}", f"by_date={by_date}"]
+        # layout change (bucket count OR date partitioning) must
+        # re-ingest — and so must a change in what ingest MEANS: the
+        # schema version covers the envelope columns + non-200 filter
+        # (v2) so a table built by older code is rebuilt rather than
+        # silently consumed without http_status/x_robots_tag
+        entries = [f"n_buckets={n_buckets}", f"by_date={by_date}",
+                   "ingest_schema=v2"]
         for root, _dirs, files in os.walk(input_path):
             for f in files:
                 if ".warc" in f:

@@ -36,13 +36,19 @@ from pyspark.sql import Column, DataFrame, functions as F
 # (valid HTML: <meta name=robots content=noindex>) — each value is a
 # 3-way alternation whose capture lands in exactly one of groups 1-3
 # (extracted via _first_group); the unquoted robots name must be
-# DELIMITED ([\s/>]) so name=robotsx never matches. All alternations
-# are RE2-safe (no lookarounds/backrefs) so the DuckDB oracle
-# tokenizes identically.
+# DELIMITED so name=robotsx never matches. Two containment rules keep
+# a match inside ONE tag: the inter-attribute filler is [^<>]* (never
+# crosses the next tag's '<'), and the unquoted-name delimiter may
+# consume '>' only in the AT-END position (content-first ordering) —
+# mid-pattern it is [\s/], else the pattern would escape the tag and
+# harvest content= from following markup or text nodes. All
+# alternations are RE2-safe (no lookarounds/backrefs) so the DuckDB
+# oracle tokenizes identically.
 _CONTENT_VAL = r"""content\s*=\s*(?:"([^"<>]*)"|'([^'<>]*)'|([^\s"'<>]+))"""
-_NAME_ROBOTS = r"""name\s*=\s*(?:"robots"|'robots'|robots[\s/>])"""
-_META_NAME_FIRST = r"<meta\s[^>]*" + _NAME_ROBOTS + r"[^>]*" + _CONTENT_VAL
-_META_CONTENT_FIRST = r"<meta\s[^>]*" + _CONTENT_VAL + r"[^>]*" + _NAME_ROBOTS
+_NAME_ROBOTS_MID = r"""name\s*=\s*(?:"robots"|'robots'|robots[\s/])"""
+_NAME_ROBOTS_END = r"""name\s*=\s*(?:"robots"|'robots'|robots[\s/>])"""
+_META_NAME_FIRST = r"<meta\s[^<>]*" + _NAME_ROBOTS_MID + r"[^<>]*" + _CONTENT_VAL
+_META_CONTENT_FIRST = r"<meta\s[^<>]*" + _CONTENT_VAL + r"[^<>]*" + _NAME_ROBOTS_END
 # original-bytes patterns (href case preserved); keyword case-classes
 _REL = r"[rR][eE][lL]"
 _CANON = r"[cC][aA][nN][oO][nN][iI][cC][aA][lL]"
@@ -51,20 +57,30 @@ _LINK = r"<[lL][iI][nN][kK]\s"
 _HREF_VAL = (
     _HREF + r"""\s*=\s*(?:"([^"<>]+)"|'([^'<>]+)'|([^\s"'<>]+))"""
 )
-_REL_CANON = (
+_REL_CANON_MID = (
+    _REL + r"\s*=\s*(?:\"" + _CANON + r"\"|'" + _CANON + r"'|"
+    + _CANON + r"[\s/])"
+)
+_REL_CANON_END = (
     _REL + r"\s*=\s*(?:\"" + _CANON + r"\"|'" + _CANON + r"'|"
     + _CANON + r"[\s/>])"
 )
-_LINK_REL_FIRST = _LINK + r"[^>]*" + _REL_CANON + r"[^>]*" + _HREF_VAL
-_LINK_HREF_FIRST = _LINK + r"[^>]*" + _HREF_VAL + r"[^>]*" + _REL_CANON
+_LINK_REL_FIRST = _LINK + r"[^<>]*" + _REL_CANON_MID + r"[^<>]*" + _HREF_VAL
+_LINK_HREF_FIRST = _LINK + r"[^<>]*" + _HREF_VAL + r"[^<>]*" + _REL_CANON_END
 
 
 def _first_group(col: Column, pat: str) -> Column:
     """The one non-empty capture among the pattern's three value
     alternations (null when the pattern does not match or the value is
-    empty — '' means absent throughout this module)."""
+    empty — '' means absent throughout this module). Cost shape: ONE
+    full-document scan (group 0 grabs the matched tag region), then
+    the three group extracts re-run the pattern on that tag-sized
+    region only — the region IS the original match, so the captures
+    are byte-identical, and the hot map-side filter pays a single
+    regex pass per pattern instead of three."""
+    region = F.regexp_extract(col, pat, 0)
     return F.coalesce(
-        *[F.nullif(F.regexp_extract(col, pat, g), F.lit("")) for g in (1, 2, 3)]
+        *[F.nullif(F.regexp_extract(region, pat, g), F.lit("")) for g in (1, 2, 3)]
     )
 
 
@@ -266,9 +282,15 @@ def apply_robots_txt(
     from fusus_spark.functions.url import url_host, url_path
 
     u = F.col(url_col)
-    keyed = docs.withColumn("_rb_host", url_host(u)).withColumn(
-        "_rb_path", F.when(url_path(u) == "", "/").otherwise(url_path(u))
+    # RFC 9309 match target is the path PLUS the query ('/search?q=x'):
+    # a '$'-anchored '/search$' must not block queried variants, and
+    # query-targeting rules like '/*?sessionid=' must be reachable
+    path = F.when(url_path(u) == "", "/").otherwise(url_path(u))
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    target = F.when(query == "", path).otherwise(
+        F.concat(path, F.lit("?"), query)
     )
+    keyed = docs.withColumn("_rb_host", url_host(u)).withColumn("_rb_path", target)
     joined = keyed.join(
         rules.withColumnRenamed("host", "_rb_host"), "_rb_host", "left"
     )

@@ -80,16 +80,29 @@ def parse_http_envelope(block: bytes) -> tuple[int | None, dict[str, str], bytes
     The status line must look like ``HTTP/x.y NNN ...``; header names
     are lowercased, values stripped, repeated headers comma-joined (the
     RFC 9110 list semantics — multiple ``X-Robots-Tag`` lines union
-    their directives). A block that does not start with a status line
-    returns ``(None, {}, block)`` — the whole block stays the body, the
-    pre-envelope behavior — so a non-HTTP payload is flagged (null
-    status), never dropped or mis-split.
+    their directives). LF-only line endings (misbehaving servers,
+    captured verbatim) are tolerated: the terminator is the first
+    CRLFCRLF or bare LFLF. A block that does not start with a status
+    line, has a malformed status token, or has NO header terminator at
+    all (header-truncated capture) returns ``(None, {}, block)`` — the
+    whole block stays the body, the pre-envelope behavior — so the
+    document bytes are flagged (null status), never dropped or
+    mis-split.
     """
     if not block.startswith(b"HTTP/"):
         return None, {}, block
-    sep = block.find(b"\r\n\r\n")
-    head, body = (block[:sep], block[sep + 4 :]) if sep != -1 else (block, b"")
-    lines = head.split(b"\r\n")
+    # EARLIEST terminator wins: LF-only headers may precede a body that
+    # itself contains CRLFCRLF
+    sep_crlf = block.find(b"\r\n\r\n")
+    sep_lf = block.find(b"\n\n")
+    if sep_crlf == -1 and sep_lf == -1:
+        return None, {}, block  # no terminator: keep every byte
+    if sep_lf == -1 or (sep_crlf != -1 and sep_crlf < sep_lf):
+        sep, sep_len = sep_crlf, 4
+    else:
+        sep, sep_len = sep_lf, 2
+    head, body = block[:sep], block[sep + sep_len :]
+    lines = [ln.rstrip(b"\r") for ln in head.split(b"\n")]
     first = lines[0].split(None, 2)
     if len(first) < 2 or not first[1].isdigit() or len(first[1]) != 3:
         return None, {}, block

@@ -44,6 +44,16 @@ def _pages() -> list[tuple[str, str]]:
         ("http://a.com/14",
          "<meta name='robots' content='noarchive'>"
          "<link rel='canonical' href='/Sq/q'><p>u5</p>"),
+        # cross-tag containment (review finding): a value-less robots
+        # meta must NOT harvest content= from the NEXT tag or from a
+        # text node after the tag
+        ("http://a.com/15",
+         '<meta name=robots><meta name=description '
+         'content="noindex tips for seo"><p>v</p>'),
+        ("http://a.com/16",
+         "<meta name=robots> content=noindex in prose<p>v2</p>"),
+        ("http://a.com/17",
+         '<link rel=canonical><a href="http://evil.example/">x</a>'),
     ]
 
 
@@ -74,6 +84,10 @@ def test_robots_signals_hand_cases(spark):
     assert got["http://a.com/13"]["robots_content"] == ""  # delimited name
     assert got["http://a.com/14"]["noarchive"] is True
     assert got["http://a.com/14"]["canonical_href"] == "/Sq/q"
+    assert got["http://a.com/15"]["robots_content"] == ""  # next-tag bleed
+    assert got["http://a.com/15"]["noindex"] is False
+    assert got["http://a.com/16"]["robots_content"] == ""  # text-node bleed
+    assert got["http://a.com/17"]["canonical_href"] is None
 
 
 def test_apply_robots_optout(spark):
@@ -81,7 +95,8 @@ def test_apply_robots_optout(spark):
     assert kept == {"http://a.com/3", "http://a.com/4", "http://a.com/5",
                     "http://a.com/6", "http://a.com/7", "http://a.com/8",
                     "http://a.com/11", "http://a.com/12", "http://a.com/13",
-                    "http://a.com/14"}
+                    "http://a.com/14", "http://a.com/15", "http://a.com/16",
+                    "http://a.com/17"}
 
 
 def test_robots_signals_match_duckdb_oracle(spark):
@@ -231,8 +246,12 @@ def test_apply_robots_txt_matches_duckdb_oracle(spark):
 
     from fusus_spark.operators.robots import apply_robots_txt, robots_txt_rules
 
+    a_txt = ROBOTS_TXT.replace(
+        "Disallow: /tmp/\n", "Disallow: /tmp/\nDisallow: /*?sessionid=\n"
+    )
     robots = spark.createDataFrame(
-        [("a.com", ROBOTS_TXT), ("b.com", "User-agent: *\nDisallow: /\nAllow: /pub/\n")],
+        [("a.com", a_txt),
+         ("b.com", "User-agent: *\nDisallow: /\nAllow: /pub/\n")],
         "host string, robots_txt string",
     )
     rules = robots_txt_rules(robots, agent="*")
@@ -242,6 +261,8 @@ def test_apply_robots_txt_matches_duckdb_oracle(spark):
         "http://a.com/tmp/public/x",        # longer allow wins
         "http://a.com/search",              # $-anchored disallow
         "http://a.com/search/results",      # anchor must NOT match
+        "http://a.com/search?q=x",          # query defeats the $ anchor
+        "http://a.com/page?sessionid=7",    # query-targeting rule fires
         "http://a.com/docs/file.pdf",       # /*.pdf$ wildcard disallow
         "http://a.com/docs/file.pdf.html",  # $ anchor: allowed
         "http://b.com/anything",            # blanket disallow
@@ -254,6 +275,7 @@ def test_apply_robots_txt_matches_duckdb_oracle(spark):
         "http://a.com/",
         "http://a.com/tmp/public/x",
         "http://a.com/search/results",
+        "http://a.com/search?q=x",
         "http://a.com/docs/file.pdf.html",
         "http://b.com/pub/ok",
         "http://c.com/no/robots/at/all",
@@ -271,11 +293,17 @@ def test_apply_robots_txt_matches_duckdb_oracle(spark):
     host_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
     path_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
     orc = con.sql(f"""
-WITH k AS (
+WITH k0 AS (
   SELECT url, lower(regexp_extract(url, '{host_re}', 1)) AS host,
          CASE WHEN regexp_extract(url, '{path_re}', 1) = '' THEN '/'
-              ELSE regexp_extract(url, '{path_re}', 1) END AS path
+              ELSE regexp_extract(url, '{path_re}', 1) END AS p,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
   FROM urls
+),
+k AS (
+  SELECT url, host,
+         CASE WHEN q = '' THEN p ELSE p || '?' || q END AS path
+  FROM k0
 ),
 j AS (
   SELECT k.url, r.allow, r.pattern_len,

@@ -103,6 +103,17 @@ def test_http_envelope_parsing():
     for junk in (b"HTTP/1.1 OK\r\n\r\nx", b"HTTP/1.1 20 OK\r\n\r\nx", b"HTTP/"):
         st, hdrs, body = parse_http_envelope(junk)
         assert st is None and hdrs == {} and body == junk
+    # LF-only line endings (review finding): the document must survive
+    lf = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<html>lf body</html>"
+    st, hdrs, body = parse_http_envelope(lf)
+    assert st == 200 and hdrs["content-type"] == "text/html"
+    assert body == b"<html>lf body</html>"
+    # LF-only headers with CRLFCRLF later in the BODY: earliest wins
+    lf2 = b"HTTP/1.1 200 OK\nX: y\n\npre\r\n\r\npost"
+    assert parse_http_envelope(lf2)[2] == b"pre\r\n\r\npost"
+    # header-truncated (no terminator anywhere): nothing is lost
+    trunc = b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+    assert parse_http_envelope(trunc) == (None, {}, trunc)
 
 
 def test_extract_job_warc_input(spark, tmp_path):
