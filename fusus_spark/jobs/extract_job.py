@@ -55,6 +55,7 @@ def run_job(
     by_date: bool = False,
     dates: list[str] | None = None,
     respect_robots: bool = False,
+    html_only: bool = False,
 ) -> dict:
     """The job body, session-agnostic (tests drive it directly).
 
@@ -90,7 +91,7 @@ def run_job(
         # (v2) so a table built by older code is rebuilt rather than
         # silently consumed without http_status/x_robots_tag
         entries = [f"n_buckets={n_buckets}", f"by_date={by_date}",
-                   "ingest_schema=v2"]
+                   "ingest_schema=v2", f"html_only={html_only}"]
         for root, _dirs, files in os.walk(input_path):
             for f in files:
                 if ".warc" in f:
@@ -118,6 +119,19 @@ def run_job(
             docs = docs.where(
                 (F.col("http_status") == 200) | F.col("http_status").isNull()
             )
+            if html_only:
+                # declared-type filter BEFORE the table is even written:
+                # at crawl scale the media/JSON/PDF payloads a generic
+                # fetch returns should never pay for bucketing, let
+                # alone the Arrow parse channel. Envelope-less rows
+                # (null type) are kept — absence of a declaration is
+                # not evidence of non-HTML.
+                docs = docs.where(
+                    F.col("content_type").isNull()
+                    | F.col("content_type").isin(
+                        "text/html", "application/xhtml+xml"
+                    )
+                )
             write_bucketed_input(
                 docs, table_dir, n_buckets,
                 date_col="warc_ts" if by_date else None,
@@ -169,8 +183,12 @@ def main(argv: list[str] | None = None) -> None:
                         "words,extracted,removals (multi-kind layout: <output>/<kind>/bucket=k)")
     p.add_argument("--max-html-bytes", type=int, default=4 * 1024 * 1024)
     p.add_argument("--respect-robots", action="store_true",
-                   help="drop meta-noindex pages BEFORE parsing "
+                   help="drop meta/header-noindex pages BEFORE parsing "
                         "(publisher consent; map-side filter)")
+    p.add_argument("--html-only", action="store_true",
+                   help="warc ingest keeps only records whose Content-Type "
+                        "declares html (or none) — media/JSON/PDF payloads "
+                        "never reach the table")
     p.add_argument("--by-date", action="store_true",
                    help="input uses the crawl_date=D/bucket=K layout; restart "
                         "grid becomes (crawl_date, bucket)")
@@ -201,6 +219,7 @@ def main(argv: list[str] | None = None) -> None:
         by_date=args.by_date,
         dates=[d.strip() for d in args.dates.split(",") if d.strip()] if args.dates else None,
         respect_robots=args.respect_robots,
+        html_only=args.html_only,
     )
     print(json.dumps(summary))
     spark.stop()

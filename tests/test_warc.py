@@ -373,6 +373,52 @@ def test_extract_job_filters_non_200_and_header_robots(spark, tmp_path):
     assert urls2 == {"http://ex.com/keep"}
 
 
+def test_extract_job_html_only(spark, tmp_path):
+    """--html-only: declared non-html media never reaches the bucketed
+    table; envelope-less and html-typed records do. The flag is part of
+    the ingest fingerprint, so toggling it re-ingests."""
+    seg = (
+        _record("response", "http://ex.com/page", "2026-01-01T00:00:00Z",
+                _http(b"<html><p>iota kappa</p></html>"))
+        + _record("response", "http://ex.com/img", "2026-01-01T00:00:00Z",
+                  b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n"
+                  b"\x89PNG fake pixels")
+        + _record("response", "http://ex.com/raw", "2026-01-01T00:00:00Z",
+                  b"<html><p>no envelope lambda mu</p></html>")
+    )
+    (tmp_path / "segs").mkdir()
+    (tmp_path / "segs" / "seg-0.warc").write_bytes(seg)
+
+    from fusus_spark.jobs.extract_job import run_job
+
+    run_job(
+        spark,
+        input_path=str(tmp_path / "segs"),
+        output_path=str(tmp_path / "w"),
+        ledger_path=str(tmp_path / "l"),
+        n_buckets=2,
+        input_format="warc",
+        html_only=True,
+    )
+    table = spark.read.parquet(str(tmp_path / "w.table"))
+    assert {r["url"] for r in table.select("url").collect()} == {
+        "http://ex.com/page", "http://ex.com/raw"
+    }
+    # toggling the flag re-ingests (fingerprint includes it)
+    summary = run_job(
+        spark,
+        input_path=str(tmp_path / "segs"),
+        output_path=str(tmp_path / "w"),
+        ledger_path=str(tmp_path / "l"),
+        n_buckets=2,
+        input_format="warc",
+        html_only=False,
+    )
+    assert summary["processed"] == 2  # lineage flipped, buckets redone
+    table2 = spark.read.parquet(str(tmp_path / "w.table"))
+    assert table2.count() == 3
+
+
 # ------------------------------------------------------------ fuzz hardening
 
 
