@@ -205,11 +205,22 @@ local[{CORE_SIZES[-1]}]** on this corpus
   partition (`days(warc_ts) + bucket(url)`) and the checkpoint ledger
   (fusus_spark/sources/ledger.py) commits buckets independently, so
   parallelism is per-partition with no global coordination.
-{knee_section()}{localcluster_section()}"""
+{knee_section()}{localcluster_section()}{notes_section()}"""
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:
         f.write(md)
     print(f"wrote {out_path}", file=sys.stderr)
+
+
+def notes_section() -> str:
+    """Manually-maintained measurement notes (BENCH/NOTES.md) survive
+    regeneration by being folded in rather than living in the
+    generated file."""
+    path = os.path.join(REPO, "BENCH", "NOTES.md")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        return "\n## " + f.read().strip().lstrip("# ").lstrip() + "\n"
 
 
 def volume_section() -> str:
