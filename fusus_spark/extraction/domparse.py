@@ -144,8 +144,16 @@ class _TreeBuilder(HTMLParser):
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I)
 
 
-def decode_html(payload: bytes) -> str:
+def decode_html(payload: bytes, charset_hint: str | None = None) -> str:
     """Deterministic bytes -> str (T1 charset-sniff analog).
+
+    Decode order: strict UTF-8 first (a page that survives strict
+    UTF-8 IS UTF-8 — this also defuses the very common mis-declared
+    transport charset), then the transport-layer ``charset_hint``
+    (the Content-Type parameter the WARC envelope retains), then the
+    in-page meta charset sniff, then the latin-1 total fallback.
+    Unknown/invalid hints fall through silently — the hint can only
+    ADD a decode path, never lose a document.
 
     A leading BOM (U+FEFF) is stripped: it is an encoding artifact, not
     content — left in place it glues to the first word (ZWNBSP is not
@@ -158,6 +166,13 @@ def decode_html(payload: bytes) -> str:
         text = payload.decode("utf-8")
     except UnicodeDecodeError:
         pass
+    if text is None and charset_hint:
+        enc = charset_hint.strip().strip("'\"").lower()
+        if enc not in ("utf-8", "utf8"):
+            try:
+                text = payload.decode(enc)
+            except (UnicodeDecodeError, LookupError):
+                pass
     if text is None:
         m = _CHARSET_RE.search(payload[:2048])
         if m:
@@ -175,14 +190,16 @@ def decode_html(payload: bytes) -> str:
     return text[1:] if text.startswith("\ufeff") else text
 
 
-def parse_html(payload: bytes | str) -> Node:
+def parse_html(payload: bytes | str, charset_hint: str | None = None) -> Node:
     """Parse HTML bytes/str into a Node tree rooted at ``#root``.
 
     Never raises on malformed markup; worst case returns a tree holding
     whatever could be salvaged (the reference's tolerance analog:
-    empty-page short-circuit, fusus/page.py:640-647).
+    empty-page short-circuit, fusus/page.py:640-647). ``charset_hint``
+    is the transport-layer charset (see decode_html).
     """
-    text = decode_html(payload) if isinstance(payload, (bytes, bytearray)) else payload
+    text = (decode_html(payload, charset_hint)
+            if isinstance(payload, (bytes, bytearray)) else payload)
     builder = _TreeBuilder()
     try:
         builder.feed(text)

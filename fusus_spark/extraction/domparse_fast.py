@@ -63,9 +63,10 @@ def _parse_attrs(s: str) -> dict[str, str]:
     return out
 
 
-def parse_html_fast(payload: bytes | str) -> Node:
+def parse_html_fast(payload: bytes | str, charset_hint: str | None = None) -> Node:
     """Tokenize HTML into the same Node tree as domparse.parse_html."""
-    text = decode_html(payload) if isinstance(payload, (bytes, bytearray)) else payload
+    text = (decode_html(payload, charset_hint)
+            if isinstance(payload, (bytes, bytearray)) else payload)
     root = Node("#root")
     stack: list[Node] = [root]
     n = len(text)

@@ -38,6 +38,7 @@ def extract_document(
     html: bytes | str | None,
     *,
     lang: str | None = None,
+    charset: str | None = None,
     max_html_bytes: int = DEFAULT_MAX_HTML_BYTES,
     guard: GuardConfig = DEFAULT_GUARD,
 ) -> dict[str, Any]:
@@ -46,6 +47,9 @@ def extract_document(
     ``lang`` selects the language-keyed rewrite table (T30 analog:
     e.g. Arabic orthographic normalization) layered on the default
     mojibake/entity rules; None applies the default table only.
+    ``charset`` is the transport-layer decode hint (Content-Type
+    parameter retained by the WARC envelope) — consulted only when
+    strict UTF-8 fails, see domparse.decode_html.
 
     Returns dict with keys:
       status          extracted | empty | error | capped
@@ -84,7 +88,7 @@ def extract_document(
     try:
         from fusus_spark.extraction.rewrite import compiled_for_lang
 
-        root = parse_html(html)
+        root = parse_html(html, charset)
         root, removals = strip_boilerplate(root, guard=guard)
         blocks = segment_blocks(root, rewrites=compiled_for_lang(lang))
         text, words = assemble(blocks)

@@ -74,7 +74,7 @@ _F64 = pa.float64()
 
 def _extract_batches_arrow(
     urls: list, htmls: list, langs: list, max_html_bytes: int,
-    emit_words: bool = True,
+    emit_words: bool = True, charsets: list | None = None,
 ) -> tuple[pa.RecordBatch, pa.RecordBatch, pa.RecordBatch]:
     """One input batch of documents -> (word, envelope, removal rows).
 
@@ -119,8 +119,12 @@ def _extract_batches_arrow(
     r_score: list[float] = []
     r_guard: list[float] = []
 
-    for url, html, lang in zip(urls, htmls, langs):
-        res = extract_document(html, lang=lang, max_html_bytes=max_html_bytes)
+    for url, html, lang, cs in zip(
+        urls, htmls, langs, charsets or [None] * len(urls)
+    ):
+        res = extract_document(
+            html, lang=lang, charset=cs, max_html_bytes=max_html_bytes
+        )
         for rule_id, node_path, kept, score, guard in res["removals"]:
             r_url.append(url)
             r_rule.append(rule_id)
@@ -242,15 +246,20 @@ def extract_stage(
 ) -> DataFrame:
     """documents(url, warc_ts, html, text, lang) -> extraction stage rows.
 
-    Only (url, html, lang) are read — column pruning keeps warc_ts/text
-    out of the Arrow channel (the reference's minimal=True page handle
-    analog, fusus/page.py:98-99). ``emit_words=False`` drops the word
+    Only (url, html, lang) are read — plus ``charset`` when the input
+    carries it (the transport-layer decode hint the WARC envelope
+    retains; consulted only when strict UTF-8 fails) — column pruning
+    keeps warc_ts/text out of the Arrow channel (the reference's
+    minimal=True page handle analog, fusus/page.py:98-99). ``emit_words=False`` drops the word
     row kind at the source for envelope/removals-only consumers: the
     words table dominates the stage's accumulator + Arrow cost, and a
     removals query that builds it only to filter it out would pay the
     whole bill at 100 TB.
     """
-    pruned = docs.select("url", "html", "lang")
+    has_charset = "charset" in docs.columns
+    pruned = docs.select(
+        "url", "html", "lang", *(["charset"] if has_charset else [])
+    )
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
@@ -260,8 +269,11 @@ def extract_stage(
             urls = rb.column(cols["url"]).to_pylist()
             htmls = rb.column(cols["html"]).to_pylist()
             langs = rb.column(cols["lang"]).to_pylist()
+            charsets = (
+                rb.column(cols["charset"]).to_pylist() if has_charset else None
+            )
             words_rb, env_rb, rem_rb = _extract_batches_arrow(
-                urls, htmls, langs, max_html_bytes, emit_words
+                urls, htmls, langs, max_html_bytes, emit_words, charsets
             )
             if words_rb.num_rows:
                 yield words_rb

@@ -88,10 +88,11 @@ def run_job(
         # layout change (bucket count OR date partitioning) must
         # re-ingest — and so must a change in what ingest MEANS: the
         # schema version covers the envelope columns + non-200 filter
-        # (v2) so a table built by older code is rebuilt rather than
-        # silently consumed without http_status/x_robots_tag
+        # (v2) and the charset decode-hint column (v3) so a table built
+        # by older code is rebuilt rather than silently consumed
+        # without http_status/charset/x_robots_tag
         entries = [f"n_buckets={n_buckets}", f"by_date={by_date}",
-                   "ingest_schema=v2", f"html_only={html_only}"]
+                   "ingest_schema=v3", f"html_only={html_only}"]
         for root, _dirs, files in os.walk(input_path):
             for f in files:
                 if ".warc" in f:

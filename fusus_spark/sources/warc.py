@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -47,7 +48,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 WARC_DOCS_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string, "
-    "http_status int, content_type string, x_robots_tag string"
+    "http_status int, content_type string, charset string, "
+    "x_robots_tag string"
 )
 
 DEFAULT_MAX_BODY_BYTES = 4 * 1024 * 1024
@@ -185,11 +187,27 @@ def _media_type(content_type: str | None) -> str | None:
     return content_type.split(";", 1)[0].strip().lower() or None
 
 
+_CHARSET_PARAM_RE = re.compile(r"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I)
+
+
+def _charset(content_type: str | None) -> str | None:
+    """The charset parameter of a Content-Type value, lowercased
+    (``text/html; charset=Windows-1251`` -> ``windows-1251``) — the
+    transport-layer decode hint extraction consults when strict UTF-8
+    fails (domparse.decode_html)."""
+    if not content_type:
+        return None
+    m = _CHARSET_PARAM_RE.search(content_type)
+    return m.group(1).lower() if m else None
+
+
 def iter_warc_records(
     payload: bytes, max_body_bytes: int = DEFAULT_MAX_BODY_BYTES
-) -> Iterator[tuple[str, str | None, int | None, str | None, str | None, bytes]]:
+) -> Iterator[
+    tuple[str, str | None, int | None, str | None, str | None, str | None, bytes]
+]:
     """Yield (target_uri, warc_date, http_status, content_type,
-    x_robots_tag, http_body) for each response record.
+    charset, x_robots_tag, http_body) for each response record.
 
     ``content_type`` is the normalized media type (parameters dropped,
     lowercased); ``x_robots_tag`` is the lowercased header value with
@@ -223,11 +241,13 @@ def iter_warc_records(
                 if http_headers:
                     body = decode_http_body(http_headers, body, max_body_bytes)
                 xrt = http_headers.get("x-robots-tag")
+                ct = http_headers.get("content-type")
                 yield (
                     headers["warc-target-uri"],
                     headers.get("warc-date"),
                     status,
-                    _media_type(http_headers.get("content-type")),
+                    _media_type(ct),
+                    _charset(ct),
                     xrt.lower() if xrt else None,
                     body[:max_body_bytes],
                 )
@@ -267,11 +287,12 @@ def read_warc(
         for pdf in batches:
             rows: dict[str, list] = {
                 "url": [], "warc_ts": [], "html": [], "text": [], "lang": [],
-                "http_status": [], "content_type": [], "x_robots_tag": [],
+                "http_status": [], "content_type": [], "charset": [],
+                "x_robots_tag": [],
             }
             for content in pdf["content"]:
                 payload = bytes(content) if content is not None else b""
-                for uri, date, status, ctype, xrt, body in iter_warc_records(
+                for uri, date, status, ctype, cset, xrt, body in iter_warc_records(
                     payload, max_body_bytes
                 ):
                     rows["url"].append(uri)
@@ -288,6 +309,7 @@ def read_warc(
                     rows["lang"].append(lang)
                     rows["http_status"].append(status)
                     rows["content_type"].append(ctype)
+                    rows["charset"].append(cset)
                     rows["x_robots_tag"].append(xrt)
             pdf_out = pd.DataFrame(rows)
             # all-null int columns must stay integral for Arrow

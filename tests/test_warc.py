@@ -48,9 +48,10 @@ def test_iter_warc_records_plain_and_gzip():
         assert [r[0] for r in recs] == ["http://ex.com/a", "http://ex.com/b"]
         assert recs[0][1] == "2026-01-01T00:00:01Z"
         assert recs[0][2] == 200 and recs[0][3] == "text/html"
-        assert recs[0][4] is None  # no X-Robots-Tag header
-        assert recs[0][5].startswith(b"<html><body><nav>")
-        assert recs[1][5] == b"<html><body><p>gamma delta epsilon</p></body></html>"
+        assert recs[0][4] is None  # no charset parameter on the fixture
+        assert recs[0][5] is None  # no X-Robots-Tag header
+        assert recs[0][6].startswith(b"<html><body><nav>")
+        assert recs[1][6] == b"<html><body><p>gamma delta epsilon</p></body></html>"
 
 
 def test_iter_warc_records_robustness():
@@ -69,7 +70,7 @@ def test_iter_warc_records_robustness():
         _http(b"x" * 1000),
     )
     recs = list(iter_warc_records(big, max_body_bytes=100))
-    assert len(recs[0][5]) == 100
+    assert len(recs[0][6]) == 100
 
 
 def test_http_envelope_parsing():
@@ -96,9 +97,10 @@ def test_http_envelope_parsing():
     assert recs["http://ex.com/404"][2] == 404
     assert recs["http://ex.com/opt"][2] == 200
     assert recs["http://ex.com/opt"][3] == "text/html"  # params dropped, lowered
-    assert recs["http://ex.com/opt"][4] == "noindex, googlebot: nofollow"
+    assert recs["http://ex.com/opt"][4] == "utf-8"       # charset parameter
+    assert recs["http://ex.com/opt"][5] == "noindex, googlebot: nofollow"
     assert recs["http://ex.com/raw"][2] is None
-    assert recs["http://ex.com/raw"][5] == b"<html>no envelope at all</html>"
+    assert recs["http://ex.com/raw"][6] == b"<html>no envelope at all</html>"
     # malformed status lines: flagged null, block preserved verbatim
     for junk in (b"HTTP/1.1 OK\r\n\r\nx", b"HTTP/1.1 20 OK\r\n\r\nx", b"HTTP/"):
         st, hdrs, body = parse_http_envelope(junk)
@@ -245,7 +247,46 @@ def test_warc_records_decode_wire_encodings():
              + hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n")
     seg = _record("response", "http://ex.com/gz", "2026-01-01T00:00:00Z", block)
     recs = list(iter_warc_records(seg))
-    assert recs[0][2] == 200 and recs[0][5] == html
+    assert recs[0][2] == 200 and recs[0][6] == html
+
+
+def test_decode_html_charset_hint():
+    """Transport-charset priority: strict UTF-8 first (mis-declared
+    headers defused), then the hint, then meta sniff, then latin-1."""
+    from fusus_spark.extraction.domparse import decode_html
+
+    ru = "<html><p>привет мир</p></html>"
+    cp1251 = ru.encode("cp1251")
+    # invalid utf-8 + correct hint + NO meta: hint decodes it
+    assert decode_html(cp1251, "windows-1251") == ru
+    # utf-8 bytes + WRONG hint: strict utf-8 wins, hint never consulted
+    assert decode_html(ru.encode("utf-8"), "windows-1251") == ru
+    # bogus hint falls through to the meta sniff
+    with_meta = ('<html><head><meta charset="windows-1251"></head>'
+                 "<p>привет</p></html>").encode("cp1251")
+    assert "привет" in decode_html(with_meta, "no-such-charset")
+    # no hint at all: pre-existing behavior (latin-1 fallback) intact
+    assert decode_html(cp1251) == cp1251.decode("latin-1")
+
+
+def test_warc_header_charset_reaches_extraction(spark, tmp_path):
+    """End-to-end: a cp1251 page whose ONLY charset signal is the
+    Content-Type header decodes correctly through ingest + the fused
+    extraction stage (the charset column rides the bucketed table)."""
+    from pyspark.sql import functions as F
+
+    from fusus_spark.extraction.pipeline import extract_all, extracted_from_stage
+
+    body = "<html><main><p>привет мир сегодня</p></main></html>".encode("cp1251")
+    block = (b"HTTP/1.1 200 OK\r\n"
+             b"Content-Type: text/html; charset=Windows-1251\r\n\r\n" + body)
+    seg = _record("response", "http://ru.ex.com/p", "2026-01-01T00:00:00Z", block)
+    (tmp_path / "seg.warc").write_bytes(seg)
+    docs = read_warc(spark, str(tmp_path))
+    assert docs.collect()[0]["charset"] == "windows-1251"
+    env = extracted_from_stage(extract_all(docs, num_partitions=2))
+    row = env.where(F.col("status") == "extracted").collect()[0]
+    assert row["extracted_text"] == "привет мир сегодня"
 
 
 def test_warc_envelope_duckdb_oracle(spark, tmp_path):
@@ -481,7 +522,7 @@ def test_iter_warc_records_fuzz_never_raises():
     def check(payload: bytes) -> None:
         recs = list(iter_warc_records(payload))
         assert len(recs) <= 4  # never MORE records than the segment holds
-        for uri, date, status, ctype, xrt, body in recs:
+        for uri, date, status, ctype, cset, xrt, body in recs:
             assert isinstance(uri, str) and isinstance(body, bytes)
             assert status is None or isinstance(status, int)
             # a mutated LENGTH field must never leak one record's block
