@@ -263,6 +263,32 @@ def robots_txt_rules(
     )
 
 
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) -> (host, sitemap_url) rows — the crawl-
+    frontier seed list. ``Sitemap:`` lines are group-INDEPENDENT per
+    RFC 9309 §2.3 (they apply regardless of user-agent), so this is a
+    pure line harvest: one codegen'd regexp split + filter per row,
+    zero Python, zero shuffle. Comments stripped; urls taken verbatim
+    (feed through functions.url.canonical_url before joining, like any
+    harvested href)."""
+    lines = F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r?\n")
+    sitemap = r"^[sS][iI][tT][eE][mM][aA][pP]\s*:\s*(\S+)"
+    urls = F.filter(
+        F.transform(
+            lines,
+            lambda ln: F.regexp_extract(
+                F.regexp_replace(ln, "#.*$", ""), sitemap, 1
+            ),
+        ),
+        lambda u: u != "",
+    )
+    return robots.select(
+        F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
+    )
+
+
 def apply_robots_txt(
     docs: DataFrame, rules: DataFrame, url_col: str = "url"
 ) -> DataFrame:

@@ -323,6 +323,77 @@ SELECT url FROM v WHERE verdict IS NULL OR verdict.a
         value_hash(["url"], orows)
 
 
+def test_robots_sitemaps(spark):
+    """Sitemap lines are group-independent (RFC 9309 §2.3): harvested
+    from anywhere in the file, mixed case, comments stripped; DuckDB
+    oracle over the identical regexp."""
+    import duckdb
+
+    from fusus_spark.operators.robots import robots_sitemaps
+    from tools.parity import value_hash
+
+    rows = [
+        ("a.com", ROBOTS_TXT
+         + "Sitemap: https://a.com/sitemap.xml\n"
+           "sitemap:https://a.com/news.xml # the news one\n"),
+        ("b.com", "SITEMAP: https://b.com/s.xml\nUser-agent: *\nDisallow: /\n"),
+        ("c.com", "User-agent: *\nDisallow:\n"),   # none declared
+        ("d.com", None),
+    ]
+    robots = spark.createDataFrame(rows, "host string, robots_txt string")
+    sdf = robots_sitemaps(robots)
+    got = {(r["host"], r["sitemap_url"]) for r in sdf.collect()}
+    assert got == {
+        ("a.com", "https://a.com/sitemap.xml"),
+        ("a.com", "https://a.com/news.xml"),
+        ("b.com", "https://b.com/s.xml"),
+    }
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE robots (host VARCHAR, robots_txt VARCHAR)")
+    con.executemany("INSERT INTO robots VALUES (?, ?)", rows)
+    orc = con.sql(r"""
+WITH l AS (
+  SELECT host, unnest(string_split_regex(coalesce(robots_txt, ''), '\r?\n')) AS ln
+  FROM robots
+),
+m AS (
+  SELECT host, regexp_extract(regexp_replace(ln, '#.*$', ''),
+         '^[sS][iI][tT][eE][mM][aA][pP]\s*:\s*(\S+)', 1) AS sitemap_url
+  FROM l
+)
+SELECT host, sitemap_url FROM m WHERE sitemap_url <> ''
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert value_hash(sdf.columns, [tuple(r) for r in sdf.collect()]) == \
+        value_hash(orc.columns, orows)
+
+
+def test_decode_http_body_fuzz_never_raises():
+    """Property: arbitrary header values + arbitrary body bytes must
+    never raise and never EXPAND beyond the cap (the gzip-bomb guard)."""
+    from hypothesis import given, settings, strategies as st
+
+    from fusus_spark.sources.warc import decode_http_body
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.binary(max_size=300),
+        st.sampled_from(["", "chunked", "Chunked, gzip"]),
+        st.sampled_from(["", "gzip", "x-gzip", "deflate", "br", "junk"]),
+    )
+    def check(body: bytes, te: str, ce: str) -> None:
+        headers = {}
+        if te:
+            headers["transfer-encoding"] = te
+        if ce:
+            headers["content-encoding"] = ce
+        out = decode_http_body(headers, body, max_bytes=1024)
+        assert isinstance(out, bytes) and len(out) <= max(len(body), 1024)
+
+    check()
+
+
 def test_robots_never_raise_on_junk(spark):
     rows = [("http://x.com/a", b"\xff\xfe<meta name='robots' content='noindex'>"),
             ("http://x.com/b", None),
