@@ -171,7 +171,10 @@ def decode_html(payload: bytes, charset_hint: str | None = None) -> str:
         if enc not in ("utf-8", "utf8"):
             try:
                 text = payload.decode(enc)
-            except (UnicodeDecodeError, LookupError):
+            except (UnicodeError, LookupError):
+                # UnicodeError, not just UnicodeDecodeError: codecs like
+                # 'undefined'/'idna' raise the plain superclass, and a
+                # hint must never turn a decodable page into an error
                 pass
     if text is None:
         m = _CHARSET_RE.search(payload[:2048])
@@ -180,7 +183,7 @@ def decode_html(payload: bytes, charset_hint: str | None = None) -> str:
             if enc not in ("utf-8", "utf8"):
                 try:
                     text = payload.decode(enc)
-                except (UnicodeDecodeError, LookupError):
+                except (UnicodeError, LookupError):
                     pass
     if text is None:
         try:

@@ -23,7 +23,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 # scheme://host[:port]/path?query#fragment — RE2-safe piecewise extracts.
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# non-greedy prefix anchored before the first '#': a '?' INSIDE the
+# fragment (http://h/p#sec?x) is not a query separator
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 
 def url_host(url) -> Column:

@@ -37,18 +37,19 @@ from pyspark.sql import Column, DataFrame, functions as F
 # 3-way alternation whose capture lands in exactly one of groups 1-3
 # (extracted via _first_group); the unquoted robots name must be
 # DELIMITED so name=robotsx never matches. Two containment rules keep
-# a match inside ONE tag: the inter-attribute filler is [^<>]* (never
-# crosses the next tag's '<'), and the unquoted-name delimiter may
-# consume '>' only in the AT-END position (content-first ordering) —
-# mid-pattern it is [\s/], else the pattern would escape the tag and
-# harvest content= from following markup or text nodes. All
-# alternations are RE2-safe (no lookarounds/backrefs) so the DuckDB
-# oracle tokenizes identically.
+# a match inside ONE tag: the inter-attribute FILLER never crosses an
+# unquoted '<' or '>' (so a match cannot escape into the next tag or a
+# text node) while still walking over QUOTED attribute values that
+# legally contain '<'/'>'; and the unquoted-name delimiter may consume
+# '>' only in the AT-END position (content-first ordering) — mid-
+# pattern it is [\s/]. All alternations are RE2-safe (no lookarounds/
+# backrefs) so the DuckDB oracle tokenizes identically.
+_FILLER = r"""(?:"[^"]*"|'[^']*'|[^<>"'])*"""
 _CONTENT_VAL = r"""content\s*=\s*(?:"([^"<>]*)"|'([^'<>]*)'|([^\s"'<>]+))"""
 _NAME_ROBOTS_MID = r"""name\s*=\s*(?:"robots"|'robots'|robots[\s/])"""
 _NAME_ROBOTS_END = r"""name\s*=\s*(?:"robots"|'robots'|robots[\s/>])"""
-_META_NAME_FIRST = r"<meta\s[^<>]*" + _NAME_ROBOTS_MID + r"[^<>]*" + _CONTENT_VAL
-_META_CONTENT_FIRST = r"<meta\s[^<>]*" + _CONTENT_VAL + r"[^<>]*" + _NAME_ROBOTS_END
+_META_NAME_FIRST = r"<meta\s" + _FILLER + _NAME_ROBOTS_MID + _FILLER + _CONTENT_VAL
+_META_CONTENT_FIRST = r"<meta\s" + _FILLER + _CONTENT_VAL + _FILLER + _NAME_ROBOTS_END
 # original-bytes patterns (href case preserved); keyword case-classes
 _REL = r"[rR][eE][lL]"
 _CANON = r"[cC][aA][nN][oO][nN][iI][cC][aA][lL]"
@@ -65,8 +66,8 @@ _REL_CANON_END = (
     _REL + r"\s*=\s*(?:\"" + _CANON + r"\"|'" + _CANON + r"'|"
     + _CANON + r"[\s/>])"
 )
-_LINK_REL_FIRST = _LINK + r"[^<>]*" + _REL_CANON_MID + r"[^<>]*" + _HREF_VAL
-_LINK_HREF_FIRST = _LINK + r"[^<>]*" + _HREF_VAL + r"[^<>]*" + _REL_CANON_END
+_LINK_REL_FIRST = _LINK + _FILLER + _REL_CANON_MID + _FILLER + _HREF_VAL
+_LINK_HREF_FIRST = _LINK + _FILLER + _HREF_VAL + _FILLER + _REL_CANON_END
 
 
 def _first_group(col: Column, pat: str) -> Column:
@@ -274,7 +275,8 @@ def robots_sitemaps(
     (feed through functions.url.canonical_url before joining, like any
     harvested href)."""
     lines = F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r?\n")
-    sitemap = r"^[sS][iI][tT][eE][mM][aA][pP]\s*:\s*(\S+)"
+    # leading whitespace tolerated, like parse_robots_txt_rules' strip
+    sitemap = r"^[ \t]*[sS][iI][tT][eE][mM][aA][pP]\s*:\s*(\S+)"
     urls = F.filter(
         F.transform(
             lines,
@@ -305,14 +307,15 @@ def apply_robots_txt(
     straggler. Reference role analog: the reference's page-selection
     front door (fusus/book.py:189-240), here driven by the site's own
     declared policy file."""
-    from fusus_spark.functions.url import url_host, url_path
+    from fusus_spark.functions.url import _QUERY_RE, url_host, url_path
 
     u = F.col(url_col)
     # RFC 9309 match target is the path PLUS the query ('/search?q=x'):
     # a '$'-anchored '/search$' must not block queried variants, and
-    # query-targeting rules like '/*?sessionid=' must be reachable
+    # query-targeting rules like '/*?sessionid=' must be reachable.
+    # _QUERY_RE is fragment-safe: '#sec?x' is not a query
     path = F.when(url_path(u) == "", "/").otherwise(url_path(u))
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
     target = F.when(query == "", path).otherwise(
         F.concat(path, F.lit("?"), query)
     )

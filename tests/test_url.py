@@ -259,8 +259,8 @@ WITH u0 AS (
   SELECT url,
        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
        len(list_filter(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'), s -> s != ''))::INT AS path_depth,
-       CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN 0
-            ELSE len(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'), s -> s != '')) END::INT AS n_params,
+       CASE WHEN regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) = '' THEN 0
+            ELSE len(list_filter(string_split(regexp_extract(url, '^[^#]*?\\?([^#]*)', 1), '&'), s -> s != '')) END::INT AS n_params,
        regexp_extract(url, '[?&](utm_[a-z]+|gclid|fbclid|mc_cid|mc_eid)=', 1) != '' AS has_tracking,
        {_ORC_PRE} AS pre
   FROM urls

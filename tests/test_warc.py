@@ -463,6 +463,31 @@ def test_extract_job_html_only(spark, tmp_path):
 # ------------------------------------------------------------ fuzz hardening
 
 
+def test_decode_http_body_fuzz_never_raises():
+    """Property: arbitrary header values + arbitrary body bytes must
+    never raise and never EXPAND beyond the cap (the gzip-bomb guard)."""
+    from hypothesis import given, settings, strategies as st
+
+    from fusus_spark.sources.warc import decode_http_body
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.binary(max_size=300),
+        st.sampled_from(["", "chunked", "Chunked, gzip"]),
+        st.sampled_from(["", "gzip", "x-gzip", "deflate", "br", "junk"]),
+    )
+    def check(body: bytes, te: str, ce: str) -> None:
+        headers = {}
+        if te:
+            headers["transfer-encoding"] = te
+        if ce:
+            headers["content-encoding"] = ce
+        out = decode_http_body(headers, body, max_bytes=1024)
+        assert isinstance(out, bytes) and len(out) <= max(len(body), 1024)
+
+    check()
+
+
 def test_iter_warc_records_truncation_never_fabricates():
     """Property: a TRUNCATED segment (bytes untouched, tail cut at any
     offset) never FABRICATES a url: every yielded uri is a genuine url

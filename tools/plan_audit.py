@@ -179,6 +179,14 @@ CHECKS = {
         ("CartesianProduct", False),
         ("MapInPandas", 1),
     ],
+    # sitemap harvest: one codegen'd split/transform/filter projection +
+    # explode — zero Python, no shuffle beyond the load repartition
+    "robots_sitemaps": [
+        ("Generate", True),
+        ("Exchange", 1),
+        ("CartesianProduct", False),
+        ("MapInPandas", 0),
+    ],
 }
 
 
@@ -398,6 +406,15 @@ def _extra_frames():
         )
         return apply_robots_txt(docs, robots_txt_rules(robots))
 
+    def f_sitemaps(spark, sf_dir):
+        from fusus_spark.operators.robots import robots_sitemaps
+
+        robots = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("h"), F.pmod("doc_id", F.lit(7)), F.lit(".com")).alias("host"),
+            F.lit("User-agent: *\nSitemap: https://x.com/s.xml\n").alias("robots_txt"),
+        )
+        return robots_sitemaps(robots)
+
     def f_mixture(spark, sf_dir):
         from fusus_spark.operators.curate import mixture_ppm
 
@@ -430,7 +447,8 @@ def _extra_frames():
             "mixture_ppm": f_mixture,
             "stratified_sample_by_table": f_sample_table,
             "audio_meta": f_audio, "video_meta": f_video,
-            "apply_robots_txt": f_robots_txt}
+            "apply_robots_txt": f_robots_txt,
+            "robots_sitemaps": f_sitemaps}
 
 
 def main() -> None:
