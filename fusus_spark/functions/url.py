@@ -111,9 +111,12 @@ def url_query_param_count(url) -> Column:
 
 
 def url_has_tracking(url) -> Column:
-    """Any utm_* / gclid / fbclid style tracking parameter present."""
+    """Any utm_* / gclid / fbclid style tracking parameter present.
+    Tested on the fragment-stripped url: '#sec?utm_source=x' carries a
+    fragment, not a tracking parameter (same fix as _QUERY_RE)."""
     return F.regexp_extract(
-        url, r"[?&](utm_[a-z]+|gclid|fbclid|mc_cid|mc_eid)=", 1
+        F.regexp_replace(url, r"#.*$", ""),
+        r"[?&](utm_[a-z]+|gclid|fbclid|mc_cid|mc_eid)=", 1,
     ) != ""
 
 

@@ -188,6 +188,8 @@ def _synthetic_urls() -> list[str]:
         "http://news.site.org/dir/index.htm#f",
         "http://example.com/100%zz?id=%7E1",
         "https://Shop.Example.co.uk/%6Aacket/INDEX.html",
+        # '?' INSIDE a fragment: neither a query nor a tracking param
+        "http://example.com/frag#sec?utm_source=x&id=9",
     ]
     return out
 
@@ -261,7 +263,7 @@ WITH u0 AS (
        len(list_filter(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'), s -> s != ''))::INT AS path_depth,
        CASE WHEN regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) = '' THEN 0
             ELSE len(list_filter(string_split(regexp_extract(url, '^[^#]*?\\?([^#]*)', 1), '&'), s -> s != '')) END::INT AS n_params,
-       regexp_extract(url, '[?&](utm_[a-z]+|gclid|fbclid|mc_cid|mc_eid)=', 1) != '' AS has_tracking,
+       regexp_extract(regexp_replace(url, '#.*$', ''), '[?&](utm_[a-z]+|gclid|fbclid|mc_cid|mc_eid)=', 1) != '' AS has_tracking,
        {_ORC_PRE} AS pre
   FROM urls
 ),
