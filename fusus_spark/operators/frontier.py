@@ -36,9 +36,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 from fusus_spark.functions.url import url_host
 
 
-def url_change_stats(snaps: DataFrame) -> DataFrame:
+def url_change_stats(snaps: DataFrame, hash_col: str = "content_hash") -> DataFrame:
     """Per-url churn evidence from snapshot history rows
-    (url, content_hash, crawl_date).
+    (url, content_hash, crawl_date). ``hash_col`` names the change
+    signal: the content hash by default, or a cheaper HTTP validator
+    column (``etag`` — retained at WARC ingest) when the store carries
+    one; output column names are identical either way.
 
     Returns (url, n_snapshots, n_changes, change_ratio_e6, first_date,
     last_date, last_hash): ``n_changes`` counts hash transitions
@@ -48,10 +51,11 @@ def url_change_stats(snaps: DataFrame) -> DataFrame:
     change). Duplicate (url, crawl_date) rows are deterministic via
     the (crawl_date, content_hash) ordering tie-break.
     """
-    w = Window.partitionBy("url").orderBy("crawl_date", "content_hash")
-    obs = snaps.select("url", "content_hash", "crawl_date").withColumn(
-        "__prev__", F.lag("content_hash").over(w)
+    snaps = snaps.select(
+        "url", F.col(hash_col).alias("content_hash"), "crawl_date"
     )
+    w = Window.partitionBy("url").orderBy("crawl_date", "content_hash")
+    obs = snaps.withColumn("__prev__", F.lag("content_hash").over(w))
     changed = (
         F.col("__prev__").isNotNull()
         & (F.col("content_hash") != F.col("__prev__"))

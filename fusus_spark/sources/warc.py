@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 WARC_DOCS_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string, "
     "http_status int, content_type string, charset string, "
-    "x_robots_tag string"
+    "x_robots_tag string, etag string, last_modified string"
 )
 
 DEFAULT_MAX_BODY_BYTES = 4 * 1024 * 1024
@@ -203,11 +203,10 @@ def _charset(content_type: str | None) -> str | None:
 
 def iter_warc_records(
     payload: bytes, max_body_bytes: int = DEFAULT_MAX_BODY_BYTES
-) -> Iterator[
-    tuple[str, str | None, int | None, str | None, str | None, str | None, bytes]
-]:
+) -> Iterator[tuple]:
     """Yield (target_uri, warc_date, http_status, content_type,
-    charset, x_robots_tag, http_body) for each response record.
+    charset, x_robots_tag, http_body, etag, last_modified) for each
+    response record.
 
     ``content_type`` is the normalized media type (parameters dropped,
     lowercased); ``x_robots_tag`` is the lowercased header value with
@@ -250,6 +249,11 @@ def iter_warc_records(
                     _charset(ct),
                     xrt.lower() if xrt else None,
                     body[:max_body_bytes],
+                    # HTTP validators (RFC 9110): the change-detection
+                    # signals the crawl frontier schedules revisits on
+                    # (operators/frontier.url_change_stats hash_col)
+                    http_headers.get("etag"),
+                    http_headers.get("last-modified"),
                 )
     except (OSError, EOFError):
         return  # corrupt gzip member: drop the rest of this segment
@@ -288,13 +292,12 @@ def read_warc(
             rows: dict[str, list] = {
                 "url": [], "warc_ts": [], "html": [], "text": [], "lang": [],
                 "http_status": [], "content_type": [], "charset": [],
-                "x_robots_tag": [],
+                "x_robots_tag": [], "etag": [], "last_modified": [],
             }
             for content in pdf["content"]:
                 payload = bytes(content) if content is not None else b""
-                for uri, date, status, ctype, cset, xrt, body in iter_warc_records(
-                    payload, max_body_bytes
-                ):
+                for (uri, date, status, ctype, cset, xrt, body,
+                     etag, lastmod) in iter_warc_records(payload, max_body_bytes):
                     rows["url"].append(uri)
                     # keep the tz-aware UTC instant: a naive timestamp
                     # would be re-interpreted in the session timezone
@@ -311,6 +314,8 @@ def read_warc(
                     rows["content_type"].append(ctype)
                     rows["charset"].append(cset)
                     rows["x_robots_tag"].append(xrt)
+                    rows["etag"].append(etag)
+                    rows["last_modified"].append(lastmod)
             pdf_out = pd.DataFrame(rows)
             # all-null int columns must stay integral for Arrow
             pdf_out["http_status"] = pdf_out["http_status"].astype("Int32")

@@ -55,6 +55,22 @@ def test_url_change_stats_hand_cases(spark):
     assert got["http://mix.com/once"]["change_ratio_e6"] == 0
 
 
+def test_url_change_stats_on_etag_validator(spark):
+    """hash_col='etag': the HTTP validator retained at WARC ingest is
+    a drop-in change signal — same math, no content hashing. Output
+    columns stay identically named, so downstream rollups are blind to
+    which signal fed them."""
+    rows = [(u, h, d) for u, h, d in _snapshots()]
+    df = spark.createDataFrame(
+        rows, "url string, etag string, crawl_date string"
+    )
+    got = {r["url"]: r for r in url_change_stats(df, hash_col="etag").collect()}
+    assert got["http://news.com/front"]["n_changes"] == 3
+    assert got["http://news.com/front"]["last_hash"] == "h3"
+    assert got["http://docs.com/page"]["n_changes"] == 0
+    assert got["http://mix.com/x"]["change_ratio_e6"] == 333_333
+
+
 def test_url_and_host_change_stats_match_duckdb(spark):
     df = spark.createDataFrame(
         _snapshots(), "url string, content_hash string, crawl_date string"

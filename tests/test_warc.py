@@ -84,7 +84,9 @@ def test_http_envelope_parsing():
                 _http(b"<html>moved</html>", status=b"301 Moved Permanently",
                       extra=(b"Location: http://ex.com/new",)))
         + _record("response", "http://ex.com/404", "2026-01-01T00:00:00Z",
-                  _http(b"<html>gone</html>", status=b"404 Not Found"))
+                  _http(b"<html>gone</html>", status=b"404 Not Found",
+                        extra=(b'ETag: "v123"',
+                               b"Last-Modified: Tue, 17 Feb 2026 08:00:00 GMT")))
         + _record("response", "http://ex.com/opt", "2026-01-01T00:00:00Z",
                   b"HTTP/1.1 200 OK\r\nContent-Type: TEXT/Html; charset=UTF-8\r\n"
                   b"X-Robots-Tag: NOINDEX\r\nX-Robots-Tag: googlebot: nofollow\r\n"
@@ -95,12 +97,15 @@ def test_http_envelope_parsing():
     recs = {r[0]: r for r in iter_warc_records(seg)}
     assert recs["http://ex.com/301"][2] == 301
     assert recs["http://ex.com/404"][2] == 404
+    assert recs["http://ex.com/404"][7] == '"v123"'  # ETag kept verbatim
+    assert recs["http://ex.com/404"][8] == "Tue, 17 Feb 2026 08:00:00 GMT"
     assert recs["http://ex.com/opt"][2] == 200
     assert recs["http://ex.com/opt"][3] == "text/html"  # params dropped, lowered
     assert recs["http://ex.com/opt"][4] == "utf-8"       # charset parameter
     assert recs["http://ex.com/opt"][5] == "noindex, googlebot: nofollow"
     assert recs["http://ex.com/raw"][2] is None
     assert recs["http://ex.com/raw"][6] == b"<html>no envelope at all</html>"
+    assert recs["http://ex.com/raw"][7] is None  # no validators either
     # malformed status lines: flagged null, block preserved verbatim
     for junk in (b"HTTP/1.1 OK\r\n\r\nx", b"HTTP/1.1 20 OK\r\n\r\nx", b"HTTP/"):
         st, hdrs, body = parse_http_envelope(junk)
@@ -547,7 +552,7 @@ def test_iter_warc_records_fuzz_never_raises():
     def check(payload: bytes) -> None:
         recs = list(iter_warc_records(payload))
         assert len(recs) <= 4  # never MORE records than the segment holds
-        for uri, date, status, ctype, cset, xrt, body in recs:
+        for uri, date, status, ctype, cset, xrt, body, etag, lastmod in recs:
             assert isinstance(uri, str) and isinstance(body, bytes)
             assert status is None or isinstance(status, int)
             # a mutated LENGTH field must never leak one record's block
