@@ -181,3 +181,102 @@ FROM g
     # churny urls outrank static ones at comparable staleness
     assert (got["http://news.com/front"]["priority_e6"]
             > got["http://docs.com/page"]["priority_e6"])
+
+
+# ---------------------------------------------------------------------------
+# Sitemap entry parsing (parse_sitemap_entries)
+
+
+def _sitemap_rows() -> list[tuple[str, str]]:
+    """(sitemap_url, xml): a urlset with full/partial/loc-less/bad-
+    priority entries, a sitemapindex, empty + NULL payloads, and an
+    entity-ordering probe (&amp;lt; must round-trip to a literal
+    '&lt;', never '<')."""
+    return [
+        ("https://a.com/sitemap.xml",
+         '<?xml version="1.0" encoding="UTF-8"?>\n'
+         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+         '<url><loc>https://a.com/page?x=1&amp;y=2</loc>'
+         '<lastmod>2026-01-05</lastmod><changefreq>daily</changefreq>'
+         '<priority>0.8</priority></url>\n'
+         '<url><loc>\n  https://a.com/plain  \n</loc></url>\n'
+         '<url><lastmod>2026-01-01</lastmod></url>\n'
+         '<url><loc>https://a.com/bad</loc><priority>high</priority></url>\n'
+         '</urlset>'),
+        ("https://a.com/sitemap_index.xml",
+         '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+         '<sitemap><loc>https://a.com/s1.xml</loc>'
+         '<lastmod>2026-02-01</lastmod></sitemap>'
+         '<sitemap><loc>https://a.com/s2.xml</loc></sitemap>'
+         '</sitemapindex>'),
+        ("https://b.com/empty.xml", ""),
+        ("https://b.com/null.xml", None),
+        ("https://c.com/esc.xml",
+         '<urlset><url><loc>https://c.com/?q=&amp;lt;tag&amp;gt;&quot;&apos;'
+         '</loc></url></urlset>'),
+    ]
+
+
+def test_parse_sitemap_entries_hand_cases(spark):
+    from fusus_spark.operators.frontier import parse_sitemap_entries
+
+    df = spark.createDataFrame(_sitemap_rows(), "sitemap_url string, xml string")
+    rows = parse_sitemap_entries(df).collect()
+    by_loc = {r["loc"]: r for r in rows}
+
+    # loc-less entry dropped; empty/NULL xml contribute nothing
+    assert len(rows) == 6
+    full = by_loc["https://a.com/page?x=1&y=2"]  # &amp; unescaped
+    assert full["kind"] == "urlset"
+    assert full["lastmod"] == "2026-01-05"
+    assert full["changefreq"] == "daily"
+    assert full["priority_e6"] == 800_000
+    plain = by_loc["https://a.com/plain"]  # whitespace-trimmed loc
+    assert plain["lastmod"] is None and plain["priority_e6"] is None
+    assert by_loc["https://a.com/bad"]["priority_e6"] is None  # non-numeric
+    # index entries point at further sitemaps
+    assert by_loc["https://a.com/s1.xml"]["kind"] == "index"
+    assert by_loc["https://a.com/s1.xml"]["lastmod"] == "2026-02-01"
+    assert by_loc["https://a.com/s2.xml"]["kind"] == "index"
+    # &amp;lt; -> literal &lt; (amp replaced LAST), quot/apos unescaped
+    assert by_loc["https://c.com/?q=&lt;tag&gt;\"'"]["kind"] == "urlset"
+
+
+def test_parse_sitemap_entries_matches_duckdb(spark):
+    from fusus_spark.operators.frontier import parse_sitemap_entries
+
+    df = spark.createDataFrame(_sitemap_rows(), "sitemap_url string, xml string")
+    sdf = parse_sitemap_entries(df)
+    con = duckdb.connect()
+    con.sql("CREATE TABLE sm (sitemap_url VARCHAR, xml VARCHAR)")
+    con.executemany("INSERT INTO sm VALUES (?, ?)", _sitemap_rows())
+    orc = con.sql("""
+WITH b AS (
+  SELECT sitemap_url,
+         CASE WHEN regexp_matches(x, '<\\s*sitemapindex[\\s>]')
+              THEN 'index' ELSE 'urlset' END AS kind,
+         unnest(CASE WHEN regexp_matches(x, '<\\s*sitemapindex[\\s>]')
+                THEN regexp_extract_all(x, '<sitemap>([\\s\\S]*?)</sitemap>', 1)
+                ELSE regexp_extract_all(x, '<url>([\\s\\S]*?)</url>', 1) END) AS e
+  FROM (SELECT sitemap_url, coalesce(xml, '') AS x FROM sm)
+), f AS (
+  SELECT sitemap_url, kind,
+         nullif(regexp_extract(e, '<loc>\\s*([\\s\\S]*?)\\s*</loc>', 1), '') AS raw_loc,
+         nullif(regexp_extract(e, '<lastmod>\\s*([\\s\\S]*?)\\s*</lastmod>', 1), '') AS lastmod,
+         nullif(regexp_extract(e, '<changefreq>\\s*([\\s\\S]*?)\\s*</changefreq>', 1), '') AS changefreq,
+         nullif(regexp_extract(e, '<priority>\\s*([\\s\\S]*?)\\s*</priority>', 1), '') AS rawp
+  FROM b
+)
+SELECT sitemap_url, kind,
+       replace(replace(replace(replace(replace(raw_loc,
+         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+         '&amp;', '&') AS loc,
+       lastmod, changefreq,
+       CAST(round(try_cast(rawp AS DOUBLE) * 1000000) AS BIGINT) AS priority_e6
+FROM f WHERE raw_loc IS NOT NULL
+""")
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)

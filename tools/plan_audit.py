@@ -187,6 +187,14 @@ CHECKS = {
         ("CartesianProduct", False),
         ("MapInPandas", 0),
     ],
+    # sitemap entry parse: one codegen'd regexp projection + explode
+    # per file — zero Python, no shuffle beyond the load repartition
+    "parse_sitemap_entries": [
+        ("Generate", True),
+        ("Exchange", 1),
+        ("CartesianProduct", False),
+        ("MapInPandas", 0),
+    ],
 }
 
 
@@ -415,6 +423,18 @@ def _extra_frames():
         )
         return robots_sitemaps(robots)
 
+    def f_parse_sitemaps(spark, sf_dir):
+        from fusus_spark.operators.frontier import parse_sitemap_entries
+
+        sm = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("https://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/sitemap.xml")).alias("sitemap_url"),
+            F.concat(F.lit("<urlset><url><loc>https://h.com/p/"), "doc_id",
+                     F.lit("</loc><priority>0.5</priority></url></urlset>")
+                     ).alias("xml"),
+        )
+        return parse_sitemap_entries(sm)
+
     def f_mixture(spark, sf_dir):
         from fusus_spark.operators.curate import mixture_ppm
 
@@ -448,7 +468,8 @@ def _extra_frames():
             "stratified_sample_by_table": f_sample_table,
             "audio_meta": f_audio, "video_meta": f_video,
             "apply_robots_txt": f_robots_txt,
-            "robots_sitemaps": f_sitemaps}
+            "robots_sitemaps": f_sitemaps,
+            "parse_sitemap_entries": f_parse_sitemaps}
 
 
 def main() -> None:
