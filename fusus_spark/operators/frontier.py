@@ -122,19 +122,28 @@ def revisit_priority(
     decimal form, and the product is rounded once at e6. Map-side only
     over the url_change_stats output (no further shuffle).
     """
-    intervals = F.col("n_snapshots") - 1
-    smoothed = (F.col("n_changes") + 1) / (intervals + 2)
-    staleness = F.datediff(F.to_date(F.lit(as_of_date)), F.to_date("last_date"))
     return url_stats.select(
         "url",
         "n_snapshots",
         "n_changes",
         "last_date",
+        _priority_e6(as_of_date, halflife_days),
+    )
+
+
+def _priority_e6(as_of_date: str, halflife_days: int):
+    """The revisit-priority column expression over url_change_stats
+    columns — shared by revisit_priority and fetch_queue so the two
+    can never drift."""
+    intervals = F.col("n_snapshots") - 1
+    smoothed = (F.col("n_changes") + 1) / (intervals + 2)
+    staleness = F.datediff(F.to_date(F.lit(as_of_date)), F.to_date("last_date"))
+    return (
         F.round(
             smoothed * F.greatest(staleness, F.lit(0)) / halflife_days * 1_000_000
         )
         .cast("bigint")
-        .alias("priority_e6"),
+        .alias("priority_e6")
     )
 
 
@@ -216,4 +225,94 @@ def parse_sitemap_entries(
             F.col("e.changefreq").alias("changefreq"),
             F.col("e.priority_e6").alias("priority_e6"),
         )
+    )
+
+
+def fetch_queue(
+    url_stats: DataFrame,
+    sitemap_entries: DataFrame,
+    *,
+    as_of_date: str,
+    halflife_days: int = 30,
+    default_seed_e6: int = 500_000,
+) -> DataFrame:
+    """The unified fetch queue: every url the crawler should consider
+    this cycle, scored. (url, source, priority_e6, last_hash).
+
+    Two supplies merge:
+
+    * ``revisit`` — urls with snapshot history (``url_change_stats``
+      output), scored by :func:`revisit_priority` (Laplace-smoothed
+      churn x staleness). ``last_hash`` carries the stored validator
+      (content hash or etag, whichever fed url_change_stats) so the
+      fetcher can issue a conditional GET (If-None-Match).
+    * ``seed`` — urls discovered in sitemaps (:func:`
+      parse_sitemap_entries` output, ``urlset`` rows only — ``index``
+      rows name further sitemap FILES, not content) that have never
+      been crawled. Scored by the publisher's ``<priority>`` (max
+      across sitemaps when a url appears in several), defaulting to
+      0.5 — the sitemaps.org protocol default — when absent.
+      ``last_hash`` is null: nothing to validate against.
+
+    A url present in both supplies is a revisit, not a seed (the
+    history's evidence beats the publisher's static hint): seeds are
+    anti-joined against the history. Plan shape: one groupBy(loc) over
+    the sitemap entries + one left_anti equi-join on url — both hash-
+    partitioned on the url, no broadcast assumption (at crawl scale
+    BOTH sides are billions of rows) — and a map-side union with the
+    revisit projection. No window, no all-pairs. DuckDB oracle in
+    tests/test_frontier.py.
+    """
+    revisit = url_stats.select(
+        "url",
+        F.lit("revisit").alias("source"),
+        _priority_e6(as_of_date, halflife_days),
+        "last_hash",
+    )
+    seeds = (
+        sitemap_entries.where(F.col("kind") == "urlset")
+        .groupBy(F.col("loc").alias("url"))
+        .agg(
+            F.max(F.coalesce("priority_e6", F.lit(default_seed_e6)))
+            .cast("bigint")
+            .alias("priority_e6")
+        )
+        .join(url_stats.select("url"), "url", "left_anti")
+        .select(
+            "url",
+            F.lit("seed").alias("source"),
+            "priority_e6",
+            F.lit(None).cast("string").alias("last_hash"),
+        )
+    )
+    return revisit.unionByName(seeds)
+
+
+def schedule_fetches(
+    queue: DataFrame, *, k_per_host: int
+) -> DataFrame:
+    """Politeness cap over the fetch queue: keep the top ``k_per_host``
+    urls per host by priority. A crawler is rate-limited PER HOST
+    (robots crawl-delay, connection budgets), so the binding constraint
+    on one cycle's queue is per-host depth, not a global budget — a
+    global top-N would let one giant host starve every small one.
+
+    Deterministic: ties broken by url. Urls whose host cannot be
+    parsed are dropped (nothing to rate-limit against — and nothing to
+    fetch). Plan shape: one per-host window row_number (partitioned by
+    host — NEVER a single global partition; hot hosts bound the
+    straggler at k reads each, acceptable because the window input is
+    one row per QUEUED url, already capped upstream by the frontier's
+    own scoring). DuckDB oracle in tests/test_frontier.py.
+    """
+    w = (
+        Window.partitionBy("host")
+        .orderBy(F.col("priority_e6").desc(), "url")
+    )
+    return (
+        queue.withColumn("host", url_host(F.col("url")))
+        .where(F.col("host") != "")
+        .withColumn("rank_in_host", F.row_number().over(w).cast("int"))
+        .where(F.col("rank_in_host") <= k_per_host)
+        .select("host", "url", "source", "priority_e6", "last_hash", "rank_in_host")
     )

@@ -280,3 +280,131 @@ FROM f WHERE raw_loc IS NOT NULL
     assert len(srows) == len(orows) > 0
     assert sorted(sdf.columns) == sorted(orc.columns)
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+# ---------------------------------------------------------------------------
+# Unified fetch queue + politeness schedule
+
+
+def test_fetch_queue_hand_cases(spark):
+    from fusus_spark.operators.frontier import (
+        fetch_queue, parse_sitemap_entries, url_change_stats)
+
+    stats = url_change_stats(spark.createDataFrame(
+        _snapshots(), "url string, content_hash string, crawl_date string"
+    ))
+    sm = parse_sitemap_entries(spark.createDataFrame([
+        ("https://news.com/sm.xml",
+         # known url (anti-joined away) + two fresh seeds, one twice
+         # with different priorities (max wins), one priority-less
+         "<urlset>"
+         "<url><loc>http://news.com/front</loc><priority>0.9</priority></url>"
+         "<url><loc>http://news.com/new</loc><priority>0.3</priority></url>"
+         "<url><loc>http://other.com/page</loc></url>"
+         "</urlset>"),
+        ("https://news.com/sm2.xml",
+         "<urlset><url><loc>http://news.com/new</loc>"
+         "<priority>0.7</priority></url></urlset>"),
+        ("https://news.com/index.xml",
+         # index rows name sitemap FILES — never queued as content
+         "<sitemapindex><sitemap><loc>https://news.com/sm.xml</loc>"
+         "</sitemap></sitemapindex>"),
+    ], "sitemap_url string, xml string"))
+    q = {r["url"]: r for r in
+         fetch_queue(stats, sm, as_of_date="2026-02-21").collect()}
+
+    # 4 history urls + 2 fresh seeds; the known url stays a revisit
+    assert len(q) == 6
+    assert q["http://news.com/front"]["source"] == "revisit"
+    assert q["http://news.com/front"]["priority_e6"] == 800_000
+    assert q["http://news.com/front"]["last_hash"] == "h3"
+    assert q["http://news.com/new"]["source"] == "seed"
+    assert q["http://news.com/new"]["priority_e6"] == 700_000  # max of 0.3/0.7
+    assert q["http://news.com/new"]["last_hash"] is None
+    assert q["http://other.com/page"]["priority_e6"] == 500_000  # default
+    assert "https://news.com/sm.xml" not in q  # index entry excluded
+
+
+def test_fetch_queue_and_schedule_match_duckdb(spark):
+    from fusus_spark.operators.frontier import (
+        fetch_queue, schedule_fetches, url_change_stats)
+
+    stats = url_change_stats(spark.createDataFrame(
+        _snapshots(), "url string, content_hash string, crawl_date string"
+    ))
+    entries = [
+        ("https://news.com/sm.xml", "urlset", "http://news.com/front", None, None, 900_000),
+        ("https://news.com/sm.xml", "urlset", "http://news.com/new", None, None, 300_000),
+        ("https://news.com/sm2.xml", "urlset", "http://news.com/new", None, None, 700_000),
+        ("https://news.com/sm.xml", "urlset", "http://other.com/page", None, None, None),
+        ("https://news.com/index.xml", "index", "https://news.com/sm.xml", None, None, None),
+    ]
+    sm = spark.createDataFrame(
+        entries, "sitemap_url string, kind string, loc string, "
+                 "lastmod string, changefreq string, priority_e6 bigint")
+    qdf = fetch_queue(stats, sm, as_of_date="2026-02-21")
+    sdf = schedule_fetches(qdf, k_per_host=1)
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE snaps (url VARCHAR, content_hash VARCHAR, crawl_date VARCHAR)")
+    con.executemany("INSERT INTO snaps VALUES (?, ?, ?)", _snapshots())
+    con.sql("CREATE TABLE sm (sitemap_url VARCHAR, kind VARCHAR, loc VARCHAR, "
+            "lastmod VARCHAR, changefreq VARCHAR, priority_e6 BIGINT)")
+    con.executemany("INSERT INTO sm VALUES (?, ?, ?, ?, ?, ?)", entries)
+    queue_sql = """
+WITH o AS (
+  SELECT url, content_hash, crawl_date,
+         lag(content_hash) OVER (PARTITION BY url ORDER BY crawl_date, content_hash) AS prev
+  FROM snaps
+),
+g AS (
+  SELECT url, count(*)::INT AS n_snapshots,
+         sum(CASE WHEN prev IS NOT NULL AND content_hash != prev THEN 1 ELSE 0 END)::INT AS n_changes,
+         max(crawl_date) AS last_date,
+         string_split(max(crawl_date || chr(1) || content_hash), chr(1))[2] AS last_hash
+  FROM o GROUP BY url
+),
+r AS (
+  SELECT url, 'revisit' AS source,
+         round((n_changes + 1) / (n_snapshots - 1 + 2)
+               * greatest(datediff('day', CAST(last_date AS DATE), DATE '2026-02-21'), 0)
+               / 30 * 1000000)::BIGINT AS priority_e6,
+         last_hash
+  FROM g
+),
+s AS (
+  SELECT loc AS url, max(coalesce(priority_e6, 500000))::BIGINT AS priority_e6
+  FROM sm WHERE kind = 'urlset' GROUP BY loc
+)
+SELECT * FROM r
+UNION ALL
+SELECT s.url, 'seed' AS source, s.priority_e6, NULL AS last_hash
+FROM s LEFT JOIN g ON s.url = g.url WHERE g.url IS NULL
+"""
+    orc = con.sql(queue_sql)
+    srows = [tuple(r) for r in qdf.collect()]
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert sorted(qdf.columns) == sorted(orc.columns)
+    assert value_hash(qdf.columns, srows) == value_hash(orc.columns, orows)
+
+    sorc = con.sql(f"""
+WITH q AS ({queue_sql}),
+h AS (
+  SELECT lower(regexp_extract(url, '{_HOST_RE_SQL}', 1)) AS host, *
+  FROM q
+)
+SELECT host, url, source, priority_e6, last_hash, rank_in_host FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY host ORDER BY priority_e6 DESC, url)::INT AS rank_in_host
+  FROM h WHERE host != ''
+) WHERE rank_in_host <= 1
+""")
+    s2 = [tuple(r) for r in sdf.collect()]
+    o2 = [tuple(r) for r in sorc.fetchall()]
+    assert len(s2) == len(o2) > 0
+    assert sorted(sdf.columns) == sorted(sorc.columns)
+    assert value_hash(sdf.columns, s2) == value_hash(sorc.columns, o2)
+    # politeness: exactly one url per host survives k=1
+    hosts = [r[0] for r in s2]
+    assert len(hosts) == len(set(hosts))

@@ -195,6 +195,24 @@ CHECKS = {
         ("CartesianProduct", False),
         ("MapInPandas", 0),
     ],
+    # fetch queue: seed groupBy + left_anti equi-join + union — both
+    # sides billions of rows at crawl scale, so no broadcast assumption
+    # is load-bearing; never an all-pairs join and never a global
+    # partition (the only Window is url_change_stats' per-url churn
+    # window upstream, audited in revisit_priority's frame)
+    "fetch_queue": [
+        ("Union", True),
+        ("Exchange SinglePartition", False),
+        ("CartesianProduct", False),
+        ("BroadcastNestedLoopJoin", False),
+    ],
+    # politeness schedule: per-HOST window top-k (never SinglePartition
+    # — one giant host must not serialize the cycle)
+    "schedule_fetches": [
+        ("Window", True),
+        ("Exchange SinglePartition", False),
+        ("CartesianProduct", False),
+    ],
 }
 
 
@@ -435,6 +453,30 @@ def _extra_frames():
         )
         return parse_sitemap_entries(sm)
 
+    def _queue(spark, sf_dir):
+        from fusus_spark.operators.frontier import (
+            fetch_queue, url_change_stats)
+
+        stats = url_change_stats(_snap_docs(spark, sf_dir))
+        sm = load(spark, sf_dir, "documents").select(
+            F.lit("https://h0.com/sm.xml").alias("sitemap_url"),
+            F.lit("urlset").alias("kind"),
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/new/"), "doc_id").alias("loc"),
+            F.lit(None).cast("string").alias("lastmod"),
+            F.lit(None).cast("string").alias("changefreq"),
+            F.lit(None).cast("bigint").alias("priority_e6"),
+        )
+        return fetch_queue(stats, sm, as_of_date="2026-02-01")
+
+    def f_queue(spark, sf_dir):
+        return _queue(spark, sf_dir)
+
+    def f_schedule(spark, sf_dir):
+        from fusus_spark.operators.frontier import schedule_fetches
+
+        return schedule_fetches(_queue(spark, sf_dir), k_per_host=10)
+
     def f_mixture(spark, sf_dir):
         from fusus_spark.operators.curate import mixture_ppm
 
@@ -469,7 +511,9 @@ def _extra_frames():
             "audio_meta": f_audio, "video_meta": f_video,
             "apply_robots_txt": f_robots_txt,
             "robots_sitemaps": f_sitemaps,
-            "parse_sitemap_entries": f_parse_sitemaps}
+            "parse_sitemap_entries": f_parse_sitemaps,
+            "fetch_queue": f_queue,
+            "schedule_fetches": f_schedule}
 
 
 def main() -> None:
