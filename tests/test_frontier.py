@@ -408,3 +408,33 @@ SELECT host, url, source, priority_e6, last_hash, rank_in_host FROM (
     # politeness: exactly one url per host survives k=1
     hosts = [r[0] for r in s2]
     assert len(hosts) == len(set(hosts))
+
+
+def test_parse_sitemap_entries_never_raises_on_junk(spark):
+    """XML pathologies degrade to dropped entries, never an error —
+    the frontier can always refetch (the operator's own contract)."""
+    from fusus_spark.operators.frontier import parse_sitemap_entries
+
+    rows = [
+        ("u1", None),
+        ("u2", ""),
+        ("u3", "not xml at all \x00\x01\x02"),
+        ("u4", "<urlset><url><loc>"),                    # truncated
+        ("u5", "<urlset><url></url></urlset>"),          # empty entry
+        ("u6", "<urlset><url><loc><![CDATA[http://c.com/x]]></loc></url></urlset>"),
+        ("u7", "<?xml-stylesheet?><urlset><url><loc>http://p.com/i</loc></url></urlset>"),
+        ("u8", "<URLSET><URL><LOC>http://caps.com/</LOC></URL></URLSET>"),  # wrong case: dropped
+        ("u9", "<urlset>" + "<url><loc>http://m.com/p</loc></url>" * 500 + "</urlset>"),
+        ("u10", "<sitemapindex><sitemap><loc></loc></sitemap></sitemapindex>"),
+    ]
+    out = parse_sitemap_entries(
+        spark.createDataFrame(rows, "sitemap_url string, xml string")
+    ).collect()
+    by_sm = {}
+    for r in out:
+        by_sm.setdefault(r["sitemap_url"], []).append(r)
+    assert set(by_sm) <= {"u6", "u7", "u9"}
+    # CDATA survives as verbatim bytes inside loc (degraded, not wrong)
+    assert "http://c.com/x" in by_sm["u6"][0]["loc"]
+    assert by_sm["u7"][0]["loc"] == "http://p.com/i"
+    assert len(by_sm["u9"]) == 500
