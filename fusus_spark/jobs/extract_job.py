@@ -88,12 +88,13 @@ def run_job(
         # layout change (bucket count OR date partitioning) must
         # re-ingest — and so must a change in what ingest MEANS: the
         # schema version covers the envelope columns + non-200 filter
-        # (v2), the charset decode-hint column (v3), and the HTTP
-        # validator columns etag/last_modified (v4) so a table built
-        # by older code is rebuilt rather than silently consumed
-        # without http_status/charset/x_robots_tag
+        # (v2), the charset decode-hint column (v3), the HTTP
+        # validator columns etag/last_modified (v4), and the redirect
+        # location column (v5) so a table built by older code is
+        # rebuilt rather than silently consumed without
+        # http_status/charset/x_robots_tag
         entries = [f"n_buckets={n_buckets}", f"by_date={by_date}",
-                   "ingest_schema=v4", f"html_only={html_only}"]
+                   "ingest_schema=v5", f"html_only={html_only}"]
         for root, _dirs, files in os.walk(input_path):
             for f in files:
                 if ".warc" in f:

@@ -49,7 +49,8 @@ from pyspark.sql import DataFrame, SparkSession
 WARC_DOCS_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string, "
     "http_status int, content_type string, charset string, "
-    "x_robots_tag string, etag string, last_modified string"
+    "x_robots_tag string, etag string, last_modified string, "
+    "location string"
 )
 
 DEFAULT_MAX_BODY_BYTES = 4 * 1024 * 1024
@@ -205,8 +206,8 @@ def iter_warc_records(
     payload: bytes, max_body_bytes: int = DEFAULT_MAX_BODY_BYTES
 ) -> Iterator[tuple]:
     """Yield (target_uri, warc_date, http_status, content_type,
-    charset, x_robots_tag, http_body, etag, last_modified) for each
-    response record.
+    charset, x_robots_tag, http_body, etag, last_modified, location)
+    for each response record.
 
     ``content_type`` is the normalized media type (parameters dropped,
     lowercased); ``x_robots_tag`` is the lowercased header value with
@@ -254,6 +255,10 @@ def iter_warc_records(
                     # (operators/frontier.url_change_stats hash_col)
                     http_headers.get("etag"),
                     http_headers.get("last-modified"),
+                    # redirect target, verbatim (RFC 9110 §10.2.2 allows
+                    # a RELATIVE reference — resolution against the url
+                    # happens JVM-side in webgraph.resolve_redirects)
+                    http_headers.get("location"),
                 )
     except (OSError, EOFError):
         return  # corrupt gzip member: drop the rest of this segment
@@ -293,11 +298,13 @@ def read_warc(
                 "url": [], "warc_ts": [], "html": [], "text": [], "lang": [],
                 "http_status": [], "content_type": [], "charset": [],
                 "x_robots_tag": [], "etag": [], "last_modified": [],
+                "location": [],
             }
             for content in pdf["content"]:
                 payload = bytes(content) if content is not None else b""
                 for (uri, date, status, ctype, cset, xrt, body,
-                     etag, lastmod) in iter_warc_records(payload, max_body_bytes):
+                     etag, lastmod, location) in iter_warc_records(
+                         payload, max_body_bytes):
                     rows["url"].append(uri)
                     # keep the tz-aware UTC instant: a naive timestamp
                     # would be re-interpreted in the session timezone
@@ -316,6 +323,7 @@ def read_warc(
                     rows["x_robots_tag"].append(xrt)
                     rows["etag"].append(etag)
                     rows["last_modified"].append(lastmod)
+                    rows["location"].append(location)
             pdf_out = pd.DataFrame(rows)
             # all-null int columns must stay integral for Arrow
             pdf_out["http_status"] = pdf_out["http_status"].astype("Int32")

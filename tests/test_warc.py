@@ -96,7 +96,9 @@ def test_http_envelope_parsing():
     )
     recs = {r[0]: r for r in iter_warc_records(seg)}
     assert recs["http://ex.com/301"][2] == 301
+    assert recs["http://ex.com/301"][9] == "http://ex.com/new"  # Location kept
     assert recs["http://ex.com/404"][2] == 404
+    assert recs["http://ex.com/404"][9] is None  # no Location header
     assert recs["http://ex.com/404"][7] == '"v123"'  # ETag kept verbatim
     assert recs["http://ex.com/404"][8] == "Tue, 17 Feb 2026 08:00:00 GMT"
     assert recs["http://ex.com/opt"][2] == 200
@@ -552,7 +554,7 @@ def test_iter_warc_records_fuzz_never_raises():
     def check(payload: bytes) -> None:
         recs = list(iter_warc_records(payload))
         assert len(recs) <= 4  # never MORE records than the segment holds
-        for uri, date, status, ctype, cset, xrt, body, etag, lastmod in recs:
+        for uri, date, status, ctype, cset, xrt, body, etag, lastmod, loc in recs:
             assert isinstance(uri, str) and isinstance(body, bytes)
             assert status is None or isinstance(status, int)
             # a mutated LENGTH field must never leak one record's block

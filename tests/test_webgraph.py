@@ -455,3 +455,147 @@ FROM c QUALIFY rnk <= 2
     assert value_hash(sdf.columns, srows) == value_hash(
         ["host", "anchor", "n_refs", "host_refs", "rnk"], [tuple(r) for r in orows]
     )
+
+
+# ---------------------------------------------------------------- redirects
+
+
+def _redirect_records(spark):
+    """Envelope rows exercising every resolver path: chains of length
+    1..5, a 3-cycle, a self-loop, a conflicting-duplicate source, and
+    rows the edge filter must ignore (non-3xx, null/blank Location)."""
+    rows = []
+    for c in range(10):
+        length = (c % 5) + 1
+        for i in range(length):
+            rows.append((f"http://ch{c}.com/r{i}", 301, f"http://ch{c}.com/r{i + 1}"))
+        rows.append((f"http://ch{c}.com/r{length}", 200, None))  # chain end: content
+    rows += [(f"http://cyc.com/{i}", 302, f"http://cyc.com/{(i + 1) % 3}")
+             for i in range(3)]
+    rows.append(("http://self.com/a", 301, "http://self.com/a"))
+    rows += [("http://dup.com/a", 301, "http://dup.com/z"),
+             ("http://dup.com/a", 301, "http://dup.com/b")]
+    rows.append(("http://ok.com/a", 200, "http://ok.com/ignored"))  # non-3xx
+    rows += [("http://nul.com/a", 301, None), ("http://blank.com/a", 302, "  ")]
+    return spark.createDataFrame(rows, "url string, http_status int, location string")
+
+
+def test_resolve_redirects_hand_cases(spark):
+    from fusus_spark.operators.webgraph import resolve_redirects
+
+    got = {r["url"]: r for r in resolve_redirects(_redirect_records(spark)).collect()}
+    # every 3xx row with a usable Location yields exactly one output row
+    assert "http://ok.com/a" not in got and "http://nul.com/a" not in got
+    assert "http://blank.com/a" not in got
+    # full chain: head resolves to the end with exact hop count; every
+    # middle is its own row walking to the SAME end
+    assert got["http://ch4.com/r0"]["final_url"] == "http://ch4.com/r5"
+    assert got["http://ch4.com/r0"]["hops"] == 5
+    assert got["http://ch4.com/r0"]["terminal"] is True
+    assert got["http://ch4.com/r3"]["final_url"] == "http://ch4.com/r5"
+    assert got["http://ch4.com/r3"]["hops"] == 2
+    # single-hop
+    assert got["http://ch0.com/r0"]["final_url"] == "http://ch0.com/r1"
+    assert got["http://ch0.com/r0"]["hops"] == 1
+    # cycle members and the self-loop are flagged, never "terminal"
+    for u in ("http://cyc.com/0", "http://cyc.com/1", "http://cyc.com/2",
+              "http://self.com/a"):
+        assert got[u]["terminal"] is False
+    # conflicting duplicate source: deterministic min target
+    assert got["http://dup.com/a"]["final_url"] == "http://dup.com/b"
+
+
+def test_resolve_redirects_relative_locations(spark):
+    """RFC 9110 §10.2.2: Location may be a relative reference — resolved
+    against the source url via the RFC 3986 §5 merge."""
+    from fusus_spark.operators.webgraph import resolve_redirects
+
+    rows = [
+        ("http://rel.com/dir/old", 301, "/new"),      # root-relative
+        ("http://rel.com/dir/old2", 302, "next"),     # path-relative
+        ("http://r2.com/a", 301, "/b"),               # mixed 2-chain
+        ("http://r2.com/b", 301, "c"),
+        ("http://dot.com/a/b/c", 301, "../x"),        # dot-segment merge
+        ("http://frag.com/a", 301, "/p#sec"),         # fragment dropped
+        ("http://junk.com/a", 301, "mailto:x@y.z"),   # unresolvable: dropped
+    ]
+    df = spark.createDataFrame(rows, "url string, http_status int, location string")
+    got = {r["url"]: r for r in resolve_redirects(df).collect()}
+    assert got["http://rel.com/dir/old"]["final_url"] == "http://rel.com/new"
+    assert got["http://rel.com/dir/old2"]["final_url"] == "http://rel.com/dir/next"
+    assert got["http://r2.com/a"]["final_url"] == "http://r2.com/c"
+    assert got["http://r2.com/a"]["hops"] == 2
+    assert got["http://dot.com/a/b/c"]["final_url"] == "http://dot.com/a/x"
+    assert got["http://frag.com/a"]["final_url"] == "http://frag.com/p"
+    assert "http://junk.com/a" not in got
+
+
+def test_resolve_redirects_max_hops(spark):
+    from fusus_spark.operators.webgraph import resolve_redirects
+
+    rows = [(f"http://long.com/{i}", 301, f"http://long.com/{i + 1}")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "url string, http_status int, location string")
+    # default cap: the 6-chain resolves
+    got = {r["url"]: r for r in resolve_redirects(df).collect()}
+    assert got["http://long.com/0"]["terminal"] is True
+    assert got["http://long.com/0"]["hops"] == 6
+    # cap below the chain length: the head must NOT be presented as
+    # terminal (its reported endpoint may still be mid-chain)
+    capped = {r["url"]: r for r in resolve_redirects(df, max_hops=4).collect()}
+    assert capped["http://long.com/0"]["terminal"] is False
+    assert capped["http://long.com/3"]["terminal"] is True  # 3-suffix fits
+
+
+def test_resolve_redirects_matches_duckdb_recursive_oracle(spark):
+    """Terminal rows vs an independent DuckDB recursive-CTE transitive
+    closure over the same edge set (cycles and the hop cap fall out of
+    the recursion bound on both sides)."""
+    from fusus_spark.operators.webgraph import resolve_redirects
+
+    records = _redirect_records(spark)
+    sdf = (
+        resolve_redirects(records)
+        .where("terminal")
+        .select("url", "final_url", "hops")
+    )
+    con = duckdb.connect()
+    con.register("records", records.toPandas())
+    orows = con.execute("""
+WITH RECURSIVE edges AS (
+  SELECT url AS src, min(trim(location)) AS dst
+  FROM records
+  WHERE http_status BETWEEN 300 AND 399
+    AND location IS NOT NULL AND trim(location) <> ''
+  GROUP BY url
+), walk(url, final_url, hops) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT w.url, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.final_url
+  WHERE w.hops < 16
+)
+SELECT url, final_url, hops FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.final_url)
+""").fetchall()
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) == len(orows) > 0
+    assert value_hash(sdf.columns, srows) == value_hash(
+        ["url", "final_url", "hops"], [tuple(r) for r in orows]
+    )
+
+
+def test_resolve_redirects_checkpoint_dir_fault_tolerant_path(spark, tmp_path):
+    """checkpoint_dir mode: identical rows, doubling rounds snapshotted
+    through PARQUET — the final plan scans files, never an ExistingRDD."""
+    from fusus_spark.operators.webgraph import resolve_redirects
+
+    records = _redirect_records(spark)
+    want = sorted(tuple(r) for r in resolve_redirects(records).collect())
+    ck = str(tmp_path / "rd_ck")
+    out = resolve_redirects(records, checkpoint_dir=ck)
+    assert sorted(tuple(r) for r in out.collect()) == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan
+    import os
+    assert "edges" in sorted(os.listdir(ck))

@@ -213,6 +213,14 @@ CHECKS = {
         ("Exchange SinglePartition", False),
         ("CartesianProduct", False),
     ],
+    # redirect collapse: pointer-doubling equi-joins over parquet
+    # round snapshots — log2(max_hops) shuffles, never per-hop, never
+    # all-pairs, and round state is always a recomputable file scan
+    "resolve_redirects": [
+        ("Scan ExistingRDD", False),
+        ("CartesianProduct", False),
+        ("BroadcastNestedLoopJoin", False),
+    ],
 }
 
 
@@ -477,6 +485,26 @@ def _extra_frames():
 
         return schedule_fetches(_queue(spark, sf_dir), k_per_host=10)
 
+    def f_redirects(spark, sf_dir):
+        import tempfile
+
+        from fusus_spark.operators.webgraph import resolve_redirects
+
+        # mod-40 rings per host: chains, shared suffixes, and (beyond
+        # the hop cap) non-terminal rows — the at-scale configuration
+        # with parquet-backed round snapshots
+        records = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/r/"), F.pmod("doc_id", F.lit(40))).alias("url"),
+            F.lit(301).alias("http_status"),
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/r/"),
+                     (F.pmod("doc_id", F.lit(40)) + 1)).alias("location"),
+        )
+        return resolve_redirects(
+            records, checkpoint_dir=tempfile.mkdtemp() + "/rd_ck"
+        )
+
     def f_mixture(spark, sf_dir):
         from fusus_spark.operators.curate import mixture_ppm
 
@@ -513,7 +541,8 @@ def _extra_frames():
             "robots_sitemaps": f_sitemaps,
             "parse_sitemap_entries": f_parse_sitemaps,
             "fetch_queue": f_queue,
-            "schedule_fetches": f_schedule}
+            "schedule_fetches": f_schedule,
+            "resolve_redirects": f_redirects}
 
 
 def main() -> None:
