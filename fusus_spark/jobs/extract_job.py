@@ -90,11 +90,12 @@ def run_job(
         # schema version covers the envelope columns + non-200 filter
         # (v2), the charset decode-hint column (v3), the HTTP
         # validator columns etag/last_modified (v4), and the redirect
-        # location column (v5) so a table built by older code is
-        # rebuilt rather than silently consumed without
-        # http_status/charset/x_robots_tag
+        # location column + retained envelope-only 3xx rows (v6; v5
+        # carried the column but filtered the rows that populate it)
+        # so a table built by older code is rebuilt rather than
+        # silently consumed without http_status/charset/x_robots_tag
         entries = [f"n_buckets={n_buckets}", f"by_date={by_date}",
-                   "ingest_schema=v5", f"html_only={html_only}"]
+                   "ingest_schema=v6", f"html_only={html_only}"]
         for root, _dirs, files in os.walk(input_path):
             for f in files:
                 if ".warc" in f:
@@ -113,13 +114,19 @@ def run_job(
         if prior != fingerprint:
             from pyspark.sql import functions as F
 
-            # keep only OK responses: a 301/404 body must not be
-            # extracted as a document. Null status (no HTTP envelope in
+            # keep OK responses as documents and 3xx responses as
+            # ENVELOPE-ONLY rows: a 301/404 body must not be extracted
+            # as a document (the per-bucket extraction read filters to
+            # 200/null — ledger._content_rows), but the Location
+            # header is the redirect graph's edge set
+            # (webgraph.resolve_redirects), so redirect rows travel
+            # into the table with their html nulled (a 3xx body is a
+            # stub nobody reads). Null status (no HTTP envelope in
             # the record) is kept — flag-don't-drop for legacy/plain
             # payloads; the envelope columns travel into the table so
             # the robots consent tier can honor X-Robots-Tag per bucket.
             docs = read_warc(spark, input_path)
-            docs = docs.where(
+            keep_ok = (
                 (F.col("http_status") == 200) | F.col("http_status").isNull()
             )
             if html_only:
@@ -128,13 +135,25 @@ def run_job(
                 # fetch returns should never pay for bucketing, let
                 # alone the Arrow parse channel. Envelope-less rows
                 # (null type) are kept — absence of a declaration is
-                # not evidence of non-HTML.
-                docs = docs.where(
+                # not evidence of non-HTML. Redirect rows are exempt:
+                # their content_type describes the stub body, not the
+                # edge.
+                keep_ok = keep_ok & (
                     F.col("content_type").isNull()
                     | F.col("content_type").isin(
                         "text/html", "application/xhtml+xml"
                     )
                 )
+            is_redirect = (
+                F.col("http_status").between(300, 399)
+                & F.col("location").isNotNull()
+            )
+            docs = docs.where(keep_ok | is_redirect).withColumn(
+                "html",
+                F.when(is_redirect, F.lit(None).cast("binary")).otherwise(
+                    F.col("html")
+                ),
+            )
             write_bucketed_input(
                 docs, table_dir, n_buckets,
                 date_col="warc_ts" if by_date else None,

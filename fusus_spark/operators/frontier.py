@@ -45,19 +45,33 @@ def url_change_stats(snaps: DataFrame, hash_col: str = "content_hash") -> DataFr
 
     Returns (url, n_snapshots, n_changes, change_ratio_e6, first_date,
     last_date, last_hash): ``n_changes`` counts hash transitions
-    between CONSECUTIVE snapshots (k snapshots give k-1 comparisons),
-    ``change_ratio_e6`` = round(n_changes / (n_snapshots-1) * 1e6)
-    (0 for single-snapshot urls — no evidence is not evidence of
-    change). Duplicate (url, crawl_date) rows are deterministic via
+    between consecutive OBSERVED values — a null hash (a validator the
+    server omitted on that fetch) carries no information, so each
+    non-null value compares against the last non-null one and
+    ``change_ratio_e6`` = round(n_changes / (n_observed-1) * 1e6)
+    counts only informative comparisons (0 when fewer than two —
+    no evidence is not evidence of change). Without this, an
+    intermittently-omitted ETag (e1, null, e2) reads as perfectly
+    static and the frontier starves the url. ``last_hash`` is the
+    last OBSERVED validator (still valid for a conditional GET; a
+    stale If-None-Match just returns 200). Content hashes are never
+    null, so the default column is unaffected. ``n_snapshots`` counts
+    all rows. Duplicate (url, crawl_date) rows are deterministic via
     the (crawl_date, content_hash) ordering tie-break.
     """
     snaps = snaps.select(
         "url", F.col(hash_col).alias("content_hash"), "crawl_date"
     )
     w = Window.partitionBy("url").orderBy("crawl_date", "content_hash")
-    obs = snaps.withColumn("__prev__", F.lag("content_hash").over(w))
+    obs = snaps.withColumn(
+        "__prev__",
+        F.last("content_hash", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
     changed = (
-        F.col("__prev__").isNotNull()
+        F.col("content_hash").isNotNull()
+        & F.col("__prev__").isNotNull()
         & (F.col("content_hash") != F.col("__prev__"))
     ).cast("int")
     return (
@@ -65,21 +79,27 @@ def url_change_stats(snaps: DataFrame, hash_col: str = "content_hash") -> DataFr
         .groupBy("url")
         .agg(
             F.count("*").cast("int").alias("n_snapshots"),
+            F.count("content_hash").cast("int").alias("__n_obs__"),
             F.sum("__chg__").cast("int").alias("n_changes"),
             F.min("crawl_date").alias("first_date"),
             F.max("crawl_date").alias("last_date"),
-            # hash of the LAST snapshot (max by the same ordering)
-            F.max(F.struct("crawl_date", "content_hash"))["content_hash"].alias(
-                "last_hash"
-            ),
+            # last OBSERVED hash (max over non-null rows by the same
+            # ordering; null-hash rows contribute nothing)
+            F.max(
+                F.when(
+                    F.col("content_hash").isNotNull(),
+                    F.struct("crawl_date", "content_hash"),
+                )
+            )["content_hash"].alias("last_hash"),
         )
         .withColumn(
             "change_ratio_e6",
             F.when(
-                F.col("n_snapshots") > 1,
-                F.round(F.col("n_changes") / (F.col("n_snapshots") - 1) * 1_000_000),
+                F.col("__n_obs__") > 1,
+                F.round(F.col("n_changes") / (F.col("__n_obs__") - 1) * 1_000_000),
             ).otherwise(F.lit(0)).cast("bigint"),
         )
+        .drop("__n_obs__")
     )
 
 
@@ -263,6 +283,14 @@ def fetch_queue(
     revisit projection. No window, no all-pairs. DuckDB oracle in
     tests/test_frontier.py.
     """
+    # url_stats feeds BOTH branches (revisit projection + anti-join
+    # right side) and Catalyst does not reuse exchanges across
+    # self-join sides (repo gotcha; the two consumers prune different
+    # columns) — snapshot it so the crawl-scale churn window+groupBy
+    # pipeline computes once. Eager localCheckpoint per the dedup-LSH
+    # convention; executor loss recomputes, acceptable for one cycle's
+    # queue build.
+    url_stats = url_stats.localCheckpoint()
     revisit = url_stats.select(
         "url",
         F.lit("revisit").alias("source"),

@@ -105,8 +105,18 @@ def _remove_dot_segments(path: Column) -> Column:
     )
 
 
-def resolve_links(links: DataFrame, *, page_level: bool = False) -> DataFrame:
+def resolve_links(
+    links: DataFrame, *, page_level: bool = False, keep_scheme: bool = False
+) -> DataFrame:
     """Add ``resolved`` (absolute url or null) to (src_url, href, ...).
+
+    ``keep_scheme=True`` resolves relative references against the
+    SOURCE url's scheme instead of folding everything to ``http://``.
+    The fold is right for the link graph (a target reached absolutely
+    and relatively must be ONE graph node; canonical_url folds scheme
+    anyway) but wrong when the resolved url must join back against
+    verbatim record urls — :func:`resolve_redirects` chains break at
+    the first https hop otherwise.
 
     Default (host-graph) subset semantics, documented in the module
     header: absolute http/https pass through; ``//host/x`` ->
@@ -128,19 +138,26 @@ def resolve_links(links: DataFrame, *, page_level: bool = False) -> DataFrame:
     """
     href = F.col("href")
     src_host = url_host(F.col("src_url"))
+    if keep_scheme:
+        _s = F.lower(
+            F.regexp_extract(F.col("src_url"), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+        )
+        scheme = F.when(_s == "", F.lit("http")).otherwise(_s)
+    else:
+        scheme = F.lit("http")
     if not page_level:
         resolved = (
             F.when(href.rlike(r"^[hH][tT][tT][pP][sS]?://"), href)
-            .when(href.startswith("//"), F.concat(F.lit("http:"), href))
+            .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
             .when(
                 href.startswith("/") & (src_host != ""),
-                F.concat(F.lit("http://"), src_host, href),
+                F.concat(scheme, F.lit("://"), src_host, href),
             )
             .otherwise(F.lit(None).cast("string"))
         )
         return links.withColumn("resolved", resolved)
 
-    origin = F.concat(F.lit("http://"), src_host)
+    origin = F.concat(scheme, F.lit("://"), src_host)
     src_path = url_path(F.col("src_url"))
     # href split into path-part and query (fragment dropped EVERYWHERE
     # in page-level mode, absolute hrefs included — a target reached
@@ -158,7 +175,7 @@ def resolve_links(links: DataFrame, *, page_level: bool = False) -> DataFrame:
     # then rebuild as authority + dot-normalized path + query
     habs = F.when(
         h_nofrag.rlike(r"^[hH][tT][tT][pP][sS]?://"), h_nofrag
-    ).when(h_nofrag.startswith("//"), F.concat(F.lit("http:"), h_nofrag))
+    ).when(h_nofrag.startswith("//"), F.concat(scheme, F.lit(":"), h_nofrag))
     abs_auth = F.regexp_extract(habs, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
     abs_path = F.regexp_extract(habs, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     resolved = (
@@ -402,7 +419,10 @@ def resolve_redirects(
     ``http_status`` + ``location``). The Location header may be a
     RELATIVE reference (RFC 9110 §10.2.2) — resolved against the
     source url via the same RFC 3986 §5 merge as page-level link
-    resolution (:func:`resolve_links`). A url with conflicting targets
+    resolution (:func:`resolve_links`), with ``keep_scheme=True``:
+    an https source's relative Location must resolve to an https
+    final_url or the chain breaks at the join key and a mid-chain
+    endpoint reads as terminal. A url with conflicting targets
     across records resolves to the lexicographically smallest
     (deterministic; pre-filter to the latest snapshot for time-aware
     semantics). Unresolvable Locations are dropped with the record.
@@ -444,7 +464,7 @@ def resolve_redirects(
         F.trim(F.col(location_col)).alias("href"),
     )
     edges = _snapshot(
-        resolve_links(redirects, page_level=True)
+        resolve_links(redirects, page_level=True, keep_scheme=True)
         .where(F.col("resolved").isNotNull())
         .groupBy(F.col("src_url").alias("src"))
         .agg(F.min("resolved").alias("dst")),

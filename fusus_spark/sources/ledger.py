@@ -307,6 +307,19 @@ def _commit_bucket(tmp_dir: str, final_dir: str, staging_root: str, bucket: int)
         os.rename(tmp_dir, final_dir)
 
 
+def _content_rows(docs: DataFrame) -> DataFrame:
+    """Extraction-eligible rows of an ingest table: status 200 or no
+    envelope. WARC ingest (schema v6) retains 3xx rows ENVELOPE-ONLY
+    (null html) so the redirect graph survives into the table — those
+    rows must never reach the parser. Tables without the envelope
+    column (plain bucketed documents) pass through untouched."""
+    if "http_status" not in docs.columns:
+        return docs
+    return docs.where(
+        (F.col("http_status") == 200) | F.col("http_status").isNull()
+    )
+
+
 def run_extraction_job(
     spark: SparkSession,
     input_path: str,
@@ -390,6 +403,7 @@ def run_extraction_job(
             t0 = time.time()
             # Partition-pruned read: only this bucket's files are scanned.
             docs = spark.read.parquet(input_path).where(F.col("bucket") == bucket)
+            docs = _content_rows(docs)
             if respect_robots:
                 # consent filter BEFORE the parse: a meta-noindex page
                 # must not pay for extraction (map-side regexp; rows_in

@@ -117,7 +117,15 @@ def parse_http_envelope(block: bytes) -> tuple[int | None, dict[str, str], bytes
         k, _, v = line.partition(b":")
         key = k.strip().lower().decode("latin-1")
         val = v.strip().decode("latin-1")
-        headers[key] = f"{headers[key]}, {val}" if key in headers else val
+        if key in headers:
+            # list-valued headers combine per RFC 9110 §5.3; singleton
+            # headers (Location, ETag, Content-Type) keep the FIRST
+            # value — comma-joining a duplicated Location would poison
+            # the redirect graph with "urlA, urlB" pseudo-urls
+            if key == "x-robots-tag":
+                headers[key] = f"{headers[key]}, {val}"
+        else:
+            headers[key] = val
     return status, headers, body
 
 

@@ -71,6 +71,39 @@ def test_url_change_stats_on_etag_validator(spark):
     assert got["http://mix.com/x"]["change_ratio_e6"] == 333_333
 
 
+def test_url_change_stats_null_validators(spark):
+    """A null validator (the server omitted ETag on that fetch) carries
+    no information: each observed value compares against the last
+    OBSERVED one, the ratio counts only informative comparisons, and
+    last_hash is the last observed validator — e1, null, e2 must read
+    as ONE change, not as perfectly static."""
+    rows = [
+        ("http://flaky.com/a", "e1", "2026-01-01"),
+        ("http://flaky.com/a", None, "2026-01-02"),
+        ("http://flaky.com/a", "e2", "2026-01-03"),
+        # trailing omission: the change signal and validator survive
+        ("http://trail.com/b", "e1", "2026-01-01"),
+        ("http://trail.com/b", "e1", "2026-01-02"),
+        ("http://trail.com/b", None, "2026-01-03"),
+        # never observed: no evidence is not evidence of change
+        ("http://naked.com/c", None, "2026-01-01"),
+        ("http://naked.com/c", None, "2026-01-02"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, etag string, crawl_date string"
+    )
+    got = {r["url"]: r for r in url_change_stats(df, hash_col="etag").collect()}
+    f = got["http://flaky.com/a"]
+    assert f["n_snapshots"] == 3 and f["n_changes"] == 1
+    assert f["change_ratio_e6"] == 1_000_000  # 1 change / 1 comparison
+    assert f["last_hash"] == "e2"
+    t = got["http://trail.com/b"]
+    assert t["n_changes"] == 0 and t["last_hash"] == "e1"
+    n = got["http://naked.com/c"]
+    assert n["n_changes"] == 0 and n["change_ratio_e6"] == 0
+    assert n["last_hash"] is None
+
+
 def test_url_and_host_change_stats_match_duckdb(spark):
     df = spark.createDataFrame(
         _snapshots(), "url string, content_hash string, crawl_date string"

@@ -82,7 +82,8 @@ def test_http_envelope_parsing():
     seg = (
         _record("response", "http://ex.com/301", "2026-01-01T00:00:00Z",
                 _http(b"<html>moved</html>", status=b"301 Moved Permanently",
-                      extra=(b"Location: http://ex.com/new",)))
+                      extra=(b"Location: http://ex.com/new",
+                             b"Location: http://ex.com/duplicate")))
         + _record("response", "http://ex.com/404", "2026-01-01T00:00:00Z",
                   _http(b"<html>gone</html>", status=b"404 Not Found",
                         extra=(b'ETag: "v123"',
@@ -96,7 +97,10 @@ def test_http_envelope_parsing():
     )
     recs = {r[0]: r for r in iter_warc_records(seg)}
     assert recs["http://ex.com/301"][2] == 301
-    assert recs["http://ex.com/301"][9] == "http://ex.com/new"  # Location kept
+    # singleton header: FIRST Location wins — a protocol-violating
+    # duplicate must not comma-join into a "urlA, urlB" pseudo-url
+    # that would poison the redirect graph
+    assert recs["http://ex.com/301"][9] == "http://ex.com/new"
     assert recs["http://ex.com/404"][2] == 404
     assert recs["http://ex.com/404"][9] is None  # no Location header
     assert recs["http://ex.com/404"][7] == '"v123"'  # ETag kept verbatim
@@ -379,7 +383,11 @@ def test_extract_job_filters_non_200_and_header_robots(spark, tmp_path):
                         status=b"404 Not Found"))
         + _record("response", "http://ex.com/moved", "2026-01-01T00:00:00Z",
                   _http(b"<html><p>redirect stub</p></html>",
-                        status=b"301 Moved Permanently"))
+                        status=b"301 Moved Permanently",
+                        extra=(b"Location: http://ex.com/keep",)))
+        + _record("response", "http://ex.com/dead-moved", "2026-01-01T00:00:00Z",
+                  _http(b"<html><p>redirect, target unknown</p></html>",
+                        status=b"302 Found"))
     )
     (tmp_path / "segs").mkdir()
     (tmp_path / "segs" / "seg-0.warc").write_bytes(seg)
@@ -398,10 +406,19 @@ def test_extract_job_filters_non_200_and_header_robots(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "words") + "/bucket=*").collect()
     }
     assert urls == {"http://ex.com/keep", "http://ex.com/optout"}
-    # the bucketed table kept the envelope columns for downstream tiers
+    # the bucketed table kept the envelope columns for downstream tiers,
+    # and the Location-bearing 3xx survives ENVELOPE-ONLY (null html,
+    # never extracted) so resolve_redirects can be fed from the table;
+    # the Location-less 302 and the 404 are dropped outright
     table = spark.read.parquet(str(tmp_path / "words.table"))
-    assert {"http_status", "content_type", "x_robots_tag"} <= set(table.columns)
-    assert table.where(F.col("http_status") != 200).count() == 0
+    assert {"http_status", "content_type", "x_robots_tag", "location"} <= set(
+        table.columns
+    )
+    non200 = table.where(F.col("http_status") != 200).collect()
+    assert [(r["url"], r["http_status"], r["location"], r["html"])
+            for r in non200] == [
+        ("http://ex.com/moved", 301, "http://ex.com/keep", None)
+    ]
 
     # with consent filtering: the header opt-out goes too
     run_job(

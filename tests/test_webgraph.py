@@ -518,6 +518,12 @@ def test_resolve_redirects_relative_locations(spark):
         ("http://dot.com/a/b/c", 301, "../x"),        # dot-segment merge
         ("http://frag.com/a", 301, "/p#sec"),         # fragment dropped
         ("http://junk.com/a", 301, "mailto:x@y.z"),   # unresolvable: dropped
+        # https sources: the SOURCE scheme must survive resolution —
+        # an http:// downgrade would break the chain at the join key
+        # and falsely mark the mid-chain endpoint terminal
+        ("https://sec.com/a", 301, "/b"),
+        ("https://sec.com/b", 301, "https://sec.com/c"),
+        ("https://proto.com/a", 301, "//proto.com/x"),
     ]
     df = spark.createDataFrame(rows, "url string, http_status int, location string")
     got = {r["url"]: r for r in resolve_redirects(df).collect()}
@@ -528,6 +534,10 @@ def test_resolve_redirects_relative_locations(spark):
     assert got["http://dot.com/a/b/c"]["final_url"] == "http://dot.com/a/x"
     assert got["http://frag.com/a"]["final_url"] == "http://frag.com/p"
     assert "http://junk.com/a" not in got
+    assert got["https://sec.com/a"]["final_url"] == "https://sec.com/c"
+    assert got["https://sec.com/a"]["hops"] == 2
+    assert got["https://sec.com/a"]["terminal"] is True
+    assert got["https://proto.com/a"]["final_url"] == "https://proto.com/x"
 
 
 def test_resolve_redirects_max_hops(spark):
