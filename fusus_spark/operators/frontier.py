@@ -255,6 +255,7 @@ def fetch_queue(
     as_of_date: str,
     halflife_days: int = 30,
     default_seed_e6: int = 500_000,
+    redirects: DataFrame | None = None,
 ) -> DataFrame:
     """The unified fetch queue: every url the crawler should consider
     this cycle, scored. (url, source, priority_e6, last_hash).
@@ -273,15 +274,23 @@ def fetch_queue(
       across sitemaps when a url appears in several), defaulting to
       0.5 — the sitemaps.org protocol default — when absent.
       ``last_hash`` is null: nothing to validate against.
+    * ``redirect`` (optional, when ``redirects`` — a
+      :func:`fusus_spark.operators.webgraph.resolve_redirects` frame —
+      is given) — TERMINAL chain endpoints that were never crawled:
+      the archive proves the content moved there, so the target is
+      known-missing, not merely hinted. Scored ``default_seed_e6``
+      (the neutral default; the ``source`` column lets policy rank
+      supplies downstream). Non-terminal endpoints (cycles, over-cap
+      chains) are never queued — fetching a cycle member buys nothing.
 
-    A url present in both supplies is a revisit, not a seed (the
-    history's evidence beats the publisher's static hint): seeds are
-    anti-joined against the history. Plan shape: one groupBy(loc) over
-    the sitemap entries + one left_anti equi-join on url — both hash-
-    partitioned on the url, no broadcast assumption (at crawl scale
-    BOTH sides are billions of rows) — and a map-side union with the
-    revisit projection. No window, no all-pairs. DuckDB oracle in
-    tests/test_frontier.py.
+    A url present in several supplies appears ONCE, strongest evidence
+    wins: history beats sitemap hint beats redirect inference (seeds
+    are anti-joined against the history; redirect targets against
+    both). Plan shape: one groupBy(loc) over the sitemap entries +
+    left_anti equi-joins on url — hash-partitioned, no broadcast
+    assumption (at crawl scale BOTH sides are billions of rows) — and
+    a map-side union with the revisit projection. No window, no
+    all-pairs. DuckDB oracle in tests/test_frontier.py.
     """
     # url_stats feeds BOTH branches (revisit projection + anti-join
     # right side) and Catalyst does not reuse exchanges across
@@ -313,7 +322,31 @@ def fetch_queue(
             F.lit(None).cast("string").alias("last_hash"),
         )
     )
-    return revisit.unionByName(seeds)
+    queue = revisit.unionByName(seeds)
+    if redirects is not None:
+        targets = (
+            redirects.where(F.col("terminal"))
+            .select(F.col("final_url").alias("url"))
+            .distinct()
+            .join(url_stats.select("url"), "url", "left_anti")
+            # raw urlset locs, not the seeds subplan: same exclusion,
+            # no recompute of the seed groupBy+anti-join
+            .join(
+                sitemap_entries.where(F.col("kind") == "urlset").select(
+                    F.col("loc").alias("url")
+                ),
+                "url",
+                "left_anti",
+            )
+            .select(
+                "url",
+                F.lit("redirect").alias("source"),
+                F.lit(default_seed_e6).cast("bigint").alias("priority_e6"),
+                F.lit(None).cast("string").alias("last_hash"),
+            )
+        )
+        queue = queue.unionByName(targets)
+    return queue
 
 
 def schedule_fetches(

@@ -499,6 +499,34 @@ def resolve_redirects(
     )
 
 
+def follow_redirects(
+    df: DataFrame, redirects: DataFrame, *, col: str = "resolved"
+) -> DataFrame:
+    """Rewrite url column ``col`` through TERMINAL redirect mappings
+    from :func:`resolve_redirects`: a value that names a redirect
+    source is re-aimed at its chain's final url, everything else
+    (including nulls and cycle members — re-aiming at a cycle buys
+    nothing) passes through verbatim. The standard post-redirect
+    collapse for link graphs: an edge into a 301 source is an edge
+    into its target, or PageRank mass and anchor evidence pool on
+    urls that serve no content.
+
+    Plan shape: ONE left equi-join on the url — both sides
+    crawl-scale, hash-partitioned, no broadcast assumption; never
+    all-pairs, never a window. DuckDB left-join oracle in
+    tests/test_webgraph.py.
+    """
+    m = redirects.where(F.col("terminal")).select(
+        F.col("url").alias("__rd_src__"),
+        F.col("final_url").alias("__rd_dst__"),
+    )
+    return (
+        df.join(m, df[col] == m["__rd_src__"], "left")
+        .withColumn(col, F.coalesce("__rd_dst__", F.col(col)))
+        .drop("__rd_src__", "__rd_dst__")
+    )
+
+
 def host_anchor_texts(
     docs: DataFrame, k: int = 5, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:

@@ -443,6 +443,100 @@ SELECT host, url, source, priority_e6, last_hash, rank_in_host FROM (
     assert len(hosts) == len(set(hosts))
 
 
+def test_fetch_queue_redirect_supply(spark):
+    """Third supply: terminal redirect targets that were never crawled
+    and are not sitemap-hinted — strongest-evidence-wins precedence,
+    cycles never queued. Hash-checked against the DuckDB oracle."""
+    from fusus_spark.operators.frontier import fetch_queue, url_change_stats
+
+    stats = url_change_stats(spark.createDataFrame(
+        _snapshots(), "url string, content_hash string, crawl_date string"
+    ))
+    entries = [
+        ("https://news.com/sm.xml", "urlset", "http://news.com/new",
+         None, None, 700_000),
+    ]
+    sm = spark.createDataFrame(
+        entries, "sitemap_url string, kind string, loc string, "
+                 "lastmod string, changefreq string, priority_e6 bigint")
+    rd_rows = [
+        # fresh terminal target (two chains converge on it: ONE row)
+        ("http://old.com/a", "http://fresh.com/x", 2, True),
+        ("http://old.com/b", "http://fresh.com/x", 1, True),
+        # target already in history -> stays a revisit
+        ("http://old.com/c", "http://news.com/front", 1, True),
+        # target already a sitemap seed -> stays a seed
+        ("http://old.com/d", "http://news.com/new", 1, True),
+        # cycle member: never queued
+        ("http://loop.com/a", "http://loop.com/b", 4, False),
+    ]
+    rd = spark.createDataFrame(
+        rd_rows, "url string, final_url string, hops int, terminal boolean")
+    qdf = fetch_queue(stats, sm, as_of_date="2026-02-21", redirects=rd)
+    q = {r["url"]: r for r in qdf.collect()}
+    assert q["http://fresh.com/x"]["source"] == "redirect"
+    assert q["http://fresh.com/x"]["priority_e6"] == 500_000
+    assert q["http://fresh.com/x"]["last_hash"] is None
+    assert q["http://news.com/front"]["source"] == "revisit"
+    assert q["http://news.com/new"]["source"] == "seed"
+    assert "http://loop.com/b" not in q
+    assert len([r for r in q.values() if r["source"] == "redirect"]) == 1
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE snaps (url VARCHAR, content_hash VARCHAR, crawl_date VARCHAR)")
+    con.executemany("INSERT INTO snaps VALUES (?, ?, ?)", _snapshots())
+    con.sql("CREATE TABLE sm (sitemap_url VARCHAR, kind VARCHAR, loc VARCHAR, "
+            "lastmod VARCHAR, changefreq VARCHAR, priority_e6 BIGINT)")
+    con.executemany("INSERT INTO sm VALUES (?, ?, ?, ?, ?, ?)", entries)
+    con.sql("CREATE TABLE rd (url VARCHAR, final_url VARCHAR, hops INT, "
+            "terminal BOOLEAN)")
+    con.executemany("INSERT INTO rd VALUES (?, ?, ?, ?)", rd_rows)
+    orc = con.sql("""
+WITH o AS (
+  SELECT url, content_hash, crawl_date,
+         lag(content_hash) OVER (PARTITION BY url ORDER BY crawl_date, content_hash) AS prev
+  FROM snaps
+),
+g AS (
+  SELECT url, count(*)::INT AS n_snapshots,
+         sum(CASE WHEN prev IS NOT NULL AND content_hash != prev THEN 1 ELSE 0 END)::INT AS n_changes,
+         max(crawl_date) AS last_date,
+         string_split(max(crawl_date || chr(1) || content_hash), chr(1))[2] AS last_hash
+  FROM o GROUP BY url
+),
+r AS (
+  SELECT url, 'revisit' AS source,
+         round((n_changes + 1) / (n_snapshots - 1 + 2)
+               * greatest(datediff('day', CAST(last_date AS DATE), DATE '2026-02-21'), 0)
+               / 30 * 1000000)::BIGINT AS priority_e6,
+         last_hash
+  FROM g
+),
+s AS (
+  SELECT loc AS url, max(coalesce(priority_e6, 500000))::BIGINT AS priority_e6
+  FROM sm WHERE kind = 'urlset' GROUP BY loc
+),
+t AS (
+  SELECT DISTINCT final_url AS url FROM rd WHERE terminal
+)
+SELECT * FROM r
+UNION ALL
+SELECT s.url, 'seed', s.priority_e6, NULL FROM s
+LEFT JOIN g ON s.url = g.url WHERE g.url IS NULL
+UNION ALL
+SELECT t.url, 'redirect', 500000::BIGINT, NULL FROM t
+LEFT JOIN g ON t.url = g.url
+LEFT JOIN (SELECT DISTINCT loc FROM sm WHERE kind = 'urlset') sl ON t.url = sl.loc
+WHERE g.url IS NULL AND sl.loc IS NULL
+""")
+    srows = [tuple(r) for r in qdf.collect()]
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert value_hash(qdf.columns, srows) == value_hash(
+        ["url", "source", "priority_e6", "last_hash"], orows
+    )
+
+
 def test_parse_sitemap_entries_never_raises_on_junk(spark):
     """XML pathologies degrade to dropped entries, never an error —
     the frontier can always refetch (the operator's own contract)."""

@@ -609,3 +609,65 @@ def test_resolve_redirects_checkpoint_dir_fault_tolerant_path(spark, tmp_path):
     assert "ExistingRDD" not in plan
     import os
     assert "edges" in sorted(os.listdir(ck))
+
+
+def test_follow_redirects_hand_cases(spark):
+    from fusus_spark.operators.webgraph import follow_redirects
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://old.com/x"),   # terminal source: re-aimed
+            ("http://a.com/1", "http://cyc.com/0"),   # cycle member: verbatim
+            ("http://b.com/2", "http://plain.com/y"), # no mapping: verbatim
+            ("http://b.com/2", None),                 # null stays null
+        ],
+        "src_url string, resolved string",
+    )
+    rd = spark.createDataFrame(
+        [
+            ("http://old.com/x", "http://new.com/x", 2, True),
+            ("http://cyc.com/0", "http://cyc.com/1", 4, False),
+        ],
+        "url string, final_url string, hops int, terminal boolean",
+    )
+    got = sorted(
+        ((r["src_url"], r["resolved"])
+         for r in follow_redirects(links, rd).collect()),
+        key=lambda t: (t[0], t[1] is not None, t[1] or ""),
+    )
+    assert got == [
+        ("http://a.com/1", "http://cyc.com/0"),
+        ("http://a.com/1", "http://new.com/x"),
+        ("http://b.com/2", None),
+        ("http://b.com/2", "http://plain.com/y"),
+    ]
+
+
+def test_follow_redirects_matches_duckdb_oracle(spark):
+    """Composition over the real chain: resolve_redirects output feeds
+    follow_redirects; oracle re-derives the rewrite as a left join over
+    the same terminal map."""
+    from fusus_spark.operators.webgraph import follow_redirects, resolve_redirects
+
+    from pyspark.sql import functions as F
+
+    records = _redirect_records(spark)
+    rd = resolve_redirects(records)
+    links = records.select(
+        F.lit("http://linker.com/p").alias("src_url"),
+        F.col("url").alias("resolved"),
+    )
+    sdf = follow_redirects(links, rd)
+    con = duckdb.connect()
+    con.register("links", links.toPandas())
+    con.register("rd", rd.toPandas())
+    orows = con.execute("""
+SELECT l.src_url, coalesce(m.final_url, l.resolved) AS resolved
+FROM links l LEFT JOIN (SELECT url, final_url FROM rd WHERE terminal) m
+ON l.resolved = m.url
+""").fetchall()
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) == len(orows) > 0
+    assert value_hash(sdf.columns, srows) == value_hash(
+        ["src_url", "resolved"], [tuple(r) for r in orows]
+    )

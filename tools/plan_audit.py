@@ -221,6 +221,14 @@ CHECKS = {
         ("CartesianProduct", False),
         ("BroadcastNestedLoopJoin", False),
     ],
+    # redirect map applied to a link column: ONE left equi-join on the
+    # url (both sides crawl-scale — no broadcast assumption is
+    # load-bearing), never all-pairs, never a window
+    "follow_redirects": [
+        ("CartesianProduct", False),
+        ("BroadcastNestedLoopJoin", False),
+        ("Window", False),
+    ],
 }
 
 
@@ -475,10 +483,35 @@ def _extra_frames():
             F.lit(None).cast("string").alias("changefreq"),
             F.lit(None).cast("bigint").alias("priority_e6"),
         )
-        return fetch_queue(stats, sm, as_of_date="2026-02-01")
+        # synthetic resolve_redirects-shaped frame: the audit wants the
+        # three-supply plan (revisit + seed + redirect), not chain math
+        rd = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://old.com/"), "doc_id").alias("url"),
+            F.concat(F.lit("http://moved.com/"), "doc_id").alias("final_url"),
+            F.lit(1).alias("hops"),
+            (F.pmod("doc_id", F.lit(2)) == 0).alias("terminal"),
+        )
+        return fetch_queue(stats, sm, as_of_date="2026-02-01", redirects=rd)
 
     def f_queue(spark, sf_dir):
         return _queue(spark, sf_dir)
+
+    def f_follow(spark, sf_dir):
+        from fusus_spark.operators.webgraph import follow_redirects
+
+        docs = load(spark, sf_dir, "documents")
+        rd = docs.select(
+            F.concat(F.lit("http://old.com/"), "doc_id").alias("url"),
+            F.concat(F.lit("http://moved.com/"), "doc_id").alias("final_url"),
+            F.lit(1).alias("hops"),
+            (F.pmod("doc_id", F.lit(2)) == 0).alias("terminal"),
+        )
+        links = docs.select(
+            F.concat(F.lit("http://linker.com/"), "doc_id").alias("src_url"),
+            F.concat(F.lit("http://old.com/"),
+                     F.pmod("doc_id", F.lit(97))).alias("resolved"),
+        )
+        return follow_redirects(links, rd)
 
     def f_schedule(spark, sf_dir):
         from fusus_spark.operators.frontier import schedule_fetches
@@ -542,7 +575,8 @@ def _extra_frames():
             "parse_sitemap_entries": f_parse_sitemaps,
             "fetch_queue": f_queue,
             "schedule_fetches": f_schedule,
-            "resolve_redirects": f_redirects}
+            "resolve_redirects": f_redirects,
+            "follow_redirects": f_follow}
 
 
 def main() -> None:
