@@ -256,6 +256,9 @@ def fetch_queue(
     halflife_days: int = 30,
     default_seed_e6: int = 500_000,
     redirects: DataFrame | None = None,
+    links: DataFrame | None = None,
+    link_step_e6: int = 10_000,
+    link_cap_e6: int = 990_000,
 ) -> DataFrame:
     """The unified fetch queue: every url the crawler should consider
     this cycle, scored. (url, source, priority_e6, last_hash).
@@ -282,15 +285,30 @@ def fetch_queue(
       (the neutral default; the ``source`` column lets policy rank
       supplies downstream). Non-terminal endpoints (cycles, over-cap
       chains) are never queued — fetching a cycle member buys nothing.
+    * ``link`` (optional, when ``links`` — a :func:`fusus_spark.
+      operators.webgraph.resolve_links` frame — is given) — urls
+      DISCOVERED as outlinks of crawled pages but never themselves
+      crawled: the crawl loop's own discovery channel, and the only
+      supply that grows the frontier beyond what publishers or
+      redirects announce. Scored by linking evidence:
+      ``default_seed_e6 + link_step_e6 * (distinct linking hosts - 1)``
+      capped at ``link_cap_e6`` — more independent hosts pointing at
+      an uncrawled url is more evidence it matters (in-degree
+      seeding, the crawl-ordering baseline of Cho et al. 1998),
+      while the cap keeps any hint supply below a genuinely stale
+      churner's revisit score. Null ``resolved`` rows (unresolvable
+      hrefs) are ignored.
 
     A url present in several supplies appears ONCE, strongest evidence
-    wins: history beats sitemap hint beats redirect inference (seeds
-    are anti-joined against the history; redirect targets against
-    both). Plan shape: one groupBy(loc) over the sitemap entries +
-    left_anti equi-joins on url — hash-partitioned, no broadcast
-    assumption (at crawl scale BOTH sides are billions of rows) — and
-    a map-side union with the revisit projection. No window, no
-    all-pairs. DuckDB oracle in tests/test_frontier.py.
+    wins: history beats sitemap hint beats redirect inference beats
+    link discovery (seeds are anti-joined against the history;
+    redirect targets against both; link targets against all three).
+    Plan shape: one groupBy(loc) over the sitemap entries + one
+    distinct-host groupBy(url) over the links + left_anti equi-joins
+    on url — hash-partitioned, no broadcast assumption (at crawl scale
+    BOTH sides are billions of rows) — and a map-side union with the
+    revisit projection. No window, no all-pairs. DuckDB oracle in
+    tests/test_frontier.py.
     """
     # url_stats feeds BOTH branches (revisit projection + anti-join
     # right side) and Catalyst does not reuse exchanges across
@@ -323,21 +341,23 @@ def fetch_queue(
         )
     )
     queue = revisit.unionByName(seeds)
-    if redirects is not None:
+    # raw urlset locs, not the seeds subplan: same exclusion, no
+    # recompute of the seed groupBy+anti-join
+    urlset_locs = sitemap_entries.where(F.col("kind") == "urlset").select(
+        F.col("loc").alias("url")
+    )
+    terminal_targets = (
+        redirects.where(F.col("terminal")).select(
+            F.col("final_url").alias("url")
+        )
+        if redirects is not None
+        else None
+    )
+    if terminal_targets is not None:
         targets = (
-            redirects.where(F.col("terminal"))
-            .select(F.col("final_url").alias("url"))
-            .distinct()
+            terminal_targets.distinct()
             .join(url_stats.select("url"), "url", "left_anti")
-            # raw urlset locs, not the seeds subplan: same exclusion,
-            # no recompute of the seed groupBy+anti-join
-            .join(
-                sitemap_entries.where(F.col("kind") == "urlset").select(
-                    F.col("loc").alias("url")
-                ),
-                "url",
-                "left_anti",
-            )
+            .join(urlset_locs, "url", "left_anti")
             .select(
                 "url",
                 F.lit("redirect").alias("source"),
@@ -346,6 +366,33 @@ def fetch_queue(
             )
         )
         queue = queue.unionByName(targets)
+    if links is not None:
+        discovered = (
+            links.where(F.col("resolved").isNotNull())
+            .select(
+                F.col("resolved").alias("url"),
+                url_host(F.col("src_url")).alias("src_host"),
+            )
+            .groupBy("url")
+            .agg(F.count_distinct("src_host").alias("n_hosts"))
+            .join(url_stats.select("url"), "url", "left_anti")
+            .join(urlset_locs, "url", "left_anti")
+        )
+        if terminal_targets is not None:
+            discovered = discovered.join(terminal_targets, "url", "left_anti")
+        discovered = discovered.select(
+            "url",
+            F.lit("link").alias("source"),
+            F.least(
+                F.lit(link_cap_e6).cast("bigint"),
+                F.lit(default_seed_e6)
+                + F.lit(link_step_e6) * (F.col("n_hosts") - 1),
+            )
+            .cast("bigint")
+            .alias("priority_e6"),
+            F.lit(None).cast("string").alias("last_hash"),
+        )
+        queue = queue.unionByName(discovered)
     return queue
 
 

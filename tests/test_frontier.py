@@ -537,6 +537,128 @@ WHERE g.url IS NULL AND sl.loc IS NULL
     )
 
 
+def test_fetch_queue_link_supply(spark):
+    """Fourth supply: urls discovered as outlinks, scored by distinct
+    linking hosts (step + cap), excluded by every stronger supply.
+    Hash-checked against the DuckDB four-supply oracle."""
+    from fusus_spark.operators.frontier import fetch_queue, url_change_stats
+
+    stats = url_change_stats(spark.createDataFrame(
+        _snapshots(), "url string, content_hash string, crawl_date string"
+    ))
+    entries = [
+        ("https://news.com/sm.xml", "urlset", "http://news.com/new",
+         None, None, 700_000),
+    ]
+    sm = spark.createDataFrame(
+        entries, "sitemap_url string, kind string, loc string, "
+                 "lastmod string, changefreq string, priority_e6 bigint")
+    rd_rows = [("http://old.com/a", "http://fresh.com/x", 2, True)]
+    rd = spark.createDataFrame(
+        rd_rows, "url string, final_url string, hops int, terminal boolean")
+    link_rows = [
+        # 3 distinct hosts (one duplicated) -> capped at link_cap_e6
+        ("http://a.com/p1", "http://disc.com/hot"),
+        ("http://a.com/p2", "http://disc.com/hot"),
+        ("http://b.com/p", "http://disc.com/hot"),
+        ("http://c.com/p", "http://disc.com/hot"),
+        # 2 distinct hosts -> default + step
+        ("http://a.com/p1", "http://disc.com/warm"),
+        ("http://b.com/p", "http://disc.com/warm"),
+        # 1 host -> default
+        ("http://a.com/p1", "http://disc.com/cold"),
+        # every stronger supply wins over a link hint
+        ("http://a.com/p1", "http://news.com/front"),   # history
+        ("http://a.com/p1", "http://news.com/new"),     # sitemap
+        ("http://a.com/p1", "http://fresh.com/x"),      # redirect
+        # unresolvable href: ignored
+        ("http://a.com/p1", None),
+    ]
+    links = spark.createDataFrame(link_rows, "src_url string, resolved string")
+    qdf = fetch_queue(
+        stats, sm, as_of_date="2026-02-21", redirects=rd, links=links,
+        link_step_e6=300_000,
+    )
+    q = {r["url"]: r for r in qdf.collect()}
+    assert q["http://disc.com/hot"]["source"] == "link"
+    assert q["http://disc.com/hot"]["priority_e6"] == 990_000   # capped
+    assert q["http://disc.com/warm"]["priority_e6"] == 800_000  # 500k + 300k
+    assert q["http://disc.com/cold"]["priority_e6"] == 500_000
+    assert q["http://disc.com/cold"]["last_hash"] is None
+    assert q["http://news.com/front"]["source"] == "revisit"
+    assert q["http://news.com/new"]["source"] == "seed"
+    assert q["http://fresh.com/x"]["source"] == "redirect"
+    assert len([r for r in q.values() if r["source"] == "link"]) == 3
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE snaps (url VARCHAR, content_hash VARCHAR, crawl_date VARCHAR)")
+    con.executemany("INSERT INTO snaps VALUES (?, ?, ?)", _snapshots())
+    con.sql("CREATE TABLE sm (sitemap_url VARCHAR, kind VARCHAR, loc VARCHAR, "
+            "lastmod VARCHAR, changefreq VARCHAR, priority_e6 BIGINT)")
+    con.executemany("INSERT INTO sm VALUES (?, ?, ?, ?, ?, ?)", entries)
+    con.sql("CREATE TABLE rd (url VARCHAR, final_url VARCHAR, hops INT, "
+            "terminal BOOLEAN)")
+    con.executemany("INSERT INTO rd VALUES (?, ?, ?, ?)", rd_rows)
+    con.sql("CREATE TABLE lk (src_url VARCHAR, resolved VARCHAR)")
+    con.executemany("INSERT INTO lk VALUES (?, ?)", link_rows)
+    orc = con.sql(f"""
+WITH o AS (
+  SELECT url, content_hash, crawl_date,
+         lag(content_hash) OVER (PARTITION BY url ORDER BY crawl_date, content_hash) AS prev
+  FROM snaps
+),
+g AS (
+  SELECT url, count(*)::INT AS n_snapshots,
+         sum(CASE WHEN prev IS NOT NULL AND content_hash != prev THEN 1 ELSE 0 END)::INT AS n_changes,
+         max(crawl_date) AS last_date,
+         string_split(max(crawl_date || chr(1) || content_hash), chr(1))[2] AS last_hash
+  FROM o GROUP BY url
+),
+r AS (
+  SELECT url, 'revisit' AS source,
+         round((n_changes + 1) / (n_snapshots - 1 + 2)
+               * greatest(datediff('day', CAST(last_date AS DATE), DATE '2026-02-21'), 0)
+               / 30 * 1000000)::BIGINT AS priority_e6,
+         last_hash
+  FROM g
+),
+s AS (
+  SELECT loc AS url, max(coalesce(priority_e6, 500000))::BIGINT AS priority_e6
+  FROM sm WHERE kind = 'urlset' GROUP BY loc
+),
+t AS (
+  SELECT DISTINCT final_url AS url FROM rd WHERE terminal
+),
+d AS (
+  SELECT resolved AS url,
+         count(DISTINCT lower(regexp_extract(src_url, '{_HOST_RE_SQL}', 1))) AS n_hosts
+  FROM lk WHERE resolved IS NOT NULL GROUP BY resolved
+)
+SELECT * FROM r
+UNION ALL
+SELECT s.url, 'seed', s.priority_e6, NULL FROM s
+LEFT JOIN g ON s.url = g.url WHERE g.url IS NULL
+UNION ALL
+SELECT t.url, 'redirect', 500000::BIGINT, NULL FROM t
+LEFT JOIN g ON t.url = g.url
+LEFT JOIN (SELECT DISTINCT loc FROM sm WHERE kind = 'urlset') sl ON t.url = sl.loc
+WHERE g.url IS NULL AND sl.loc IS NULL
+UNION ALL
+SELECT d.url, 'link', least(990000, 500000 + 300000 * (d.n_hosts - 1))::BIGINT, NULL
+FROM d
+LEFT JOIN g ON d.url = g.url
+LEFT JOIN (SELECT DISTINCT loc FROM sm WHERE kind = 'urlset') sl ON d.url = sl.loc
+LEFT JOIN t ON d.url = t.url
+WHERE g.url IS NULL AND sl.loc IS NULL AND t.url IS NULL
+""")
+    srows = [tuple(r) for r in qdf.collect()]
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert value_hash(qdf.columns, srows) == value_hash(
+        ["url", "source", "priority_e6", "last_hash"], orows
+    )
+
+
 def test_parse_sitemap_entries_never_raises_on_junk(spark):
     """XML pathologies degrade to dropped entries, never an error —
     the frontier can always refetch (the operator's own contract)."""

@@ -202,6 +202,7 @@ CHECKS = {
     # window upstream, audited in revisit_priority's frame)
     "fetch_queue": [
         ("Union", True),
+        ("HashAggregate", True),  # link supply's distinct-host groupBy
         ("Exchange SinglePartition", False),
         ("CartesianProduct", False),
         ("BroadcastNestedLoopJoin", False),
@@ -483,15 +484,25 @@ def _extra_frames():
             F.lit(None).cast("string").alias("changefreq"),
             F.lit(None).cast("bigint").alias("priority_e6"),
         )
-        # synthetic resolve_redirects-shaped frame: the audit wants the
-        # three-supply plan (revisit + seed + redirect), not chain math
-        rd = load(spark, sf_dir, "documents").select(
+        # synthetic resolve_redirects/resolve_links-shaped frames: the
+        # audit wants the four-supply plan (revisit + seed + redirect +
+        # link), not chain math
+        docs = load(spark, sf_dir, "documents")
+        rd = docs.select(
             F.concat(F.lit("http://old.com/"), "doc_id").alias("url"),
             F.concat(F.lit("http://moved.com/"), "doc_id").alias("final_url"),
             F.lit(1).alias("hops"),
             (F.pmod("doc_id", F.lit(2)) == 0).alias("terminal"),
         )
-        return fetch_queue(stats, sm, as_of_date="2026-02-01", redirects=rd)
+        lk = docs.select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), "doc_id").alias("src_url"),
+            F.concat(F.lit("http://disc.com/"),
+                     F.pmod("doc_id", F.lit(97))).alias("resolved"),
+        )
+        return fetch_queue(
+            stats, sm, as_of_date="2026-02-01", redirects=rd, links=lk
+        )
 
     def f_queue(spark, sf_dir):
         return _queue(spark, sf_dir)
