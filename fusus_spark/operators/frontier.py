@@ -396,6 +396,68 @@ def fetch_queue(
     return queue
 
 
+def extend_snapshots(
+    snaps: DataFrame,
+    fetches: DataFrame,
+    *,
+    crawl_date: str,
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Fold one crawl cycle's fetch results back into the snapshot
+    history — the RETURN path of the conditional-GET loop that
+    :func:`fetch_queue` opens by emitting ``last_hash`` validators.
+    Returns the NEW (url, content_hash, crawl_date) rows to append to
+    the store :func:`url_change_stats` reads:
+
+    * ``http_status == 200`` with a non-null hash — a fresh
+      observation: the body's hash, stamped ``crawl_date``.
+    * ``http_status == 304`` — the origin asserts Not Modified: the
+      url's LATEST prior hash is carried forward under the new date.
+      Without this row the saved fetch would look like a missed
+      observation and :func:`url_change_stats` would under-count the
+      url's stability — a 304 is exactly one "no change" sample, and
+      recording it as such is what makes conditional GETs free instead
+      of evidence-destroying. A 304 for a url with NO prior snapshot
+      (a validator the store never issued) is dropped: there is
+      nothing to confirm.
+    * anything else (3xx/4xx/5xx, hashless 200s) — no content was
+      observed; no snapshot row. Fetch-level bookkeeping (retry
+      budgets, dead-url demotion) is policy above this operator.
+
+    A url appearing with both a 200 and a 304 in one cycle yields two
+    rows; ``url_change_stats``'s deterministic (crawl_date, hash)
+    tie-break already absorbs duplicate-date rows (tested).
+
+    Plan shape: ONE groupBy(url) max-of-struct for the latest prior
+    hash (same (crawl_date, hash) ordering as url_change_stats — and
+    agg-only per the cluster_representatives convention: a per-url
+    window would straggle on exactly the hottest urls) + one inner
+    equi-join on url for the 304s + a map-side union with the 200
+    projection. Hash-partitioned on url throughout, no broadcast
+    assumption, no window. DuckDB oracle in tests/test_frontier.py.
+    """
+    latest = (
+        snaps.groupBy("url")
+        .agg(F.max(F.struct("crawl_date", hash_col)).alias("m"))
+        .select("url", F.col(f"m.{hash_col}").alias("__prior__"))
+    )
+    fresh = fetches.where(
+        (F.col("http_status") == 200) & F.col(hash_col).isNotNull()
+    ).select("url", hash_col, F.lit(crawl_date).alias("crawl_date"))
+    confirmed = (
+        fetches.where(F.col("http_status") == 304)
+        .select("url")
+        .distinct()
+        .join(latest, "url")
+        .select(
+            "url",
+            F.col("__prior__").alias(hash_col),
+            F.lit(crawl_date).alias("crawl_date"),
+        )
+    )
+    return fresh.unionByName(confirmed)
+
+
 def schedule_fetches(
     queue: DataFrame, *, k_per_host: int
 ) -> DataFrame:

@@ -659,6 +659,99 @@ WHERE g.url IS NULL AND sl.loc IS NULL AND t.url IS NULL
     )
 
 
+def test_extend_snapshots_hand_cases(spark):
+    """The conditional-GET return path: 200s append fresh hashes, 304s
+    carry the latest prior hash forward, everything else is silent."""
+    from fusus_spark.operators.frontier import extend_snapshots
+
+    snaps = spark.createDataFrame(
+        _snapshots(), "url string, content_hash string, crawl_date string"
+    )
+    fetches = spark.createDataFrame(
+        [
+            ("http://news.com/front", 200, "h-new"),     # fresh observation
+            ("http://docs.com/page", 304, None),         # confirmed unchanged
+            ("http://docs.com/page", 304, None),         # dup 304: ONE row
+            ("http://mix.com/x", 404, None),             # no observation
+            ("http://mix.com/once", 301, None),          # no observation
+            ("http://ghost.com/q", 304, None),           # no prior: dropped
+            ("http://news.com/front", 200, None),        # hashless 200: dropped
+        ],
+        "url string, http_status int, content_hash string",
+    )
+    got = {
+        (r["url"], r["crawl_date"]): r["content_hash"]
+        for r in extend_snapshots(
+            snaps, fetches, crawl_date="2026-02-01"
+        ).collect()
+    }
+    assert got == {
+        ("http://news.com/front", "2026-02-01"): "h-new",
+        ("http://docs.com/page", "2026-02-01"): "same",
+    }
+
+
+def test_extend_snapshots_matches_duckdb_and_feeds_change_stats(spark):
+    """Oracle for the append rows, then the loop property: appending a
+    304-confirmation adds exactly one no-change sample to the url's
+    churn evidence."""
+    from fusus_spark.operators.frontier import extend_snapshots, url_change_stats
+
+    snaps = spark.createDataFrame(
+        _snapshots(), "url string, content_hash string, crawl_date string"
+    )
+    fetch_rows = [
+        ("http://news.com/front", 200, "h-new"),
+        ("http://docs.com/page", 304, None),
+        ("http://mix.com/x", 304, None),
+        ("http://mix.com/once", 500, None),
+        ("http://ghost.com/q", 304, None),
+    ]
+    fetches = spark.createDataFrame(
+        fetch_rows, "url string, http_status int, content_hash string"
+    )
+    sdf = extend_snapshots(snaps, fetches, crawl_date="2026-02-01")
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE snaps (url VARCHAR, content_hash VARCHAR, crawl_date VARCHAR)")
+    con.executemany("INSERT INTO snaps VALUES (?, ?, ?)", _snapshots())
+    con.sql("CREATE TABLE ftc (url VARCHAR, http_status INT, content_hash VARCHAR)")
+    con.executemany("INSERT INTO ftc VALUES (?, ?, ?)", fetch_rows)
+    orows = con.sql("""
+WITH latest AS (
+  SELECT url,
+         string_split(max(crawl_date || chr(1) || content_hash), chr(1))[2] AS prior
+  FROM snaps GROUP BY url
+)
+SELECT url, content_hash, '2026-02-01' AS crawl_date
+FROM ftc WHERE http_status = 200 AND content_hash IS NOT NULL
+UNION ALL
+SELECT f.url, l.prior, '2026-02-01'
+FROM (SELECT DISTINCT url FROM ftc WHERE http_status = 304) f
+JOIN latest l ON f.url = l.url
+""").fetchall()
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) == len(orows) > 0
+    assert value_hash(sdf.columns, srows) == value_hash(
+        ["url", "content_hash", "crawl_date"], [tuple(r) for r in orows]
+    )
+
+    # loop property: one more snapshot, zero more changes for the
+    # 304-confirmed static page; the churner gains a change sample
+    before = {r["url"]: r for r in url_change_stats(snaps).collect()}
+    after = {
+        r["url"]: r
+        for r in url_change_stats(snaps.unionByName(sdf)).collect()
+    }
+    assert after["http://docs.com/page"]["n_snapshots"] == \
+        before["http://docs.com/page"]["n_snapshots"] + 1
+    assert after["http://docs.com/page"]["n_changes"] == \
+        before["http://docs.com/page"]["n_changes"]
+    assert after["http://news.com/front"]["n_changes"] == \
+        before["http://news.com/front"]["n_changes"] + 1
+    assert "http://ghost.com/q" not in after
+
+
 def test_parse_sitemap_entries_never_raises_on_junk(spark):
     """XML pathologies degrade to dropped entries, never an error —
     the frontier can always refetch (the operator's own contract)."""

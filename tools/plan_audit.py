@@ -230,6 +230,15 @@ CHECKS = {
         ("BroadcastNestedLoopJoin", False),
         ("Window", False),
     ],
+    # conditional-GET return path: latest-prior-hash is agg-only
+    # (max-of-struct -> SortAggregate; a per-url window would straggle
+    # on the hottest urls) + one inner equi-join for the 304s
+    "extend_snapshots": [
+        ("Aggregate", True),
+        ("Window", False),
+        ("CartesianProduct", False),
+        ("BroadcastNestedLoopJoin", False),
+    ],
 }
 
 
@@ -507,6 +516,20 @@ def _extra_frames():
     def f_queue(spark, sf_dir):
         return _queue(spark, sf_dir)
 
+    def f_extend(spark, sf_dir):
+        from fusus_spark.operators.frontier import extend_snapshots
+
+        fetches = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), F.pmod("doc_id", F.lit(200))).alias("url"),
+            F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit(304))
+            .otherwise(F.lit(200)).alias("http_status"),
+            F.md5(F.col("text")).alias("content_hash"),
+        )
+        return extend_snapshots(
+            _snap_docs(spark, sf_dir), fetches, crawl_date="2026-02-01"
+        )
+
     def f_follow(spark, sf_dir):
         from fusus_spark.operators.webgraph import follow_redirects
 
@@ -587,7 +610,8 @@ def _extra_frames():
             "fetch_queue": f_queue,
             "schedule_fetches": f_schedule,
             "resolve_redirects": f_redirects,
-            "follow_redirects": f_follow}
+            "follow_redirects": f_follow,
+            "extend_snapshots": f_extend}
 
 
 def main() -> None:
