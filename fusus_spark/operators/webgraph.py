@@ -214,11 +214,22 @@ def resolve_links(
     return links.withColumn("resolved", resolved)
 
 
-def _host_edges(docs: DataFrame, url_col: str, html_col: str) -> DataFrame:
+def _host_edges(
+    docs: DataFrame,
+    url_col: str,
+    html_col: str,
+    redirects: DataFrame | None = None,
+) -> DataFrame:
     """Distinct cross-host (src_host, dst_host) edges: the ONE place the
     null/empty-host and self-edge rules live (host_link_stats and
-    host_pagerank must never disagree on what an edge is)."""
+    host_pagerank must never disagree on what an edge is). When a
+    ``resolve_redirects`` frame is given, targets are collapsed through
+    :func:`follow_redirects` FIRST — so an edge whose collapse lands
+    back on the source host (a.com -> old.com -> a.com) is a self-edge
+    and drops, by the same contract."""
     links = resolve_links(extract_links(docs, url_col, html_col))
+    if redirects is not None:
+        links = follow_redirects(links, redirects)
     return _normalize_edges(
         links.where(F.col("resolved").isNotNull()).select(
             url_host(F.col("src_url")).alias("src_host"),
@@ -244,20 +255,27 @@ def _normalize_edges(edges: DataFrame) -> DataFrame:
 
 
 def host_link_stats(
-    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    redirects: DataFrame | None = None,
 ) -> DataFrame:
     """Host-level link graph statistics: (host, in_degree, out_degree)
     over DISTINCT cross-host edges.
 
     in_degree = number of distinct OTHER hosts linking to this host —
     the classic crawl-quality / spam signal; out_degree symmetric.
-    Plan: links (map-side) -> distinct (src_host, dst_host) edge set
-    (one shuffle, partial-agg'd) -> each edge contributes one
-    (host, in, out) row per endpoint, folded by ONE groupBy — no join,
-    no coalesce scaffolding. Anchors and urls never reach the edge
-    shuffle.
+    Optional ``redirects`` (a :func:`resolve_redirects` frame)
+    collapses targets through :func:`follow_redirects` before host
+    extraction: degree credit lands on the host that SERVES the
+    content, not the 301 shell in front of it (one extra equi-join,
+    same shuffle count class). Plan: links (map-side) -> distinct
+    (src_host, dst_host) edge set (one shuffle, partial-agg'd) -> each
+    edge contributes one (host, in, out) row per endpoint, folded by
+    ONE groupBy — no join, no coalesce scaffolding. Anchors and urls
+    never reach the edge shuffle.
     """
-    edges = _host_edges(docs, url_col, html_col)
+    edges = _host_edges(docs, url_col, html_col, redirects)
     endpoints = edges.select(
         F.col("dst_host").alias("host"), F.lit(1).alias("i"), F.lit(0).alias("o")
     ).unionByName(
@@ -279,6 +297,7 @@ def host_pagerank(
     damping_e6: int = 850_000,
     url_col: str = "url",
     html_col: str = "html",
+    redirects: DataFrame | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 3,
 ) -> DataFrame:
@@ -313,7 +332,11 @@ def host_pagerank(
     shape. Caller-supplied ``edges`` pass through the SAME
     ``_normalize_edges`` contract as the docs path (empty/null hosts
     and self-edges dropped): a spam host's self-links must never feed
-    it its own damped mass back.
+    it its own damped mass back. Optional ``redirects`` (docs path
+    only — caller-supplied edges are already host-level) collapses
+    link targets through :func:`follow_redirects` before host
+    extraction, so rank mass flows to the serving host, not a 301
+    shell.
 
     Executor-loss story (how lineage is truncated):
 
@@ -336,8 +359,13 @@ def host_pagerank(
     if edges is None:
         if docs is None:
             raise ValueError("need docs or edges")
-        edges = _host_edges(docs, url_col, html_col)
+        edges = _host_edges(docs, url_col, html_col, redirects)
     else:
+        if redirects is not None:
+            raise ValueError(
+                "redirects collapse applies to the docs path; "
+                "host-level edges are already past url resolution"
+            )
         edges = _normalize_edges(edges)
 
     def _snapshot(df: DataFrame, name: str) -> DataFrame:
@@ -528,7 +556,11 @@ def follow_redirects(
 
 
 def host_anchor_texts(
-    docs: DataFrame, k: int = 5, url_col: str = "url", html_col: str = "html"
+    docs: DataFrame,
+    k: int = 5,
+    url_col: str = "url",
+    html_col: str = "html",
+    redirects: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k anchor texts per TARGET host — how the rest of the web
     describes a host (the anchor-text signal search and curation both
@@ -540,12 +572,19 @@ def host_anchor_texts(
     count over ALL its anchors (computed before the top-k cut, so
     consumers get the untruncated signal). Only CROSS-host anchors
     count (same-host nav text describes the site's menu, not its
-    reputation) and empty anchors are dropped. Plan: map-side link
-    harvest -> one groupBy((host, anchor)) count -> per-host window
-    top-k with a deterministic (count DESC, anchor ASC) tie-break; the
-    windows partition by host, never a single global partition.
+    reputation) and empty anchors are dropped. Optional ``redirects``
+    (a :func:`resolve_redirects` frame) collapses targets through
+    :func:`follow_redirects` first, so anchor evidence pools on the
+    host that serves the content — anchors whose collapse lands back
+    on the source host become same-host and drop, by the same rule.
+    Plan: map-side link harvest -> one groupBy((host, anchor)) count
+    -> per-host window top-k with a deterministic (count DESC, anchor
+    ASC) tie-break; the windows partition by host, never a single
+    global partition.
     """
     links = resolve_links(extract_links(docs, url_col, html_col))
+    if redirects is not None:
+        links = follow_redirects(links, redirects)
     pairs = (
         links.where(F.col("resolved").isNotNull())
         .select(

@@ -611,6 +611,58 @@ def test_resolve_redirects_checkpoint_dir_fault_tolerant_path(spark, tmp_path):
     assert "edges" in sorted(os.listdir(ck))
 
 
+def test_host_graph_redirect_collapse(spark):
+    """redirects= on the host-graph builders: degree/anchor credit
+    lands on the serving host; a collapse back onto the source host
+    becomes a self-edge and drops."""
+    from pyspark.sql import functions as F
+    from fusus_spark.operators.webgraph import (
+        host_anchor_texts, host_link_stats, host_pagerank)
+
+    docs = spark.createDataFrame(
+        [
+            ("http://a.com/p",
+             "<a href='http://old.com/x'>Great Site</a>"
+             "<a href='http://back.com/y'>loop</a>"),
+            ("http://b.com/p", "<a href='http://old.com/x'>great site</a>"),
+        ],
+        "url string, html string",
+    ).withColumn("html", F.encode("html", "utf-8"))
+    rd = spark.createDataFrame(
+        [
+            ("http://old.com/x", "http://served.com/x", 1, True),
+            # collapses a.com's edge back onto itself -> self-edge drop
+            ("http://back.com/y", "http://a.com/home", 1, True),
+        ],
+        "url string, final_url string, hops int, terminal boolean",
+    )
+    deg = {r["host"]: r for r in host_link_stats(docs, redirects=rd).collect()}
+    assert deg["served.com"]["in_degree"] == 2
+    assert "old.com" not in deg
+    assert deg["a.com"]["out_degree"] == 1  # back.com edge self-collapsed
+    # without the collapse, credit sits on the 301 shell
+    deg0 = {r["host"]: r for r in host_link_stats(docs).collect()}
+    assert deg0["old.com"]["in_degree"] == 2 and "served.com" not in deg0
+
+    anch = host_anchor_texts(docs, k=5, redirects=rd).collect()
+    by_host = {(r["host"], r["anchor"]) for r in anch}
+    assert ("served.com", "great site") in by_host
+    assert all(h != "old.com" for h, _ in by_host)
+
+    ranks = {r["host"]: r["rank_e9"]
+             for r in host_pagerank(docs, iters=3, redirects=rd).collect()}
+    assert "served.com" in ranks and "old.com" not in ranks
+
+    edges = spark.createDataFrame(
+        [("a.com", "b.com")], "src_host string, dst_host string"
+    )
+    try:
+        host_pagerank(edges=edges, redirects=rd)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_follow_redirects_hand_cases(spark):
     from fusus_spark.operators.webgraph import follow_redirects
 
