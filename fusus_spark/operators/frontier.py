@@ -263,7 +263,7 @@ def fetch_queue(
     """The unified fetch queue: every url the crawler should consider
     this cycle, scored. (url, source, priority_e6, last_hash).
 
-    Two supplies merge:
+    Up to four supplies merge:
 
     * ``revisit`` — urls with snapshot history (``url_change_stats``
       output), scored by :func:`revisit_priority` (Laplace-smoothed
@@ -297,7 +297,14 @@ def fetch_queue(
       seeding, the crawl-ordering baseline of Cho et al. 1998),
       while the cap keeps any hint supply below a genuinely stale
       churner's revisit score. Null ``resolved`` rows (unresolvable
-      hrefs) are ignored.
+      hrefs) are ignored. When ``redirects`` is also given, link
+      targets are first collapsed through the terminal chains
+      (:func:`~fusus_spark.operators.webgraph.follow_redirects`) and
+      any url the archive knows to be a redirect SOURCE is dropped —
+      otherwise every 301 shell the corpus links to gets queued as a
+      "discovered" url the archive already proved serves no content,
+      and the serving url's host-count evidence splits across its
+      aliases.
 
     A url present in several supplies appears ONCE, strongest evidence
     wins: history beats sitemap hint beats redirect inference beats
@@ -342,10 +349,16 @@ def fetch_queue(
     )
     queue = revisit.unionByName(seeds)
     # raw urlset locs, not the seeds subplan: same exclusion, no
-    # recompute of the seed groupBy+anti-join
+    # recompute of the seed groupBy+anti-join. With a third/fourth
+    # supply the locs subtree gains a second consumer — snapshot it
+    # (exchange-reuse gotcha, same contract as url_stats above); ditto
+    # redirects, which the link branch reads three ways.
     urlset_locs = sitemap_entries.where(F.col("kind") == "urlset").select(
         F.col("loc").alias("url")
     )
+    if redirects is not None and links is not None:
+        urlset_locs = urlset_locs.localCheckpoint()
+        redirects = redirects.localCheckpoint()
     terminal_targets = (
         redirects.where(F.col("terminal")).select(
             F.col("final_url").alias("url")
@@ -367,9 +380,22 @@ def fetch_queue(
         )
         queue = queue.unionByName(targets)
     if links is not None:
+        links = links.where(F.col("resolved").isNotNull())
+        if redirects is not None:
+            from fusus_spark.operators.webgraph import follow_redirects
+
+            # collapse link targets onto serving urls; whatever still
+            # names a known redirect source afterwards is a cycle /
+            # over-cap shell — fetching it buys nothing (the same
+            # reasoning that keeps non-terminal endpoints out of the
+            # redirect supply)
+            links = follow_redirects(links, redirects).join(
+                redirects.select("url").withColumnRenamed("url", "resolved"),
+                "resolved",
+                "left_anti",
+            )
         discovered = (
-            links.where(F.col("resolved").isNotNull())
-            .select(
+            links.select(
                 F.col("resolved").alias("url"),
                 url_host(F.col("src_url")).alias("src_host"),
             )
@@ -417,8 +443,11 @@ def extend_snapshots(
       observation and :func:`url_change_stats` would under-count the
       url's stability — a 304 is exactly one "no change" sample, and
       recording it as such is what makes conditional GETs free instead
-      of evidence-destroying. A 304 for a url with NO prior snapshot
-      (a validator the store never issued) is dropped: there is
+      of evidence-destroying. "Latest prior" skips null values (with a
+      validator ``hash_col`` a null is "server omitted it on that
+      fetch", per url_change_stats) — the 304 confirms the validator
+      the store actually ISSUED. A 304 for a url with NO observed
+      prior (a validator the store never issued) is dropped: there is
       nothing to confirm.
     * anything else (3xx/4xx/5xx, hashless 200s) — no content was
       observed; no snapshot row. Fetch-level bookkeeping (retry
@@ -436,10 +465,22 @@ def extend_snapshots(
     projection. Hash-partitioned on url throughout, no broadcast
     assumption, no window. DuckDB oracle in tests/test_frontier.py.
     """
+    # latest OBSERVED value only (same null-skipping max-of-struct as
+    # url_change_stats' last_hash): with a validator column a null at
+    # the newest date is "server omitted it", not "no prior" — the 304
+    # confirms the validator the store actually ISSUED
     latest = (
         snaps.groupBy("url")
-        .agg(F.max(F.struct("crawl_date", hash_col)).alias("m"))
+        .agg(
+            F.max(
+                F.when(
+                    F.col(hash_col).isNotNull(),
+                    F.struct("crawl_date", hash_col),
+                )
+            ).alias("m")
+        )
         .select("url", F.col(f"m.{hash_col}").alias("__prior__"))
+        .where(F.col("__prior__").isNotNull())
     )
     fresh = fetches.where(
         (F.col("http_status") == 200) & F.col(hash_col).isNotNull()

@@ -229,7 +229,11 @@ def _host_edges(
     and drops, by the same contract."""
     links = resolve_links(extract_links(docs, url_col, html_col))
     if redirects is not None:
-        links = follow_redirects(links, redirects)
+        # null-resolved rows drop below anyway; filtering BEFORE the
+        # redirect join keeps them out of its exchange
+        links = follow_redirects(
+            links.where(F.col("resolved").isNotNull()), redirects
+        )
     return _normalize_edges(
         links.where(F.col("resolved").isNotNull()).select(
             url_host(F.col("src_url")).alias("src_host"),
@@ -584,7 +588,10 @@ def host_anchor_texts(
     """
     links = resolve_links(extract_links(docs, url_col, html_col))
     if redirects is not None:
-        links = follow_redirects(links, redirects)
+        # same pre-join null filter as _host_edges
+        links = follow_redirects(
+            links.where(F.col("resolved").isNotNull()), redirects
+        )
     pairs = (
         links.where(F.col("resolved").isNotNull())
         .select(

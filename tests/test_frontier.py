@@ -553,7 +553,10 @@ def test_fetch_queue_link_supply(spark):
     sm = spark.createDataFrame(
         entries, "sitemap_url string, kind string, loc string, "
                  "lastmod string, changefreq string, priority_e6 bigint")
-    rd_rows = [("http://old.com/a", "http://fresh.com/x", 2, True)]
+    rd_rows = [
+        ("http://old.com/a", "http://fresh.com/x", 2, True),
+        ("http://loop.com/a", "http://loop.com/b", 4, False),
+    ]
     rd = spark.createDataFrame(
         rd_rows, "url string, final_url string, hops int, terminal boolean")
     link_rows = [
@@ -571,6 +574,12 @@ def test_fetch_queue_link_supply(spark):
         ("http://a.com/p1", "http://news.com/front"),   # history
         ("http://a.com/p1", "http://news.com/new"),     # sitemap
         ("http://a.com/p1", "http://fresh.com/x"),      # redirect
+        # a link into a 301 shell collapses to its target (which the
+        # redirect supply already queues) — the shell never queued
+        ("http://z.com/p", "http://old.com/a"),
+        # a link into a cycle member: a known redirect source that
+        # never re-aims — dropped outright
+        ("http://z.com/p", "http://loop.com/a"),
         # unresolvable href: ignored
         ("http://a.com/p1", None),
     ]
@@ -588,6 +597,8 @@ def test_fetch_queue_link_supply(spark):
     assert q["http://news.com/front"]["source"] == "revisit"
     assert q["http://news.com/new"]["source"] == "seed"
     assert q["http://fresh.com/x"]["source"] == "redirect"
+    assert "http://old.com/a" not in q    # collapsed into fresh.com/x
+    assert "http://loop.com/a" not in q   # cycle shell: dropped
     assert len([r for r in q.values() if r["source"] == "link"]) == 3
 
     con = duckdb.connect()
@@ -630,9 +641,16 @@ t AS (
   SELECT DISTINCT final_url AS url FROM rd WHERE terminal
 ),
 d AS (
-  SELECT resolved AS url,
-         count(DISTINCT lower(regexp_extract(src_url, '{_HOST_RE_SQL}', 1))) AS n_hosts
-  FROM lk WHERE resolved IS NOT NULL GROUP BY resolved
+  -- collapse through terminal chains, then drop any remaining known
+  -- redirect source (cycle/over-cap shells) — mirrors follow_redirects
+  -- + the left_anti on rd.url
+  SELECT coalesce(m.final_url, l.resolved) AS url,
+         count(DISTINCT lower(regexp_extract(l.src_url, '{_HOST_RE_SQL}', 1))) AS n_hosts
+  FROM lk l
+  LEFT JOIN (SELECT url, final_url FROM rd WHERE terminal) m ON l.resolved = m.url
+  WHERE l.resolved IS NOT NULL
+    AND coalesce(m.final_url, l.resolved) NOT IN (SELECT url FROM rd)
+  GROUP BY 1
 )
 SELECT * FROM r
 UNION ALL
@@ -665,7 +683,13 @@ def test_extend_snapshots_hand_cases(spark):
     from fusus_spark.operators.frontier import extend_snapshots
 
     snaps = spark.createDataFrame(
-        _snapshots(), "url string, content_hash string, crawl_date string"
+        _snapshots()
+        # validator-store shape: the newest fetch omitted the etag —
+        # the 304 confirms the validator the store actually ISSUED
+        + [("http://etag.com/v", "e1", "2026-01-01"),
+           ("http://etag.com/v", None, "2026-01-15"),
+           ("http://omit.com/w", None, "2026-01-15")],
+        "url string, content_hash string, crawl_date string",
     )
     fetches = spark.createDataFrame(
         [
@@ -676,6 +700,8 @@ def test_extend_snapshots_hand_cases(spark):
             ("http://mix.com/once", 301, None),          # no observation
             ("http://ghost.com/q", 304, None),           # no prior: dropped
             ("http://news.com/front", 200, None),        # hashless 200: dropped
+            ("http://etag.com/v", 304, None),            # null-latest: skip to e1
+            ("http://omit.com/w", 304, None),            # never observed: dropped
         ],
         "url string, http_status int, content_hash string",
     )
@@ -688,6 +714,7 @@ def test_extend_snapshots_hand_cases(spark):
     assert got == {
         ("http://news.com/front", "2026-02-01"): "h-new",
         ("http://docs.com/page", "2026-02-01"): "same",
+        ("http://etag.com/v", "2026-02-01"): "e1",
     }
 
 
@@ -697,8 +724,13 @@ def test_extend_snapshots_matches_duckdb_and_feeds_change_stats(spark):
     churn evidence."""
     from fusus_spark.operators.frontier import extend_snapshots, url_change_stats
 
+    snap_rows = _snapshots() + [
+        ("http://etag.com/v", "e1", "2026-01-01"),
+        ("http://etag.com/v", None, "2026-01-15"),
+        ("http://omit.com/w", None, "2026-01-15"),
+    ]
     snaps = spark.createDataFrame(
-        _snapshots(), "url string, content_hash string, crawl_date string"
+        snap_rows, "url string, content_hash string, crawl_date string"
     )
     fetch_rows = [
         ("http://news.com/front", 200, "h-new"),
@@ -706,6 +738,8 @@ def test_extend_snapshots_matches_duckdb_and_feeds_change_stats(spark):
         ("http://mix.com/x", 304, None),
         ("http://mix.com/once", 500, None),
         ("http://ghost.com/q", 304, None),
+        ("http://etag.com/v", 304, None),
+        ("http://omit.com/w", 304, None),
     ]
     fetches = spark.createDataFrame(
         fetch_rows, "url string, http_status int, content_hash string"
@@ -714,11 +748,13 @@ def test_extend_snapshots_matches_duckdb_and_feeds_change_stats(spark):
 
     con = duckdb.connect()
     con.sql("CREATE TABLE snaps (url VARCHAR, content_hash VARCHAR, crawl_date VARCHAR)")
-    con.executemany("INSERT INTO snaps VALUES (?, ?, ?)", _snapshots())
+    con.executemany("INSERT INTO snaps VALUES (?, ?, ?)", snap_rows)
     con.sql("CREATE TABLE ftc (url VARCHAR, http_status INT, content_hash VARCHAR)")
     con.executemany("INSERT INTO ftc VALUES (?, ?, ?)", fetch_rows)
     orows = con.sql("""
 WITH latest AS (
+  -- NULL-propagating concat skips null hashes, same as the Spark
+  -- null-guarded max-of-struct
   SELECT url,
          string_split(max(crawl_date || chr(1) || content_hash), chr(1))[2] AS prior
   FROM snaps GROUP BY url
@@ -729,6 +765,7 @@ UNION ALL
 SELECT f.url, l.prior, '2026-02-01'
 FROM (SELECT DISTINCT url FROM ftc WHERE http_status = 304) f
 JOIN latest l ON f.url = l.url
+WHERE l.prior IS NOT NULL
 """).fetchall()
     srows = [tuple(r) for r in sdf.collect()]
     assert len(srows) == len(orows) > 0

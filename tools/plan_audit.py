@@ -202,7 +202,12 @@ CHECKS = {
     # window upstream, audited in revisit_priority's frame)
     "fetch_queue": [
         ("Union", True),
-        ("HashAggregate", True),  # link supply's distinct-host groupBy
+        ("HashAggregate", True),
+        # url_change_stats' per-url window sits BEHIND the eager
+        # localCheckpoint (not in this plan; audited in
+        # revisit_priority's frame) — so Window-absent is a real
+        # assertion that no supply regressed its groupBy into a window
+        ("Window", False),
         ("Exchange SinglePartition", False),
         ("CartesianProduct", False),
         ("BroadcastNestedLoopJoin", False),
