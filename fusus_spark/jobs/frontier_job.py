@@ -1,0 +1,192 @@
+"""Crawl-frontier cycle job — one scheduling cycle of the crawl loop
+composed end to end, ``spark-submit --py-files`` launchable like the
+extraction and curation jobs:
+
+    spark-submit --py-files dist/fusus_spark.zip \\
+        fusus_spark/jobs/frontier_job.py \\
+        --snapshots <(url, content_hash, crawl_date) parquet dir> \\
+        --output    <cycle output dir> \\
+        --as-of-date 2026-02-01 \\
+        [--fetch-results <(url, http_status, content_hash) parquet>] \\
+        [--sitemaps  <parse_sitemap_entries output parquet>] \\
+        [--redirects <resolve_redirects output parquet>] \\
+        [--links     <resolve_links output parquet>]
+
+Stage order mirrors the loop the operators define:
+
+    0. fold-back (optional)   (extend_snapshots over --fetch-results:
+                               the PREVIOUS cycle's 200s/304s become
+                               snapshot rows BEFORE this cycle scores —
+                               a saved fetch must count as evidence the
+                               same cycle it happens; the delta is
+                               written to <output>/snapshots_delta for
+                               the caller to append to the store)
+    1. churn evidence         (url_change_stats over store + delta;
+                               host_change_stats written as audit)
+    2. unified fetch queue    (fetch_queue: revisit + optional
+                               sitemap-seed / redirect-target /
+                               link-discovery supplies, precedence-
+                               ordered, one row per url)
+    3. politeness schedule    (schedule_fetches top-k per host ->
+                               <output>/schedule, the cycle's work list)
+
+The summary is derived from the WRITTEN schedule table (the curate_job
+invariant: never re-run a tier's lineage just to count it). Output is
+an idempotent overwrite per cycle directory — the restart unit is the
+cycle, matching the operators' own "recompute one queue build" story;
+the snapshot STORE itself is only ever appended to by the caller from
+the written delta, so a crashed cycle never corrupts history.
+
+Scale notes: every stage is the audited operator plan (plan_audit
+frames for url_change_stats' window, fetch_queue's anti-join union,
+schedule_fetches' per-host window) — the job adds only parquet IO at
+the seams, no new shuffles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession, functions as F
+
+_SITEMAP_SCHEMA = (
+    "sitemap_url string, kind string, loc string, "
+    "lastmod string, changefreq string, priority_e6 bigint"
+)
+
+
+def run_job(
+    spark: SparkSession,
+    *,
+    snapshots_path: str,
+    output_path: str,
+    as_of_date: str,
+    fetch_results_path: str | None = None,
+    sitemaps_path: str | None = None,
+    redirects_path: str | None = None,
+    links_path: str | None = None,
+    crawl_date: str | None = None,
+    hash_col: str = "content_hash",
+    halflife_days: int = 30,
+    k_per_host: int = 100,
+) -> dict:
+    """The job body, session-agnostic (tests drive it directly).
+
+    ``crawl_date`` stamps the fold-back rows (defaults to
+    ``as_of_date`` — the cycle observes "now"). Returns the summary
+    dict (also printed by main as one JSON line).
+    """
+    from fusus_spark.operators.frontier import (
+        extend_snapshots,
+        fetch_queue,
+        host_change_stats,
+        schedule_fetches,
+        url_change_stats,
+    )
+
+    out = output_path.rstrip("/")
+    snaps = spark.read.parquet(snapshots_path)
+    summary: dict = {"as_of_date": as_of_date}
+
+    # 0. fold the previous cycle's fetch results into the evidence
+    # BEFORE scoring; persist the delta so the caller can append it to
+    # the store (the job never mutates the store in place).
+    if fetch_results_path is not None:
+        delta = extend_snapshots(
+            snaps,
+            spark.read.parquet(fetch_results_path),
+            crawl_date=crawl_date or as_of_date,
+            hash_col=hash_col,
+        )
+        delta.write.mode("overwrite").parquet(f"{out}/snapshots_delta")
+        delta = spark.read.parquet(f"{out}/snapshots_delta")
+        snaps = snaps.select(delta.columns).unionByName(delta)
+        summary["n_folded"] = delta.count()
+
+    # 1. churn evidence; the host rollup is the cycle's audit table
+    stats = url_change_stats(snaps, hash_col=hash_col)
+    host_change_stats(stats).write.mode("overwrite").parquet(
+        f"{out}/audit/host_change"
+    )
+
+    # 2. the unified queue over whichever supplies this deployment has
+    sitemaps = (
+        spark.read.parquet(sitemaps_path)
+        if sitemaps_path is not None
+        else spark.createDataFrame([], _SITEMAP_SCHEMA)
+    )
+    queue = fetch_queue(
+        stats,
+        sitemaps,
+        as_of_date=as_of_date,
+        halflife_days=halflife_days,
+        redirects=(
+            spark.read.parquet(redirects_path)
+            if redirects_path is not None
+            else None
+        ),
+        links=(
+            spark.read.parquet(links_path) if links_path is not None else None
+        ),
+    )
+
+    # 3. the politeness-capped work list — the cycle's deliverable
+    schedule_fetches(queue, k_per_host=k_per_host).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/schedule")
+
+    sched = spark.read.parquet(f"{out}/schedule")
+    summary["n_scheduled"] = sched.count()
+    summary["n_hosts"] = sched.select("host").distinct().count()
+    summary["by_source"] = {
+        r["source"]: r["n"]
+        for r in sched.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    return summary
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--snapshots", required=True,
+                   help="(url, content_hash, crawl_date) snapshot store parquet")
+    p.add_argument("--output", required=True, help="cycle output dir")
+    p.add_argument("--as-of-date", required=True,
+                   help="the cycle's scoring date (YYYY-MM-DD)")
+    p.add_argument("--fetch-results",
+                   help="previous cycle's (url, http_status, content_hash) parquet "
+                        "to fold into the evidence first")
+    p.add_argument("--sitemaps", help="parse_sitemap_entries output parquet")
+    p.add_argument("--redirects", help="resolve_redirects output parquet")
+    p.add_argument("--links", help="resolve_links output parquet")
+    p.add_argument("--crawl-date",
+                   help="date stamped on folded fetch results (default: as-of-date)")
+    p.add_argument("--hash-col", default="content_hash",
+                   help="change-signal column (content_hash or a validator like etag)")
+    p.add_argument("--halflife-days", type=int, default=30)
+    p.add_argument("--k-per-host", type=int, default=100)
+    a = p.parse_args(argv)
+
+    spark = SparkSession.builder.appName("fusus-frontier").getOrCreate()
+    summary = run_job(
+        spark,
+        snapshots_path=a.snapshots,
+        output_path=a.output,
+        as_of_date=a.as_of_date,
+        fetch_results_path=a.fetch_results,
+        sitemaps_path=a.sitemaps,
+        redirects_path=a.redirects,
+        links_path=a.links,
+        crawl_date=a.crawl_date,
+        hash_col=a.hash_col,
+        halflife_days=a.halflife_days,
+        k_per_host=a.k_per_host,
+    )
+    print(json.dumps(summary, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

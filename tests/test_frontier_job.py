@@ -1,0 +1,105 @@
+"""Frontier cycle job: the crawl loop composed end to end over parquet
+seams — fold-back delta, audit table, schedule — with the summary
+derived from the WRITTEN tables (the job invariant)."""
+
+from __future__ import annotations
+
+from fusus_spark.jobs.frontier_job import run_job
+
+
+def _write_store(spark, path):
+    rows = []
+    for i, d in enumerate(["2026-01-01", "2026-01-08", "2026-01-15"]):
+        rows.append(("http://churn.com/a", f"h{i}", d))
+        rows.append(("http://static.com/b", "same", d))
+    spark.createDataFrame(
+        rows, "url string, content_hash string, crawl_date string"
+    ).write.mode("overwrite").parquet(path)
+
+
+def test_frontier_job_end_to_end(spark, tmp_path):
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "cycle1")
+    _write_store(spark, store)
+
+    spark.createDataFrame(
+        [
+            ("http://churn.com/a", 200, "h-new"),   # fresh observation
+            ("http://static.com/b", 304, None),     # confirmed unchanged
+            ("http://gone.com/x", 404, None),       # silent
+        ],
+        "url string, http_status int, content_hash string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "fetches"))
+
+    spark.createDataFrame(
+        [("https://s.com/sm.xml", "urlset", "http://new.com/p",
+          None, None, 800_000)],
+        "sitemap_url string, kind string, loc string, lastmod string, "
+        "changefreq string, priority_e6 bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "sitemaps"))
+
+    spark.createDataFrame(
+        [("http://old.com/a", "http://moved.com/x", 1, True)],
+        "url string, final_url string, hops int, terminal boolean",
+    ).write.mode("overwrite").parquet(str(tmp_path / "redirects"))
+
+    spark.createDataFrame(
+        [("http://linker.com/p", "http://disc.com/q"),
+         ("http://linker.com/p", "http://old.com/a")],  # shell: collapses
+        "src_url string, resolved string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "links"))
+
+    summary = run_job(
+        spark,
+        snapshots_path=store,
+        output_path=out,
+        as_of_date="2026-02-21",
+        crawl_date="2026-01-22",  # the fold is LAST cycle's results
+        fetch_results_path=str(tmp_path / "fetches"),
+        sitemaps_path=str(tmp_path / "sitemaps"),
+        redirects_path=str(tmp_path / "redirects"),
+        links_path=str(tmp_path / "links"),
+        k_per_host=10,
+    )
+    # 200 + confirmed 304; the 404 folds nothing
+    assert summary["n_folded"] == 2
+    assert summary["by_source"] == {
+        "revisit": 2, "seed": 1, "redirect": 1, "link": 1,
+    }
+    assert summary["n_scheduled"] == 5
+    assert summary["n_hosts"] == 5
+
+    delta = {
+        r["url"]: r["content_hash"]
+        for r in spark.read.parquet(f"{out}/snapshots_delta").collect()
+    }
+    assert delta == {"http://churn.com/a": "h-new",
+                     "http://static.com/b": "same"}
+    # the folded 304 kept static.com static THROUGH the fold: its
+    # schedule priority stays below the churner's
+    sched = {r["url"]: r for r in
+             spark.read.parquet(f"{out}/schedule").collect()}
+    assert sched["http://churn.com/a"]["priority_e6"] > \
+        sched["http://static.com/b"]["priority_e6"]
+    assert sched["http://moved.com/x"]["source"] == "redirect"
+    assert sched["http://disc.com/q"]["source"] == "link"
+    assert "http://old.com/a" not in sched
+    # audit table written
+    hosts = {r["host"] for r in
+             spark.read.parquet(f"{out}/audit/host_change").collect()}
+    assert {"churn.com", "static.com"} <= hosts
+
+
+def test_frontier_job_minimal_supplies(spark, tmp_path):
+    """Only the snapshot store: a pure-revisit cycle, no optional
+    inputs, no fold-back."""
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "cycle")
+    _write_store(spark, store)
+    summary = run_job(
+        spark, snapshots_path=store, output_path=out,
+        as_of_date="2026-02-01", k_per_host=1,
+    )
+    assert "n_folded" not in summary
+    assert summary["by_source"] == {"revisit": 2}
+    assert summary["n_scheduled"] == 2  # k=1 per host, two hosts
