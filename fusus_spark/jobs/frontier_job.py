@@ -28,7 +28,9 @@ Stage order mirrors the loop the operators define:
                                link-discovery supplies, precedence-
                                ordered, one row per url)
     3. politeness schedule    (schedule_fetches top-k per host ->
-                               <output>/schedule, the cycle's work list)
+                               <output>/schedule, the cycle's work
+                               list; --robots harvests Crawl-delays
+                               into per-host budget overrides)
 
 The summary is derived from the WRITTEN schedule table (the curate_job
 invariant: never re-run a tier's lineage just to count it). Output is
@@ -67,6 +69,9 @@ def run_job(
     sitemaps_path: str | None = None,
     redirects_path: str | None = None,
     links_path: str | None = None,
+    robots_path: str | None = None,
+    robots_agent: str = "*",
+    cycle_seconds: int = 3600,
     crawl_date: str | None = None,
     hash_col: str = "content_hash",
     halflife_days: int = 30,
@@ -132,10 +137,25 @@ def run_job(
         ),
     )
 
-    # 3. the politeness-capped work list — the cycle's deliverable
-    schedule_fetches(queue, k_per_host=k_per_host).write.mode(
-        "overwrite"
-    ).parquet(f"{out}/schedule")
+    # 3. the politeness-capped work list — the cycle's deliverable.
+    # With a (host, robots_txt) parquet, harvested Crawl-delays become
+    # per-host budget overrides (k=0 skips a host whose declared
+    # spacing exceeds the cycle).
+    budgets = None
+    if robots_path is not None:
+        from fusus_spark.operators.frontier import host_budgets_from_delays
+        from fusus_spark.operators.robots import robots_crawl_delays
+
+        budgets = host_budgets_from_delays(
+            robots_crawl_delays(
+                spark.read.parquet(robots_path), agent=robots_agent
+            ),
+            cycle_seconds=cycle_seconds,
+            k_per_host=k_per_host,
+        )
+    schedule_fetches(
+        queue, k_per_host=k_per_host, host_budgets=budgets
+    ).write.mode("overwrite").parquet(f"{out}/schedule")
 
     sched = spark.read.parquet(f"{out}/schedule")
     summary["n_scheduled"] = sched.count()
@@ -162,6 +182,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--sitemaps", help="parse_sitemap_entries output parquet")
     p.add_argument("--redirects", help="resolve_redirects output parquet")
     p.add_argument("--links", help="resolve_links output parquet")
+    p.add_argument("--robots",
+                   help="(host, robots_txt) parquet; harvested Crawl-delays "
+                        "become per-host schedule budgets")
+    p.add_argument("--robots-agent", default="*",
+                   help="product token for the governing robots group")
+    p.add_argument("--cycle-seconds", type=int, default=3600,
+                   help="cycle length the Crawl-delay budgets divide into")
     p.add_argument("--crawl-date",
                    help="date stamped on folded fetch results (default: as-of-date)")
     p.add_argument("--hash-col", default="content_hash",
@@ -180,6 +207,9 @@ def main(argv: list[str] | None = None) -> None:
         sitemaps_path=a.sitemaps,
         redirects_path=a.redirects,
         links_path=a.links,
+        robots_path=a.robots,
+        robots_agent=a.robots_agent,
+        cycle_seconds=a.cycle_seconds,
         crawl_date=a.crawl_date,
         hash_col=a.hash_col,
         halflife_days=a.halflife_days,

@@ -499,14 +499,47 @@ def extend_snapshots(
     return fresh.unionByName(confirmed)
 
 
+def host_budgets_from_delays(
+    delays: DataFrame, *, cycle_seconds: int, k_per_host: int
+) -> DataFrame:
+    """(host, crawl_delay_ms) — :func:`fusus_spark.operators.robots.
+    robots_crawl_delays` output — to the per-host fetch budgets one
+    cycle can spend while honoring each host's declared spacing:
+    ``k = min(k_per_host, cycle_seconds*1000 div crawl_delay_ms)``.
+    A delay longer than the cycle yields k=0 — the host is skipped
+    this cycle rather than fetched at a spacing it forbade (the
+    publisher chose starvation; honoring it is the point). Integer
+    arithmetic throughout, pure projection, zero shuffle."""
+    return delays.select(
+        "host",
+        F.least(
+            F.lit(k_per_host).cast("bigint"),
+            F.floor(
+                F.lit(int(cycle_seconds) * 1000)
+                / F.greatest(F.col("crawl_delay_ms"), F.lit(1))
+            ),
+        )
+        .cast("int")
+        .alias("k"),
+    )
+
+
 def schedule_fetches(
-    queue: DataFrame, *, k_per_host: int
+    queue: DataFrame, *, k_per_host: int,
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Politeness cap over the fetch queue: keep the top ``k_per_host``
     urls per host by priority. A crawler is rate-limited PER HOST
     (robots crawl-delay, connection budgets), so the binding constraint
     on one cycle's queue is per-host depth, not a global budget — a
     global top-N would let one giant host starve every small one.
+
+    Optional ``host_budgets`` (host, k) — e.g.
+    :func:`host_budgets_from_delays` over harvested Crawl-delays —
+    OVERRIDES the default depth per listed host (k=0 skips the host
+    this cycle); unlisted hosts keep ``k_per_host``. One extra left
+    equi-join on host, no broadcast assumption (at crawl scale the
+    budget table is one row per opting-in host — large).
 
     Deterministic: ties broken by url. Urls whose host cannot be
     parsed are dropped (nothing to rate-limit against — and nothing to
@@ -520,10 +553,25 @@ def schedule_fetches(
         Window.partitionBy("host")
         .orderBy(F.col("priority_e6").desc(), "url")
     )
-    return (
+    ranked = (
         queue.withColumn("host", url_host(F.col("url")))
         .where(F.col("host") != "")
         .withColumn("rank_in_host", F.row_number().over(w).cast("int"))
-        .where(F.col("rank_in_host") <= k_per_host)
-        .select("host", "url", "source", "priority_e6", "last_hash", "rank_in_host")
+    )
+    if host_budgets is None:
+        ranked = ranked.where(F.col("rank_in_host") <= k_per_host)
+    else:
+        b = host_budgets.select(
+            F.col("host").alias("__bh__"), F.col("k").alias("__bk__")
+        )
+        ranked = (
+            ranked.join(b, ranked["host"] == b["__bh__"], "left")
+            .where(
+                F.col("rank_in_host")
+                <= F.coalesce("__bk__", F.lit(k_per_host))
+            )
+            .drop("__bh__", "__bk__")
+        )
+    return ranked.select(
+        "host", "url", "source", "priority_e6", "last_hash", "rank_in_host"
     )

@@ -264,6 +264,85 @@ def robots_txt_rules(
     )
 
 
+def parse_robots_crawl_delay(body: str, agent: str = "*") -> float | None:
+    """Group-scoped ``Crawl-delay`` (the de-facto extension RFC 9309
+    deliberately omits) in SECONDS for the group governing ``agent``,
+    or None when no governing group declares one. Same group model as
+    :func:`parse_robots_txt_rules` — the union of matching specific
+    groups governs when one exists (even if it carries no delay: a
+    publisher who addressed this agent and stayed silent on delay gets
+    no delay, never the '*' fallback's), and crawl-delay lines do not
+    close a group, exactly like the sibling parser's unknown-key rule.
+    Several delays in the governing union fold to the MAX (the
+    conservative read). Unparseable/negative values are ignored."""
+    agent = agent.lower()
+    specific: list[float] = []
+    wild: list[float] = []
+    saw_specific_group = False
+    cur: list[str] = []
+    in_group_body = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                cur = []
+                in_group_body = False
+            cur.append(val.lower())
+            if val.lower() == agent:
+                saw_specific_group = True
+        elif key in ("allow", "disallow"):
+            in_group_body = True
+        elif key == "crawl-delay":
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d < 0 or d != d or d == float("inf"):
+                continue
+            if agent in cur:
+                specific.append(d)
+            elif "*" in cur:
+                wild.append(d)
+    vals = specific if saw_specific_group else wild
+    return max(vals) if vals else None
+
+
+def robots_crawl_delays(
+    robots: DataFrame, agent: str = "*",
+    host_col: str = "host", body_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) -> (host, crawl_delay_ms) for hosts whose
+    governing group declares a Crawl-delay — the politeness input
+    :func:`fusus_spark.operators.frontier.host_budgets_from_delays`
+    turns into per-host schedule caps. Milliseconds as BIGINT (the
+    repo's scaled-integer convention; sub-second float delays exist in
+    the wild). Same single Arrow ``mapInPandas`` stage as
+    ``robots_txt_rules`` — a robots.txt is config-sized — and the
+    parser is golden-pinned like the sibling (group scoping is not
+    SQL-expressible; the repo's non-SQL-oracle rule, documented
+    there)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {"host": [], "crawl_delay_ms": []}
+            for host, body in zip(pdf[host_col].tolist(), pdf[body_col].tolist()):
+                d = parse_robots_crawl_delay(body or "", agent)
+                if d is not None:
+                    rows["host"].append(host)
+                    rows["crawl_delay_ms"].append(int(round(d * 1000)))
+            yield pd.DataFrame(rows)
+
+    return robots.select(host_col, body_col).mapInPandas(
+        run, schema="host string, crawl_delay_ms bigint"
+    )
+
+
 def robots_sitemaps(
     robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
 ) -> DataFrame:

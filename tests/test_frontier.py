@@ -677,6 +677,83 @@ WHERE g.url IS NULL AND sl.loc IS NULL AND t.url IS NULL
     )
 
 
+def test_host_budgets_from_delays(spark):
+    from fusus_spark.operators.frontier import host_budgets_from_delays
+
+    delays = spark.createDataFrame(
+        [
+            ("slow.com", 600_000),    # 10 min spacing, 1h cycle -> 6
+            ("glacial.com", 7_200_000),  # 2h spacing > cycle -> 0 (skip)
+            ("zero.com", 0),          # no constraint -> capped at default
+            ("subsec.com", 500),      # 0.5s spacing -> capped at default
+        ],
+        "host string, crawl_delay_ms bigint",
+    )
+    got = {r["host"]: r["k"]
+           for r in host_budgets_from_delays(
+               delays, cycle_seconds=3600, k_per_host=100
+           ).collect()}
+    assert got == {"slow.com": 6, "glacial.com": 0,
+                   "zero.com": 100, "subsec.com": 100}
+
+
+def test_schedule_fetches_host_budgets(spark):
+    """Per-host budget overrides: listed hosts get their k (0 = skip),
+    unlisted hosts keep the default. Hash-checked against the DuckDB
+    window+join oracle."""
+    from fusus_spark.operators.frontier import schedule_fetches
+
+    queue_rows = [
+        (f"http://big.com/p{i}", "revisit", 1_000_000 - i, None)
+        for i in range(5)
+    ] + [
+        ("http://slow.com/a", "revisit", 900_000, None),
+        ("http://slow.com/b", "revisit", 800_000, None),
+        ("http://banned.com/x", "seed", 500_000, None),
+        ("http://free.com/y", "seed", 500_000, None),
+    ]
+    queue = spark.createDataFrame(
+        queue_rows, "url string, source string, priority_e6 bigint, last_hash string"
+    )
+    budgets = spark.createDataFrame(
+        [("slow.com", 1), ("banned.com", 0)], "host string, k int"
+    )
+    sdf = schedule_fetches(queue, k_per_host=3, host_budgets=budgets)
+    got = {r["url"] for r in sdf.collect()}
+    assert len([u for u in got if "big.com" in u]) == 3      # default
+    assert got & {"http://slow.com/a", "http://slow.com/b"} == {
+        "http://slow.com/a"}                                  # k=1, top priority
+    assert "http://banned.com/x" not in got                   # k=0: skipped
+    assert "http://free.com/y" in got                         # unlisted
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE q (url VARCHAR, source VARCHAR, priority_e6 BIGINT, "
+            "last_hash VARCHAR)")
+    con.executemany("INSERT INTO q VALUES (?, ?, ?, ?)", queue_rows)
+    con.sql("CREATE TABLE b (host VARCHAR, k INT)")
+    con.executemany("INSERT INTO b VALUES (?, ?)", [("slow.com", 1), ("banned.com", 0)])
+    orc = con.sql(f"""
+WITH h AS (
+  SELECT lower(regexp_extract(url, '{_HOST_RE_SQL}', 1)) AS host, *
+  FROM q
+),
+r AS (
+  SELECT host, url, source, priority_e6, last_hash, row_number() OVER (
+    PARTITION BY host ORDER BY priority_e6 DESC, url)::INT AS rank_in_host
+  FROM h WHERE host != ''
+)
+SELECT r.* FROM r LEFT JOIN b ON r.host = b.host
+WHERE r.rank_in_host <= coalesce(b.k, 3)
+""")
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert value_hash(sdf.columns, srows) == value_hash(
+        ["host", "url", "source", "priority_e6", "last_hash", "rank_in_host"],
+        orows,
+    )
+
+
 def test_extend_snapshots_hand_cases(spark):
     """The conditional-GET return path: 200s append fresh hashes, 304s
     carry the latest prior hash forward, everything else is silent."""

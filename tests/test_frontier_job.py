@@ -90,6 +90,29 @@ def test_frontier_job_end_to_end(spark, tmp_path):
     assert {"churn.com", "static.com"} <= hosts
 
 
+def test_frontier_job_robots_budgets(spark, tmp_path):
+    """--robots: a host whose Crawl-delay exceeds the cycle is skipped;
+    an in-cycle delay caps its depth."""
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "cycle")
+    _write_store(spark, store)
+    spark.createDataFrame(
+        [
+            ("static.com", "User-agent: *\nCrawl-delay: 7200\nDisallow: /x\n"),
+        ],
+        "host string, robots_txt string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "robots"))
+    summary = run_job(
+        spark, snapshots_path=store, output_path=out,
+        as_of_date="2026-02-01", k_per_host=5,
+        robots_path=str(tmp_path / "robots"), cycle_seconds=3600,
+    )
+    sched = {r["host"] for r in
+             spark.read.parquet(f"{out}/schedule").collect()}
+    assert sched == {"churn.com"}  # static.com's declared spacing > cycle
+    assert summary["n_scheduled"] == 1
+
+
 def test_frontier_job_minimal_supplies(spark, tmp_path):
     """Only the snapshot store: a pure-revisit cycle, no optional
     inputs, no fold-back."""

@@ -246,6 +246,54 @@ def test_parse_robots_txt_rules():
     assert _rule_regex("/q?x=(1)") == r"^/q\?x=\(1\)"
 
 
+def test_parse_robots_crawl_delay():
+    from fusus_spark.operators.robots import parse_robots_crawl_delay
+
+    txt = (
+        "User-agent: fastbot\n"
+        "Disallow: /tmp/\n"
+        "Crawl-delay: 2\n"
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: 10\n"
+        "Disallow: /x\n"
+    )
+    # specific group's delay; '*' fallback for everyone else
+    assert parse_robots_crawl_delay(txt, "fastbot") == 2.0
+    assert parse_robots_crawl_delay(txt, "otherbot") == 10.0
+    # a specific group EXISTS but declares no delay: no fallback
+    silent = "User-agent: quietbot\nDisallow: /a\n\nUser-agent: *\nCrawl-delay: 9\n"
+    assert parse_robots_crawl_delay(silent, "quietbot") is None
+    # several delays in the governing union fold to the MAX
+    multi = ("User-agent: bot\nCrawl-delay: 3\nDisallow: /a\n"
+             "User-agent: bot\nCrawl-delay: 7\nDisallow: /b\n")
+    assert parse_robots_crawl_delay(multi, "bot") == 7.0
+    # sub-second floats pass; junk/negative/inf ignored
+    assert parse_robots_crawl_delay("User-agent: *\nCrawl-delay: 0.5\n", "*") == 0.5
+    assert parse_robots_crawl_delay("User-agent: *\nCrawl-delay: soon\n", "*") is None
+    assert parse_robots_crawl_delay("User-agent: *\nCrawl-delay: -1\n", "*") is None
+    assert parse_robots_crawl_delay("User-agent: *\nCrawl-delay: inf\n", "*") is None
+    # delay before any group line: no governing agent, ignored
+    assert parse_robots_crawl_delay("Crawl-delay: 4\nUser-agent: *\n", "*") is None
+    assert parse_robots_crawl_delay("", "*") is None
+
+
+def test_robots_crawl_delays_frame(spark):
+    from fusus_spark.operators.robots import robots_crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 1.5\nDisallow: /x\n"),
+            ("b.com", "User-agent: *\nDisallow: /x\n"),   # no delay: no row
+            ("c.com", None),                              # junk-safe
+        ],
+        "host string, robots_txt string",
+    )
+    got = {r["host"]: r["crawl_delay_ms"]
+           for r in robots_crawl_delays(robots).collect()}
+    assert got == {"a.com": 1500}
+
+
 def test_apply_robots_txt_matches_duckdb_oracle(spark):
     """The file half of the protocol: parse goldens above; here the
     JVM match/precedence stage (longest match wins, allow wins ties,

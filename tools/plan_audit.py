@@ -213,11 +213,20 @@ CHECKS = {
         ("BroadcastNestedLoopJoin", False),
     ],
     # politeness schedule: per-HOST window top-k (never SinglePartition
-    # — one giant host must not serialize the cycle)
+    # — one giant host must not serialize the cycle); the frame passes
+    # host_budgets, so the crawl-delay override join is audited too
     "schedule_fetches": [
         ("Window", True),
         ("Exchange SinglePartition", False),
         ("CartesianProduct", False),
+        ("BroadcastNestedLoopJoin", False),
+    ],
+    # crawl-delay harvest: one Arrow python stage over config-sized
+    # robots bodies, budgets a pure projection on top — no shuffle
+    "robots_crawl_delays": [
+        ("MapInPandas", 1),
+        ("CartesianProduct", False),
+        ("Window", False),
     ],
     # redirect collapse: pointer-doubling equi-joins over parquet
     # round snapshots — log2(max_hops) shuffles, never per-hop, never
@@ -552,10 +561,32 @@ def _extra_frames():
         )
         return follow_redirects(links, rd)
 
-    def f_schedule(spark, sf_dir):
-        from fusus_spark.operators.frontier import schedule_fetches
+    def _robots_docs(spark, sf_dir):
+        return load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com")).alias("host"),
+            F.concat(F.lit("User-agent: *\nCrawl-delay: "),
+                     F.pmod("doc_id", F.lit(5)) + 1,
+                     F.lit("\nDisallow: /x\n")).alias("robots_txt"),
+        )
 
-        return schedule_fetches(_queue(spark, sf_dir), k_per_host=10)
+    def f_schedule(spark, sf_dir):
+        from fusus_spark.operators.frontier import (
+            host_budgets_from_delays, schedule_fetches)
+        from fusus_spark.operators.robots import robots_crawl_delays
+
+        budgets = host_budgets_from_delays(
+            robots_crawl_delays(_robots_docs(spark, sf_dir)),
+            cycle_seconds=3600, k_per_host=10,
+        )
+        return schedule_fetches(
+            _queue(spark, sf_dir), k_per_host=10, host_budgets=budgets
+        )
+
+    def f_crawl_delays(spark, sf_dir):
+        from fusus_spark.operators.robots import robots_crawl_delays
+
+        return robots_crawl_delays(_robots_docs(spark, sf_dir))
 
     def f_redirects(spark, sf_dir):
         import tempfile
@@ -614,6 +645,7 @@ def _extra_frames():
             "parse_sitemap_entries": f_parse_sitemaps,
             "fetch_queue": f_queue,
             "schedule_fetches": f_schedule,
+            "robots_crawl_delays": f_crawl_delays,
             "resolve_redirects": f_redirects,
             "follow_redirects": f_follow,
             "extend_snapshots": f_extend}
