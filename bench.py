@@ -118,6 +118,7 @@ HEADLINE = [
     "dedup_jaccard",
     "dedup_passages",
     "knn_bruteforce",
+    "frontier_cycle",
     "pricing_summary",
     "top_orders",
     "nation_revenue",
@@ -125,6 +126,67 @@ HEADLINE = [
     "running_value",
     "events_daily",
 ]
+
+
+def _frontier_cycle(spark, sf_dir: str):
+    """One full crawl-scheduling cycle (round-5 surface): churn stats
+    over ~400k synthesized snapshot rows -> four-supply fetch_queue ->
+    per-host politeness schedule. All inputs derived in-plan from
+    doc_id (deterministic, no files); the timed count includes the
+    operator's own localCheckpoint jobs — that IS its cost."""
+    from pyspark.sql import functions as F
+
+    from fusus_spark.operators.frontier import (
+        fetch_queue, schedule_fetches, url_change_stats)
+    from fusus_spark.sources.testdata import load
+
+    docs = load(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("u")
+    ).select(
+        "doc_id", "u",
+        F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(997)),
+                 F.lit(".com/p/"), "doc_id", F.lit("/"), "u").alias("url"),
+        F.pmod(F.col("doc_id") + F.col("u"), F.lit(3)).alias("churn"),
+    )
+    snaps = urls.select(
+        "url", "churn", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("t")
+    ).select(
+        "url",
+        F.md5(F.concat(
+            "url",
+            F.when(F.col("churn") == 0, F.col("t")).otherwise(F.lit(0)),
+        )).alias("content_hash"),
+        F.concat(F.lit("2026-01-0"), F.col("t") + 1).alias("crawl_date"),
+    )
+    sm = docs.select(
+        F.lit("https://s.com/sm.xml").alias("sitemap_url"),
+        F.lit("urlset").alias("kind"),
+        F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(997)),
+                 F.lit(".com/new/"), "doc_id").alias("loc"),
+        F.lit(None).cast("string").alias("lastmod"),
+        F.lit(None).cast("string").alias("changefreq"),
+        F.lit(None).cast("bigint").alias("priority_e6"),
+    )
+    rd = docs.select(
+        F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(997)),
+                 F.lit(".com/old/"), "doc_id").alias("url"),
+        F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(997)),
+                 F.lit(".com/moved/"), "doc_id").alias("final_url"),
+        F.lit(1).alias("hops"),
+        (F.pmod("doc_id", F.lit(4)) != 0).alias("terminal"),
+    )
+    lk = urls.where(F.col("u") < 10).select(
+        F.col("url").alias("src_url"),
+        F.concat(F.lit("http://h"), F.pmod(F.col("doc_id") + 7, F.lit(997)),
+                 F.lit(".com/disc/"), F.pmod("doc_id", F.lit(5000))
+                 ).alias("resolved"),
+    )
+    return schedule_fetches(
+        fetch_queue(url_change_stats(snaps), sm, as_of_date="2026-02-21",
+                    redirects=rd, links=lk),
+        k_per_host=20,
+    )
 
 
 def _extra_queries():
@@ -136,6 +198,7 @@ def _extra_queries():
         "dedup_passages": lambda spark, sf_dir: dedup_passages(
             load(spark, sf_dir, "documents"), n=8
         ),
+        "frontier_cycle": _frontier_cycle,
     }
 
 
