@@ -110,8 +110,12 @@ def run_job(
         snaps = snaps.select(delta.columns).unionByName(delta)
         summary["n_folded"] = delta.count()
 
-    # 1. churn evidence; the host rollup is the cycle's audit table
-    stats = url_change_stats(snaps, hash_col=hash_col)
+    # 1. churn evidence; the host rollup is the cycle's audit table.
+    # Snapshot the stats HERE: the audit write and fetch_queue both
+    # consume them, and without it the store scan + churn window run
+    # twice (fetch_queue's own re-checkpoint of the checkpointed frame
+    # is then cheap).
+    stats = url_change_stats(snaps, hash_col=hash_col).localCheckpoint()
     host_change_stats(stats).write.mode("overwrite").parquet(
         f"{out}/audit/host_change"
     )

@@ -537,9 +537,13 @@ def schedule_fetches(
     Optional ``host_budgets`` (host, k) — e.g.
     :func:`host_budgets_from_delays` over harvested Crawl-delays —
     OVERRIDES the default depth per listed host (k=0 skips the host
-    this cycle); unlisted hosts keep ``k_per_host``. One extra left
-    equi-join on host, no broadcast assumption (at crawl scale the
-    budget table is one row per opting-in host — large).
+    this cycle); unlisted hosts keep ``k_per_host``. Duplicate budget
+    rows for a host (a robots store re-fetched across cycles) fold to
+    the conservative MIN before the join — a join fan-out here would
+    duplicate schedule rows and defeat the politeness cap it
+    implements. One groupBy + one left equi-join on host, no broadcast
+    assumption (at crawl scale the budget table is one row per
+    opting-in host — large).
 
     Deterministic: ties broken by url. Urls whose host cannot be
     parsed are dropped (nothing to rate-limit against — and nothing to
@@ -561,8 +565,8 @@ def schedule_fetches(
     if host_budgets is None:
         ranked = ranked.where(F.col("rank_in_host") <= k_per_host)
     else:
-        b = host_budgets.select(
-            F.col("host").alias("__bh__"), F.col("k").alias("__bk__")
+        b = host_budgets.groupBy(F.col("host").alias("__bh__")).agg(
+            F.min("k").alias("__bk__")
         )
         ranked = (
             ranked.join(b, ranked["host"] == b["__bh__"], "left")

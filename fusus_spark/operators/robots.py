@@ -185,17 +185,23 @@ def _rule_regex(pattern: str) -> str:
     return "^" + "".join(out) + ("$" if anchored else "")
 
 
-def parse_robots_txt_rules(body: str, agent: str = "*") -> list[tuple[bool, str]]:
-    """Parse one robots.txt into the (allow, path_pattern) rules of the
-    group that governs ``agent`` (RFC 9309 §2.2.1: the union of all
-    groups whose user-agent token matches the product token
-    case-insensitively; the '*' groups apply only when no specific
-    group matched). Empty-pattern rules are ignored per the RFC
-    (``Disallow:`` alone means allow-all). Plain Python on a single
-    config-sized text — called per host inside the Arrow batch."""
+def _group_scoped_lines(
+    body: str, agent: str, body_keys: tuple[str, ...]
+) -> tuple[list[tuple[str, str, str]], bool]:
+    """The ONE RFC 9309 §2.2.1 group-model state machine, shared by the
+    rules and crawl-delay parsers so they cannot drift: returns
+    ([(scope, key, val)], saw_specific_group) where ``scope`` is
+    'specific' (a group naming ``agent`` governs the line) or 'wild'
+    (the '*' fallback group does). ``body_keys`` names the keys that
+    count as GROUP BODY for this consumer — a user-agent line after any
+    of them starts a new group (for the rules parser that is
+    allow/disallow per the RFC; the crawl-delay parser adds
+    crawl-delay, because there a delay-only group is still a group —
+    treating it as an unknown key would merge consecutive
+    delay-only groups and hand one agent another's delay).
+    Lines governed by neither group are dropped."""
     agent = agent.lower()
-    specific: list[tuple[bool, str]] = []
-    wild: list[tuple[bool, str]] = []
+    out: list[tuple[str, str, str]] = []
     saw_specific_group = False
     cur: list[str] = []
     in_group_body = False
@@ -208,23 +214,45 @@ def parse_robots_txt_rules(body: str, agent: str = "*") -> list[tuple[bool, str]
         val = val.strip()
         if key == "user-agent":
             if in_group_body:
-                cur = []  # a new group starts after any rule line
+                cur = []  # a new group starts after any body line
                 in_group_body = False
             cur.append(val.lower())
             if val.lower() == agent:
-                # a matching group EXISTS: even if it carries no rules,
-                # it governs (allow-all), never the '*' fallback
+                # a matching group EXISTS: even if it carries no body,
+                # it governs, never the '*' fallback
                 saw_specific_group = True
-        elif key in ("allow", "disallow"):
-            in_group_body = True
-            if not val:
-                continue  # empty pattern: no rule (Disallow: == allow all)
-            rule = (key == "allow", val)
+        else:
+            if key in body_keys:
+                in_group_body = True
             if agent in cur:
-                specific.append(rule)
+                out.append(("specific", key, val))
             elif "*" in cur:
-                wild.append(rule)
-        # other keys (sitemap, crawl-delay) don't close a group per RFC
+                out.append(("wild", key, val))
+    return out, saw_specific_group
+
+
+def parse_robots_txt_rules(body: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """Parse one robots.txt into the (allow, path_pattern) rules of the
+    group that governs ``agent`` (RFC 9309 §2.2.1: the union of all
+    groups whose user-agent token matches the product token
+    case-insensitively; the '*' groups apply only when no specific
+    group matched — even a specific group with no rules governs,
+    allow-all). Empty-pattern rules are ignored per the RFC
+    (``Disallow:`` alone means allow-all); other keys (sitemap,
+    crawl-delay) don't close a group per the RFC. Plain Python on a
+    single config-sized text — called per host inside the Arrow
+    batch."""
+    lines, saw_specific_group = _group_scoped_lines(
+        body, agent, ("allow", "disallow")
+    )
+    specific: list[tuple[bool, str]] = []
+    wild: list[tuple[bool, str]] = []
+    for scope, key, val in lines:
+        if key not in ("allow", "disallow") or not val:
+            continue
+        (specific if scope == "specific" else wild).append(
+            (key == "allow", val)
+        )
     return specific if saw_specific_group else wild
 
 
@@ -264,50 +292,39 @@ def robots_txt_rules(
     )
 
 
+_MAX_CRAWL_DELAY_S = 1e9  # ~31 years; anything beyond is junk, and
+# the ms-scaled bigint must never overflow int64 (junk degrades, the
+# module contract — it never errors an Arrow stage)
+
+
 def parse_robots_crawl_delay(body: str, agent: str = "*") -> float | None:
     """Group-scoped ``Crawl-delay`` (the de-facto extension RFC 9309
     deliberately omits) in SECONDS for the group governing ``agent``,
-    or None when no governing group declares one. Same group model as
-    :func:`parse_robots_txt_rules` — the union of matching specific
-    groups governs when one exists (even if it carries no delay: a
-    publisher who addressed this agent and stayed silent on delay gets
-    no delay, never the '*' fallback's), and crawl-delay lines do not
-    close a group, exactly like the sibling parser's unknown-key rule.
-    Several delays in the governing union fold to the MAX (the
-    conservative read). Unparseable/negative values are ignored."""
-    agent = agent.lower()
+    or None when no governing group declares one. Shares
+    :func:`parse_robots_txt_rules`' group state machine
+    (``_group_scoped_lines``) — the union of matching specific groups
+    governs when one exists (even if it carries no delay: a publisher
+    who addressed this agent and stayed silent on delay gets no delay,
+    never the '*' fallback's). Crawl-delay lines count as group BODY
+    here (a delay-only group is still a group; see the shared helper's
+    docstring). Several delays in the governing union fold to the MAX
+    (the conservative read). Unparseable / negative / non-finite /
+    absurd (> ~31 years) values are ignored."""
+    lines, saw_specific_group = _group_scoped_lines(
+        body, agent, ("allow", "disallow", "crawl-delay")
+    )
     specific: list[float] = []
     wild: list[float] = []
-    saw_specific_group = False
-    cur: list[str] = []
-    in_group_body = False
-    for raw in body.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
+    for scope, key, val in lines:
+        if key != "crawl-delay":
             continue
-        key, _, val = line.partition(":")
-        key = key.strip().lower()
-        val = val.strip()
-        if key == "user-agent":
-            if in_group_body:
-                cur = []
-                in_group_body = False
-            cur.append(val.lower())
-            if val.lower() == agent:
-                saw_specific_group = True
-        elif key in ("allow", "disallow"):
-            in_group_body = True
-        elif key == "crawl-delay":
-            try:
-                d = float(val)
-            except ValueError:
-                continue
-            if d < 0 or d != d or d == float("inf"):
-                continue
-            if agent in cur:
-                specific.append(d)
-            elif "*" in cur:
-                wild.append(d)
+        try:
+            d = float(val)
+        except ValueError:
+            continue
+        if not (0 <= d <= _MAX_CRAWL_DELAY_S):
+            continue
+        (specific if scope == "specific" else wild).append(d)
     vals = specific if saw_specific_group else wild
     return max(vals) if vals else None
 

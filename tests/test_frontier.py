@@ -689,12 +689,26 @@ def test_host_budgets_from_delays(spark):
         ],
         "host string, crawl_delay_ms bigint",
     )
-    got = {r["host"]: r["k"]
-           for r in host_budgets_from_delays(
-               delays, cycle_seconds=3600, k_per_host=100
-           ).collect()}
+    bdf = host_budgets_from_delays(delays, cycle_seconds=3600, k_per_host=100)
+    got = {r["host"]: r["k"] for r in bdf.collect()}
     assert got == {"slow.com": 6, "glacial.com": 0,
                    "zero.com": 100, "subsec.com": 100}
+
+    # the least/floor/greatest derivation is plain SQL — oracle it
+    con = duckdb.connect()
+    con.sql("CREATE TABLE d (host VARCHAR, crawl_delay_ms BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?, ?)",
+                    [(r["host"], r["crawl_delay_ms"]) for r in delays.collect()])
+    orows = con.sql("""
+SELECT host,
+       least(100, 3600000 // greatest(crawl_delay_ms, 1))::INT AS k
+FROM d
+""").fetchall()
+    srows = [tuple(r) for r in bdf.collect()]
+    assert len(srows) == len(orows) > 0
+    assert value_hash(bdf.columns, srows) == value_hash(
+        ["host", "k"], [tuple(r) for r in orows]
+    )
 
 
 def test_schedule_fetches_host_budgets(spark):
@@ -715,14 +729,16 @@ def test_schedule_fetches_host_budgets(spark):
     queue = spark.createDataFrame(
         queue_rows, "url string, source string, priority_e6 bigint, last_hash string"
     )
-    budgets = spark.createDataFrame(
-        [("slow.com", 1), ("banned.com", 0)], "host string, k int"
-    )
+    budget_rows = [("slow.com", 1), ("banned.com", 0),
+                   ("slow.com", 2)]  # dup host: folds to MIN, never fans out
+    budgets = spark.createDataFrame(budget_rows, "host string, k int")
     sdf = schedule_fetches(queue, k_per_host=3, host_budgets=budgets)
-    got = {r["url"] for r in sdf.collect()}
+    rows = sdf.collect()
+    got = {r["url"] for r in rows}
+    assert len(rows) == len(got)                              # no dup rows
     assert len([u for u in got if "big.com" in u]) == 3      # default
     assert got & {"http://slow.com/a", "http://slow.com/b"} == {
-        "http://slow.com/a"}                                  # k=1, top priority
+        "http://slow.com/a"}                                  # min(1,2), top priority
     assert "http://banned.com/x" not in got                   # k=0: skipped
     assert "http://free.com/y" in got                         # unlisted
 
@@ -731,7 +747,7 @@ def test_schedule_fetches_host_budgets(spark):
             "last_hash VARCHAR)")
     con.executemany("INSERT INTO q VALUES (?, ?, ?, ?)", queue_rows)
     con.sql("CREATE TABLE b (host VARCHAR, k INT)")
-    con.executemany("INSERT INTO b VALUES (?, ?)", [("slow.com", 1), ("banned.com", 0)])
+    con.executemany("INSERT INTO b VALUES (?, ?)", budget_rows)
     orc = con.sql(f"""
 WITH h AS (
   SELECT lower(regexp_extract(url, '{_HOST_RE_SQL}', 1)) AS host, *
@@ -741,9 +757,10 @@ r AS (
   SELECT host, url, source, priority_e6, last_hash, row_number() OVER (
     PARTITION BY host ORDER BY priority_e6 DESC, url)::INT AS rank_in_host
   FROM h WHERE host != ''
-)
-SELECT r.* FROM r LEFT JOIN b ON r.host = b.host
-WHERE r.rank_in_host <= coalesce(b.k, 3)
+),
+bm AS (SELECT host, min(k) AS k FROM b GROUP BY host)
+SELECT r.* FROM r LEFT JOIN bm ON r.host = bm.host
+WHERE r.rank_in_host <= coalesce(bm.k, 3)
 """)
     srows = [tuple(r) for r in sdf.collect()]
     orows = [tuple(r) for r in orc.fetchall()]

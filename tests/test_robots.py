@@ -276,6 +276,15 @@ def test_parse_robots_crawl_delay():
     # delay before any group line: no governing agent, ignored
     assert parse_robots_crawl_delay("Crawl-delay: 4\nUser-agent: *\n", "*") is None
     assert parse_robots_crawl_delay("", "*") is None
+    # consecutive delay-ONLY groups stay separate groups: a crawl-delay
+    # line is group body here (review finding — without this, fastbot
+    # inherited slowbot's 7200 via the merged group and got k=0)
+    only = ("User-agent: fastbot\nCrawl-delay: 1\n\n"
+            "User-agent: slowbot\nCrawl-delay: 7200\n")
+    assert parse_robots_crawl_delay(only, "fastbot") == 1.0
+    assert parse_robots_crawl_delay(only, "slowbot") == 7200.0
+    # absurd-but-finite values are junk, not an int64 overflow later
+    assert parse_robots_crawl_delay("User-agent: *\nCrawl-delay: 1e17\n", "*") is None
 
 
 def test_robots_crawl_delays_frame(spark):
@@ -286,6 +295,8 @@ def test_robots_crawl_delays_frame(spark):
             ("a.com", "User-agent: *\nCrawl-delay: 1.5\nDisallow: /x\n"),
             ("b.com", "User-agent: *\nDisallow: /x\n"),   # no delay: no row
             ("c.com", None),                              # junk-safe
+            ("d.com", "User-agent: *\nCrawl-delay: 1e17\n"),  # junk: no row,
+            # and crucially no Arrow int64 overflow crash
         ],
         "host string, robots_txt string",
     )
