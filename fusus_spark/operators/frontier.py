@@ -527,6 +527,7 @@ def host_budgets_from_delays(
 def schedule_fetches(
     queue: DataFrame, *, k_per_host: int,
     host_budgets: DataFrame | None = None,
+    by: str = "host",
 ) -> DataFrame:
     """Politeness cap over the fetch queue: keep the top ``k_per_host``
     urls per host by priority. A crawler is rate-limited PER HOST
@@ -545,22 +546,44 @@ def schedule_fetches(
     assumption (at crawl scale the budget table is one row per
     opting-in host — large).
 
+    ``by='domain'`` ranks within the PSL REGISTRABLE DOMAIN instead of
+    the host (``a.x.com`` and ``b.x.com`` usually share servers and
+    rate limits; a crawler polite per-host can still hammer one
+    origin through its subdomains — the wildcard-subdomain spam
+    pattern). Hosts that ARE a public suffix (or dotless) fall back to
+    their own host as the group. ``host_budgets`` must then be keyed
+    by the same registrable domains, and ``rank_in_host`` reads as
+    rank within the politeness GROUP (name kept for schema
+    stability).
+
     Deterministic: ties broken by url. Urls whose host cannot be
     parsed are dropped (nothing to rate-limit against — and nothing to
-    fetch). Plan shape: one per-host window row_number (partitioned by
-    host — NEVER a single global partition; hot hosts bound the
-    straggler at k reads each, acceptable because the window input is
-    one row per QUEUED url, already capped upstream by the frontier's
-    own scoring). DuckDB oracle in tests/test_frontier.py.
+    fetch). Plan shape: one per-group window row_number (partitioned
+    by host or registrable domain — NEVER a single global partition;
+    hot groups bound the straggler at k reads each, acceptable because
+    the window input is one row per QUEUED url, already capped
+    upstream by the frontier's own scoring; the domain itself is pure
+    InSet expressions, no extra shuffle). DuckDB oracle in
+    tests/test_frontier.py.
     """
-    w = (
-        Window.partitionBy("host")
-        .orderBy(F.col("priority_e6").desc(), "url")
+    if by not in ("host", "domain"):
+        raise ValueError(f"by must be 'host' or 'domain', got {by!r}")
+    ranked = queue.withColumn("host", url_host(F.col("url"))).where(
+        F.col("host") != ""
     )
-    ranked = (
-        queue.withColumn("host", url_host(F.col("url")))
-        .where(F.col("host") != "")
-        .withColumn("rank_in_host", F.row_number().over(w).cast("int"))
+    if by == "domain":
+        from fusus_spark.functions.psl import registrable_domain
+
+        dom = registrable_domain(F.col("host"))
+        key = F.when(dom != "", dom).otherwise(F.col("host"))
+    else:
+        key = F.col("host")
+    ranked = ranked.withColumn("__pk__", key)
+    w = Window.partitionBy("__pk__").orderBy(
+        F.col("priority_e6").desc(), "url"
+    )
+    ranked = ranked.withColumn(
+        "rank_in_host", F.row_number().over(w).cast("int")
     )
     if host_budgets is None:
         ranked = ranked.where(F.col("rank_in_host") <= k_per_host)
@@ -569,7 +592,7 @@ def schedule_fetches(
             F.min("k").alias("__bk__")
         )
         ranked = (
-            ranked.join(b, ranked["host"] == b["__bh__"], "left")
+            ranked.join(b, ranked["__pk__"] == b["__bh__"], "left")
             .where(
                 F.col("rank_in_host")
                 <= F.coalesce("__bk__", F.lit(k_per_host))

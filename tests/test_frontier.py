@@ -771,6 +771,61 @@ WHERE r.rank_in_host <= coalesce(bm.k, 3)
     )
 
 
+def test_schedule_fetches_by_domain(spark):
+    """by='domain': subdomains of one registrable domain share a
+    politeness group (the wildcard-subdomain pattern); public-suffix
+    hosts fall back to themselves. Hash-checked against a DuckDB
+    oracle (fixture hosts chosen so last-2-labels == the PSL answer)."""
+    from fusus_spark.operators.frontier import schedule_fetches
+
+    queue_rows = [
+        ("http://a.x.com/1", "revisit", 900_000, None),
+        ("http://b.x.com/2", "revisit", 800_000, None),
+        ("http://c.x.com/3", "revisit", 700_000, None),
+        ("http://only.y.com/4", "seed", 600_000, None),
+        ("http://co.uk/5", "seed", 500_000, None),  # host IS a suffix
+    ]
+    queue = spark.createDataFrame(
+        queue_rows, "url string, source string, priority_e6 bigint, last_hash string"
+    )
+    sdf = schedule_fetches(queue, k_per_host=2, by="domain")
+    got = {r["url"]: r["rank_in_host"] for r in sdf.collect()}
+    # x.com group: only the top-2 across THREE hosts survive
+    assert got == {"http://a.x.com/1": 1, "http://b.x.com/2": 2,
+                   "http://only.y.com/4": 1, "http://co.uk/5": 1}
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE q (url VARCHAR, source VARCHAR, priority_e6 BIGINT, "
+            "last_hash VARCHAR)")
+    con.executemany("INSERT INTO q VALUES (?, ?, ?, ?)", queue_rows)
+    orc = con.sql(f"""
+WITH h AS (
+  SELECT lower(regexp_extract(url, '{_HOST_RE_SQL}', 1)) AS host, *
+  FROM q
+),
+g AS (
+  SELECT *, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS grp
+  FROM h WHERE host != ''
+)
+SELECT host, url, source, priority_e6, last_hash, row_number() OVER (
+  PARTITION BY grp ORDER BY priority_e6 DESC, url)::INT AS rank_in_host
+FROM g QUALIFY rank_in_host <= 2
+""")
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert value_hash(sdf.columns, srows) == value_hash(
+        ["host", "url", "source", "priority_e6", "last_hash", "rank_in_host"],
+        orows,
+    )
+
+    try:
+        schedule_fetches(queue, k_per_host=2, by="ip")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_extend_snapshots_hand_cases(spark):
     """The conditional-GET return path: 200s append fresh hashes, 304s
     carry the latest prior hash forward, everything else is silent."""

@@ -221,6 +221,15 @@ CHECKS = {
         ("CartesianProduct", False),
         ("BroadcastNestedLoopJoin", False),
     ],
+    # domain-mode politeness: the registrable-domain group key is pure
+    # InSet expressions — same window shape, no extra python, never a
+    # global partition
+    "schedule_fetches_domain": [
+        ("Window", True),
+        ("Exchange SinglePartition", False),
+        ("CartesianProduct", False),
+        ("MapInPandas", 0),
+    ],
     # crawl-delay harvest: one Arrow python stage over config-sized
     # robots bodies, budgets a pure projection on top — no shuffle
     "robots_crawl_delays": [
@@ -583,6 +592,12 @@ def _extra_frames():
             _queue(spark, sf_dir), k_per_host=10, host_budgets=budgets
         )
 
+    def f_schedule_domain(spark, sf_dir):
+        from fusus_spark.operators.frontier import schedule_fetches
+
+        return schedule_fetches(_queue(spark, sf_dir), k_per_host=10,
+                                by="domain")
+
     def f_crawl_delays(spark, sf_dir):
         from fusus_spark.operators.robots import robots_crawl_delays
 
@@ -645,6 +660,7 @@ def _extra_frames():
             "parse_sitemap_entries": f_parse_sitemaps,
             "fetch_queue": f_queue,
             "schedule_fetches": f_schedule,
+            "schedule_fetches_domain": f_schedule_domain,
             "robots_crawl_delays": f_crawl_delays,
             "resolve_redirects": f_redirects,
             "follow_redirects": f_follow,
