@@ -27,6 +27,8 @@ _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
     (b"RIFF", "audio/wav-or-avi"),
     (b"ID3", "audio/mpeg"),
     (b"fLaC", "audio/flac"),
@@ -50,6 +52,10 @@ def sniff_media_type(payload: bytes) -> str:
     # major brand distinguishes audio-only containers
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "audio/mp4" if payload[8:11] == b"M4A" else "video/mp4"
+    # BMP's magic is only 2 bytes ('BM' — also a plausible text
+    # prefix), so require a parseable DIB header before claiming it
+    if payload[:2] == b"BM" and parse_bmp_header(payload) is not None:
+        return "image/bmp"
     for magic, mt in _MAGIC:
         if payload.startswith(magic):
             return mt
@@ -99,6 +105,67 @@ def parse_webp_header(payload: bytes) -> tuple[int, int] | None:
             return None
         return w, h
     return None
+
+
+def parse_bmp_header(payload: bytes) -> tuple[int, int] | None:
+    """REAL (pure-stdlib) BMP dimension decode: 'BM' signature, then
+    the DIB header at offset 14 — BITMAPCOREHEADER (size 12, uint16
+    fields) or BITMAPINFOHEADER and its v4/v5 extensions (size >= 40,
+    int32 fields; NEGATIVE height means top-down row order, the
+    magnitude is the pixel height). None for anything else — the
+    never-raise fallback contract of the sibling parsers."""
+    if len(payload) < 26 or payload[:2] != b"BM":
+        return None
+    hdr = int.from_bytes(payload[14:18], "little")
+    if hdr == 12:
+        w = int.from_bytes(payload[18:20], "little")
+        h = int.from_bytes(payload[20:22], "little")
+    elif hdr in (40, 52, 56, 108, 124):
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+    else:
+        return None
+    if w <= 0 or h == 0:
+        return None
+    return int(w), int(h)
+
+
+def parse_tiff_header(payload: bytes) -> tuple[int, int] | None:
+    """REAL (pure-stdlib) TIFF dimension decode: byte-order mark
+    (II little / MM big) + magic 42, then walk the FIRST IFD's 12-byte
+    entries for ImageWidth (tag 256) / ImageLength (tag 257); SHORT(3)
+    and LONG(4) single values are inline, LEFT-justified in the 4-byte
+    value field per TIFF 6.0 §2. Bounded (one IFD, <= 512 entries),
+    truncation -> None, never raises."""
+    if len(payload) < 8:
+        return None
+    end = {b"II": "little", b"MM": "big"}.get(payload[:2])
+    if end is None or int.from_bytes(payload[2:4], end) != 42:
+        return None
+    off = int.from_bytes(payload[4:8], end)
+    if off + 2 > len(payload):
+        return None
+    n = int.from_bytes(payload[off:off + 2], end)
+    if n > 512:
+        return None
+    w = h = None
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(payload):
+            return None
+        tag = int.from_bytes(payload[e:e + 2], end)
+        typ = int.from_bytes(payload[e + 2:e + 4], end)
+        cnt = int.from_bytes(payload[e + 4:e + 8], end)
+        if tag in (256, 257) and cnt == 1 and typ in (3, 4):
+            width = 2 if typ == 3 else 4
+            val = int.from_bytes(payload[e + 8:e + 8 + width], end)
+            if tag == 256:
+                w = val
+            else:
+                h = val
+    if not w or not h:
+        return None
+    return int(w), int(h)
 
 
 def decode_real(payload: bytes) -> tuple[int, int, list[float]]:
@@ -194,13 +261,15 @@ def parse_jpeg_sof(payload: bytes) -> tuple[int, int] | None:
 
 def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
     """Real dimensions for the formats with a pure-stdlib path (PNG
-    IHDR, JPEG SOF, GIF logical screen, WebP RIFF chunks); None ->
-    caller falls back to the stub."""
+    IHDR, JPEG SOF, GIF logical screen, WebP RIFF chunks, TIFF first
+    IFD, BMP DIB header); None -> caller falls back to the stub."""
     return (
         parse_png_ihdr(payload)
         or parse_jpeg_sof(payload)
         or parse_gif_header(payload)
         or parse_webp_header(payload)
+        or parse_tiff_header(payload)
+        or parse_bmp_header(payload)
     )
 
 

@@ -585,11 +585,76 @@ def test_parse_webp_header():
     assert parse_webp_header(vp8x[:20]) is None  # truncated
 
 
+def _bmp(w: int, h: int, hdr: int = 40) -> bytes:
+    """Minimal BMP file header + DIB header built with stdlib."""
+    dib = hdr.to_bytes(4, "little")
+    if hdr == 12:
+        dib += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
+    else:
+        dib += (w.to_bytes(4, "little", signed=True)
+                + h.to_bytes(4, "little", signed=True) + b"\x00" * (hdr - 12))
+    return b"BM" + b"\x00" * 8 + (14 + hdr).to_bytes(4, "little") + dib
+
+
+def _tiff(w: int, h: int, end: str = "little") -> bytes:
+    """Minimal single-IFD TIFF with ImageWidth/ImageLength entries."""
+    bo = b"II" if end == "little" else b"MM"
+    head = bo + (42).to_bytes(2, end) + (8).to_bytes(4, end)
+
+    def entry(tag, typ, val):
+        width = 2 if typ == 3 else 4
+        v = val.to_bytes(width, end) + b"\x00" * (4 - width)
+        return (tag.to_bytes(2, end) + typ.to_bytes(2, end)
+                + (1).to_bytes(4, end) + v)
+
+    ifd = (2).to_bytes(2, end) + entry(256, 3, w) + entry(257, 4, h) \
+        + (0).to_bytes(4, end)
+    return head + ifd
+
+
+def test_parse_bmp_header():
+    from fusus_spark.operators.multimodal import parse_bmp_header, sniff_media_type
+
+    assert parse_bmp_header(_bmp(640, 480)) == (640, 480)
+    assert parse_bmp_header(_bmp(12, 34, hdr=12)) == (12, 34)  # COREHEADER
+    assert parse_bmp_header(_bmp(1920, 1080, hdr=124)) == (1920, 1080)  # v5
+    # top-down row order: negative height, magnitude is the dimension
+    topdown = _bmp(100, -50)
+    assert parse_bmp_header(topdown) == (100, 50)
+    assert parse_bmp_header(_bmp(0, 10)) is None     # zero width
+    assert parse_bmp_header(b"BMP files start like this") is None  # text decoy
+    assert parse_bmp_header(_bmp(5, 5)[:20]) is None  # truncated
+    assert sniff_media_type(_bmp(2, 2)) == "image/bmp"
+    assert sniff_media_type(b"BM plain text") == "application/octet-stream"
+
+
+def test_parse_tiff_header():
+    from fusus_spark.operators.multimodal import parse_tiff_header, sniff_media_type
+
+    assert parse_tiff_header(_tiff(800, 600)) == (800, 600)
+    assert parse_tiff_header(_tiff(31, 17, end="big")) == (31, 17)
+    assert sniff_media_type(_tiff(4, 4)) == "image/tiff"
+    assert sniff_media_type(_tiff(4, 4, end="big")) == "image/tiff"
+    assert parse_tiff_header(b"II\x2b\x00" + b"\x00" * 8) is None  # BigTIFF: out of scope
+    assert parse_tiff_header(_tiff(9, 9)[:12]) is None  # truncated IFD
+    assert parse_tiff_header(b"II*\x00" + (10 ** 6).to_bytes(4, "little")) is None  # IFD offset beyond payload
+    # an IFD missing the length tag yields None, not a half answer
+    bo = b"II"
+    head = bo + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
+    only_w = ((1).to_bytes(2, "little")
+              + (256).to_bytes(2, "little") + (3).to_bytes(2, "little")
+              + (1).to_bytes(4, "little") + (9).to_bytes(2, "little") + b"\x00\x00"
+              + (0).to_bytes(4, "little"))
+    assert parse_tiff_header(head + only_w) is None
+
+
 def test_parse_image_dims_dispatches_all_formats():
     from fusus_spark.operators.multimodal import parse_image_dims
 
     gif = b"GIF89a" + (7).to_bytes(2, "little") + (9).to_bytes(2, "little") + b"\x00" * 6
     assert parse_image_dims(gif) == (7, 9)
+    assert parse_image_dims(_bmp(3, 4)) == (3, 4)
+    assert parse_image_dims(_tiff(5, 6)) == (5, 6)
     assert parse_image_dims(b"not an image") is None
 
 
