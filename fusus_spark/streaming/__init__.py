@@ -15,5 +15,6 @@ from fusus_spark.streaming.ingest import (  # noqa: F401
 from fusus_spark.streaming.stateful import (  # noqa: F401
     dedup_stream,
     dedup_stream_vs_store,
+    snapshot_foldback_stream,
     user_counts_stream,
 )

@@ -146,6 +146,78 @@ def user_counts_stream(
     )
 
 
+FETCH_RESULTS_SCHEMA = (
+    "url string, fetch_ts timestamp, http_status int, content_hash string"
+)
+
+
+def snapshot_foldback_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    query_name: str = "snapshot_foldback",
+    *,
+    crawl_date: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 2,
+):
+    """Streaming face of ``operators.frontier.extend_snapshots``: fetch
+    results landing as parquet files fold into snapshot-delta rows
+    (url, content_hash, crawl_date) as they arrive — 200s emit the
+    fresh hash, 304 Not-Modified carries the url's latest OBSERVED
+    prior hash forward via a STREAM-STATIC join with the snapshot
+    store (same null-skipping max-of-struct as the batch operator, so
+    stream and batch can never disagree on what the store issued).
+    Duplicate 304s for a url collapse within the watermark horizon
+    (the batch ``distinct``'s bounded-state analog); 304s with no
+    observed prior drop out of the inner join, exactly like batch.
+
+    Scale shape, honestly (same disclosure as ``dedup_stream_vs_store``):
+    the static side re-plans per micro-batch — a store scan + groupBy
+    per trigger. Right for availableNow catch-up runs; a continuous
+    deployment should ``foreachBatch`` the batch ``extend_snapshots``.
+    The only stateful operator is the watermark dedup on the 304
+    branch. Emits to an in-memory sink; callers append the table to
+    the store, never mutate it in place (the frontier_job contract).
+    """
+    stream = (
+        spark.readStream.schema(FETCH_RESULTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    latest = (
+        spark.read.parquet(store_path)
+        .where(F.col("content_hash").isNotNull())
+        .groupBy("url")
+        .agg(F.max(F.struct("crawl_date", "content_hash")).alias("m"))
+        .select("url", F.col("m.content_hash").alias("__prior__"))
+    )
+    fresh = stream.where(
+        (F.col("http_status") == 200) & F.col("content_hash").isNotNull()
+    ).select("url", "content_hash", F.lit(crawl_date).alias("crawl_date"))
+    confirmed = (
+        stream.where(F.col("http_status") == 304)
+        .withWatermark("fetch_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url"])
+        .join(latest, "url")
+        .select(
+            "url",
+            F.col("__prior__").alias("content_hash"),
+            F.lit(crawl_date).alias("crawl_date"),
+        )
+    )
+    return (
+        fresh.unionByName(confirmed)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream_vs_store(
     spark: SparkSession,
     input_dir: str,

@@ -262,3 +262,61 @@ def test_dedup_stream_vs_store_flags_snapshot_dups(spark, tmp_path):
     for r in got:
         assert batch[r["content_hash"]] == r["is_seen"], r
     assert {r["is_seen"] for r in got} == {True, False}
+
+
+def test_snapshot_foldback_stream_equals_batch(spark, tmp_path):
+    """The streaming fold-back emits exactly the batch
+    extend_snapshots rows on the same input: 200s append fresh hashes,
+    dup 304s collapse to one carried-forward row, no-prior and
+    null-hash-only urls drop."""
+    import datetime as dt
+
+    from fusus_spark.operators.frontier import extend_snapshots
+    from fusus_spark.streaming import snapshot_foldback_stream
+
+    store_rows = [
+        ("http://churn.com/a", "h1", "2026-01-01"),
+        ("http://churn.com/a", "h2", "2026-01-08"),
+        ("http://static.com/b", "same", "2026-01-01"),
+        ("http://etag.com/v", "e1", "2026-01-01"),
+        ("http://etag.com/v", None, "2026-01-08"),  # omitted validator
+        ("http://omit.com/w", None, "2026-01-08"),  # never observed
+    ]
+    store = str(tmp_path / "store")
+    snaps = spark.createDataFrame(
+        store_rows, "url string, content_hash string, crawl_date string"
+    )
+    snaps.write.parquet(store)
+
+    base = dt.datetime(2026, 2, 1, tzinfo=dt.timezone.utc)
+    fetch_rows = [
+        ("http://churn.com/a", base, 200, "h3"),
+        ("http://static.com/b", base, 304, None),
+        ("http://static.com/b", base + dt.timedelta(minutes=1), 304, None),
+        ("http://etag.com/v", base, 304, None),     # -> carries e1
+        ("http://omit.com/w", base, 304, None),     # no observed prior: drop
+        ("http://ghost.com/q", base, 304, None),    # never in store: drop
+        ("http://gone.com/x", base, 404, None),     # silent
+    ]
+    fetches = spark.createDataFrame(
+        fetch_rows,
+        "url string, fetch_ts timestamp, http_status int, content_hash string",
+    )
+    in_dir = str(tmp_path / "fin")
+    fetches.repartition(3).write.parquet(in_dir)
+
+    q = snapshot_foldback_stream(
+        spark, in_dir, store, str(tmp_path / "fckpt"), "foldback",
+        crawl_date="2026-02-01",
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("foldback").collect())
+    want = sorted(
+        tuple(r)
+        for r in extend_snapshots(
+            snaps, fetches.drop("fetch_ts"), crawl_date="2026-02-01"
+        ).collect()
+    )
+    assert got == want
+    assert ("http://etag.com/v", "e1", "2026-02-01") in got
+    assert len([r for r in got if r[0] == "http://static.com/b"]) == 1
