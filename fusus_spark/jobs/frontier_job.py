@@ -26,7 +26,10 @@ Stage order mirrors the loop the operators define:
     2. unified fetch queue    (fetch_queue: revisit + optional
                                sitemap-seed / redirect-target /
                                link-discovery supplies, precedence-
-                               ordered, one row per url)
+                               ordered, one row per url; --fetch-log
+                               demotes dead urls — >= max-fails
+                               consecutive failures — with the stats
+                               written as the demotion audit)
     3. politeness schedule    (schedule_fetches top-k per host ->
                                <output>/schedule, the cycle's work
                                list; --robots harvests Crawl-delays
@@ -72,6 +75,8 @@ def run_job(
     robots_path: str | None = None,
     robots_agent: str = "*",
     cycle_seconds: int = 3600,
+    fetch_log_path: str | None = None,
+    max_consecutive_fails: int = 3,
     crawl_date: str | None = None,
     hash_col: str = "content_hash",
     halflife_days: int = 30,
@@ -120,7 +125,16 @@ def run_job(
         f"{out}/audit/host_change"
     )
 
-    # 2. the unified queue over whichever supplies this deployment has
+    # 2. the unified queue over whichever supplies this deployment has;
+    # an accumulated fetch log demotes dead urls and its per-url stats
+    # are written as the demotion audit
+    failures = None
+    if fetch_log_path is not None:
+        from fusus_spark.operators.frontier import url_failure_stats
+
+        failures = url_failure_stats(spark.read.parquet(fetch_log_path))
+        failures.write.mode("overwrite").parquet(f"{out}/audit/url_failures")
+        failures = spark.read.parquet(f"{out}/audit/url_failures")
     sitemaps = (
         spark.read.parquet(sitemaps_path)
         if sitemaps_path is not None
@@ -139,6 +153,8 @@ def run_job(
         links=(
             spark.read.parquet(links_path) if links_path is not None else None
         ),
+        failures=failures,
+        max_consecutive_fails=max_consecutive_fails,
     )
 
     # 3. the politeness-capped work list — the cycle's deliverable.
@@ -193,6 +209,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="product token for the governing robots group")
     p.add_argument("--cycle-seconds", type=int, default=3600,
                    help="cycle length the Crawl-delay budgets divide into")
+    p.add_argument("--fetch-log",
+                   help="accumulated (url, crawl_date, http_status) parquet; "
+                        "dead urls (>= max-fails consecutive failures) are "
+                        "demoted and the stats written as audit")
+    p.add_argument("--max-fails", type=int, default=3)
     p.add_argument("--crawl-date",
                    help="date stamped on folded fetch results (default: as-of-date)")
     p.add_argument("--hash-col", default="content_hash",
@@ -214,6 +235,8 @@ def main(argv: list[str] | None = None) -> None:
         robots_path=a.robots,
         robots_agent=a.robots_agent,
         cycle_seconds=a.cycle_seconds,
+        fetch_log_path=a.fetch_log,
+        max_consecutive_fails=a.max_fails,
         crawl_date=a.crawl_date,
         hash_col=a.hash_col,
         halflife_days=a.halflife_days,

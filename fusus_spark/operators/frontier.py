@@ -259,6 +259,8 @@ def fetch_queue(
     links: DataFrame | None = None,
     link_step_e6: int = 10_000,
     link_cap_e6: int = 990_000,
+    failures: DataFrame | None = None,
+    max_consecutive_fails: int = 3,
 ) -> DataFrame:
     """The unified fetch queue: every url the crawler should consider
     this cycle, scored. (url, source, priority_e6, last_hash).
@@ -310,6 +312,16 @@ def fetch_queue(
     wins: history beats sitemap hint beats redirect inference beats
     link discovery (seeds are anti-joined against the history;
     redirect targets against both; link targets against all three).
+
+    ``failures`` (optional, a :func:`url_failure_stats` frame) demotes
+    DEAD urls: any url with ``n_consecutive_fails >=
+    max_consecutive_fails`` is dropped from EVERY supply by one final
+    left_anti equi-join — without it a url that started 404ing stays
+    queued forever at ever-growing staleness priority, burning a fetch
+    per cycle on a gone page. The failure-stats table itself is the
+    audit trail of what was demoted (flag-don't-drop lives there, not
+    in the queue).
+
     Plan shape: one groupBy(loc) over the sitemap entries + one
     distinct-host groupBy(url) over the links + left_anti equi-joins
     on url — hash-partitioned, no broadcast assumption (at crawl scale
@@ -419,7 +431,55 @@ def fetch_queue(
             F.lit(None).cast("string").alias("last_hash"),
         )
         queue = queue.unionByName(discovered)
+    if failures is not None:
+        dead = failures.where(
+            F.col("n_consecutive_fails") >= max_consecutive_fails
+        ).select("url")
+        queue = queue.join(dead, "url", "left_anti")
     return queue
+
+
+def url_failure_stats(fetch_log: DataFrame) -> DataFrame:
+    """Per-url failure evidence from the accumulated fetch log
+    ((url, crawl_date, http_status) rows across cycles): (url,
+    n_consecutive_fails, last_status, last_date). A fetch SUCCEEDS
+    when it observes content — status 200 or 304 (a 304 proves the
+    url alive); everything else (3xx/4xx/5xx) fails.
+    ``n_consecutive_fails`` counts failures STRICTLY AFTER the last
+    success (0 for a url whose latest fetch succeeded) — the signal
+    dead-url demotion keys on: one transient 503 in a sea of 200s
+    must not demote, N failures since the last success must.
+
+    Plan shape: ONE per-url unbounded window (max of success dates —
+    no ordering, no row_number) + one groupBy on the SAME key, so the
+    second agg reuses the window's hash partitioning: one shuffle
+    total. Deterministic last_status via max-of-struct with the
+    (crawl_date, http_status) tie-break. DuckDB oracle in
+    tests/test_frontier.py.
+    """
+    success = F.col("http_status").isin(200, 304)
+    w = Window.partitionBy("url")
+    marked = fetch_log.withColumn(
+        "__last_ok__", F.max(F.when(success, F.col("crawl_date"))).over(w)
+    )
+    return marked.groupBy("url").agg(
+        F.sum(
+            F.when(
+                ~success
+                & (
+                    F.col("__last_ok__").isNull()
+                    | (F.col("crawl_date") > F.col("__last_ok__"))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("n_consecutive_fails"),
+        F.max(F.struct("crawl_date", "http_status"))["http_status"]
+        .cast("int")
+        .alias("last_status"),
+        F.max("crawl_date").alias("last_date"),
+    )
 
 
 def extend_snapshots(

@@ -826,6 +826,80 @@ FROM g QUALIFY rank_in_host <= 2
         pass
 
 
+def test_url_failure_stats_and_queue_demotion(spark):
+    """Consecutive-fail counting (strictly after the last success) and
+    the dead-url anti-join in fetch_queue. Hash-checked against the
+    DuckDB oracle."""
+    from fusus_spark.operators.frontier import (
+        fetch_queue, url_change_stats, url_failure_stats)
+
+    log_rows = [
+        # transient blip then recovery: 0 consecutive
+        ("http://news.com/front", "2026-01-01", 503),
+        ("http://news.com/front", "2026-01-08", 200),
+        # alive via 304
+        ("http://docs.com/page", "2026-01-08", 304),
+        # dead: three straight failures AFTER a success
+        ("http://mix.com/x", "2026-01-01", 200),
+        ("http://mix.com/x", "2026-01-08", 404),
+        ("http://mix.com/x", "2026-01-15", 404),
+        ("http://mix.com/x", "2026-01-22", 500),
+        # never succeeded at all
+        ("http://never.com/a", "2026-01-08", 404),
+        ("http://never.com/a", "2026-01-15", 404),
+    ]
+    log = spark.createDataFrame(
+        log_rows, "url string, crawl_date string, http_status int"
+    )
+    fdf = url_failure_stats(log)
+    got = {r["url"]: (r["n_consecutive_fails"], r["last_status"], r["last_date"])
+           for r in fdf.collect()}
+    assert got["http://news.com/front"] == (0, 200, "2026-01-08")
+    assert got["http://docs.com/page"] == (0, 304, "2026-01-08")
+    assert got["http://mix.com/x"] == (3, 500, "2026-01-22")
+    assert got["http://never.com/a"] == (2, 404, "2026-01-15")
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE fl (url VARCHAR, crawl_date VARCHAR, http_status INT)")
+    con.executemany("INSERT INTO fl VALUES (?, ?, ?)", log_rows)
+    orows = con.sql("""
+WITH m AS (
+  SELECT *, max(CASE WHEN http_status IN (200, 304) THEN crawl_date END)
+            OVER (PARTITION BY url) AS last_ok
+  FROM fl
+)
+SELECT url,
+  sum(CASE WHEN http_status NOT IN (200, 304)
+            AND (last_ok IS NULL OR crawl_date > last_ok)
+      THEN 1 ELSE 0 END)::INT AS n_consecutive_fails,
+  string_split(max(crawl_date || chr(1) || lpad(http_status::VARCHAR, 3, '0')),
+               chr(1))[2]::INT AS last_status,
+  max(crawl_date) AS last_date
+FROM m GROUP BY url
+""").fetchall()
+    srows = [tuple(r) for r in fdf.collect()]
+    assert len(srows) == len(orows) > 0
+    assert value_hash(fdf.columns, srows) == value_hash(
+        ["url", "n_consecutive_fails", "last_status", "last_date"],
+        [tuple(r) for r in orows],
+    )
+
+    # the dead url (3 >= max) leaves every supply; the blipped and
+    # never-tried urls stay
+    stats = url_change_stats(spark.createDataFrame(
+        _snapshots(), "url string, content_hash string, crawl_date string"
+    ))
+    sm = spark.createDataFrame(
+        [], "sitemap_url string, kind string, loc string, lastmod string, "
+            "changefreq string, priority_e6 bigint")
+    q = {r["url"] for r in fetch_queue(
+        stats, sm, as_of_date="2026-02-21", failures=fdf,
+        max_consecutive_fails=3,
+    ).collect()}
+    assert "http://mix.com/x" not in q
+    assert "http://news.com/front" in q and "http://docs.com/page" in q
+
+
 def test_extend_snapshots_hand_cases(spark):
     """The conditional-GET return path: 200s append fresh hashes, 304s
     carry the latest prior hash forward, everything else is silent."""

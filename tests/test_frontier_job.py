@@ -113,6 +113,34 @@ def test_frontier_job_robots_budgets(spark, tmp_path):
     assert summary["n_scheduled"] == 1
 
 
+def test_frontier_job_dead_url_demotion(spark, tmp_path):
+    """--fetch-log: a url with >= max-fails consecutive failures
+    leaves the schedule; the stats land in the audit dir."""
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "cycle")
+    _write_store(spark, store)
+    spark.createDataFrame(
+        [("http://static.com/b", "2026-01-16", 404),
+         ("http://static.com/b", "2026-01-17", 404),
+         ("http://churn.com/a", "2026-01-16", 503),
+         ("http://churn.com/a", "2026-01-17", 200)],
+        "url string, crawl_date string, http_status int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "log"))
+    summary = run_job(
+        spark, snapshots_path=store, output_path=out,
+        as_of_date="2026-02-01", k_per_host=5,
+        fetch_log_path=str(tmp_path / "log"), max_consecutive_fails=2,
+    )
+    sched = {r["url"] for r in
+             spark.read.parquet(f"{out}/schedule").collect()}
+    assert sched == {"http://churn.com/a"}
+    assert summary["n_scheduled"] == 1
+    audit = {r["url"]: r["n_consecutive_fails"] for r in
+             spark.read.parquet(f"{out}/audit/url_failures").collect()}
+    assert audit["http://static.com/b"] == 2
+    assert audit["http://churn.com/a"] == 0
+
+
 def test_frontier_job_minimal_supplies(spark, tmp_path):
     """Only the snapshot store: a pure-revisit cycle, no optional
     inputs, no fold-back."""

@@ -253,6 +253,14 @@ CHECKS = {
         ("BroadcastNestedLoopJoin", False),
         ("Window", False),
     ],
+    # failure evidence: ONE per-url unbounded window (no ordering) +
+    # groupBy on the same key — one shuffle, never SinglePartition
+    "url_failure_stats": [
+        ("Window", True),
+        ("Aggregate", True),  # max-of-struct folds via SortAggregate
+        ("Exchange SinglePartition", False),
+        ("CartesianProduct", False),
+    ],
     # conditional-GET return path: latest-prior-hash is agg-only
     # (max-of-struct -> SortAggregate; a per-url window would straggle
     # on the hottest urls) + one inner equi-join for the 304s
@@ -539,6 +547,19 @@ def _extra_frames():
     def f_queue(spark, sf_dir):
         return _queue(spark, sf_dir)
 
+    def f_failures(spark, sf_dir):
+        from fusus_spark.operators.frontier import url_failure_stats
+
+        log = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), F.pmod("doc_id", F.lit(100))).alias("url"),
+            F.concat(F.lit("2026-01-0"),
+                     (F.pmod("doc_id", F.lit(9)) + 1)).alias("crawl_date"),
+            F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit(404))
+            .otherwise(F.lit(200)).alias("http_status"),
+        )
+        return url_failure_stats(log)
+
     def f_extend(spark, sf_dir):
         from fusus_spark.operators.frontier import extend_snapshots
 
@@ -662,6 +683,7 @@ def _extra_frames():
             "schedule_fetches": f_schedule,
             "schedule_fetches_domain": f_schedule_domain,
             "robots_crawl_delays": f_crawl_delays,
+            "url_failure_stats": f_failures,
             "resolve_redirects": f_redirects,
             "follow_redirects": f_follow,
             "extend_snapshots": f_extend}
