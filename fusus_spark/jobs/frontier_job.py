@@ -132,7 +132,21 @@ def run_job(
     if fetch_log_path is not None:
         from fusus_spark.operators.frontier import url_failure_stats
 
-        failures = url_failure_stats(spark.read.parquet(fetch_log_path))
+        log = spark.read.parquet(fetch_log_path).select(
+            "url", "crawl_date", "http_status"
+        )
+        if fetch_results_path is not None:
+            # THIS run's results count as failure evidence too — else a
+            # url whose fresh 200 was just folded into the snapshots
+            # could be demoted by a stale log the same cycle
+            log = log.unionByName(
+                spark.read.parquet(fetch_results_path).select(
+                    "url",
+                    F.lit(crawl_date or as_of_date).alias("crawl_date"),
+                    "http_status",
+                )
+            )
+        failures = url_failure_stats(log)
         failures.write.mode("overwrite").parquet(f"{out}/audit/url_failures")
         failures = spark.read.parquet(f"{out}/audit/url_failures")
     sitemaps = (

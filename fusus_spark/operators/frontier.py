@@ -611,10 +611,13 @@ def schedule_fetches(
     rate limits; a crawler polite per-host can still hammer one
     origin through its subdomains — the wildcard-subdomain spam
     pattern). Hosts that ARE a public suffix (or dotless) fall back to
-    their own host as the group. ``host_budgets`` must then be keyed
-    by the same registrable domains, and ``rank_in_host`` reads as
-    rank within the politeness GROUP (name kept for schema
-    stability).
+    their own host as the group. ``host_budgets`` keys — robots
+    budgets are naturally HOST-keyed — are folded through the SAME
+    domain expression before the min-agg, so a Crawl-delay declared
+    on any subdomain caps its whole domain group (the conservative
+    read; a silent key mismatch here would bypass the politeness the
+    budgets exist for). ``rank_in_host`` reads as rank within the
+    politeness GROUP (name kept for schema stability).
 
     Deterministic: ties broken by url. Urls whose host cannot be
     parsed are dropped (nothing to rate-limit against — and nothing to
@@ -648,7 +651,15 @@ def schedule_fetches(
     if host_budgets is None:
         ranked = ranked.where(F.col("rank_in_host") <= k_per_host)
     else:
-        b = host_budgets.groupBy(F.col("host").alias("__bh__")).agg(
+        if by == "domain":
+            # fold the (host-keyed) budgets through the SAME key
+            # expression; min-agg makes any subdomain's declared
+            # budget bind its whole group
+            bdom = registrable_domain(F.col("host"))
+            bkey = F.when(bdom != "", bdom).otherwise(F.col("host"))
+        else:
+            bkey = F.col("host")
+        b = host_budgets.groupBy(bkey.alias("__bh__")).agg(
             F.min("k").alias("__bk__")
         )
         ranked = (

@@ -125,7 +125,10 @@ def parse_bmp_header(payload: bytes) -> tuple[int, int] | None:
         h = abs(int.from_bytes(payload[22:26], "little", signed=True))
     else:
         return None
-    if w <= 0 or h == 0:
+    if w <= 0 or h == 0 or w > 2**31 - 1 or h > 2**31 - 1:
+        # int32 guard incl. abs(INT32_MIN): same crafted-dims rule as
+        # parse_png_ihdr — the int columns downstream must never see
+        # an unrepresentable value (degrade, don't crash the stage)
         return None
     return int(w), int(h)
 
@@ -163,7 +166,9 @@ def parse_tiff_header(payload: bytes) -> tuple[int, int] | None:
                 w = val
             else:
                 h = val
-    if not w or not h:
+    if not w or not h or w > 2**31 - 1 or h > 2**31 - 1:
+        # int32 guard: a LONG of 0xFFFFFFFF from corruption must
+        # degrade to None, not crash the Arrow int column downstream
         return None
     return int(w), int(h)
 

@@ -825,6 +825,18 @@ FROM g QUALIFY rank_in_host <= 2
     except ValueError:
         pass
 
+    # HOST-keyed budgets (the robots producer's natural key) fold
+    # through the same domain expression: a Crawl-delay declared on
+    # one subdomain caps its whole registrable-domain group
+    budgets = spark.createDataFrame(
+        [("b.x.com", 1)], "host string, k int"
+    )
+    capped = {r["url"] for r in schedule_fetches(
+        queue, k_per_host=2, by="domain", host_budgets=budgets
+    ).collect()}
+    assert capped == {"http://a.x.com/1",       # x.com group capped at 1
+                      "http://only.y.com/4", "http://co.uk/5"}
+
 
 def test_url_failure_stats_and_queue_demotion(spark):
     """Consecutive-fail counting (strictly after the last success) and

@@ -140,6 +140,23 @@ def test_frontier_job_dead_url_demotion(spark, tmp_path):
     assert audit["http://static.com/b"] == 2
     assert audit["http://churn.com/a"] == 0
 
+    # this run's fresh 200 rescues a url the stale log calls dead:
+    # fetch results feed the failure evidence too
+    spark.createDataFrame(
+        [("http://static.com/b", 200, "h-back")],
+        "url string, http_status int, content_hash string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "fresh"))
+    out2 = str(tmp_path / "cycle2")
+    run_job(
+        spark, snapshots_path=store, output_path=out2,
+        as_of_date="2026-02-01", crawl_date="2026-01-25", k_per_host=5,
+        fetch_results_path=str(tmp_path / "fresh"),
+        fetch_log_path=str(tmp_path / "log"), max_consecutive_fails=2,
+    )
+    sched2 = {r["url"] for r in
+              spark.read.parquet(f"{out2}/schedule").collect()}
+    assert "http://static.com/b" in sched2
+
 
 def test_frontier_job_minimal_supplies(spark, tmp_path):
     """Only the snapshot store: a pure-revisit cycle, no optional

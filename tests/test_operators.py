@@ -622,6 +622,8 @@ def test_parse_bmp_header():
     topdown = _bmp(100, -50)
     assert parse_bmp_header(topdown) == (100, 50)
     assert parse_bmp_header(_bmp(0, 10)) is None     # zero width
+    # abs(INT32_MIN) and oversize dims degrade to None (int32 guard)
+    assert parse_bmp_header(_bmp(100, -(2**31))) is None
     assert parse_bmp_header(b"BMP files start like this") is None  # text decoy
     assert parse_bmp_header(_bmp(5, 5)[:20]) is None  # truncated
     assert sniff_media_type(_bmp(2, 2)) == "image/bmp"
@@ -636,6 +638,9 @@ def test_parse_tiff_header():
     assert sniff_media_type(_tiff(4, 4)) == "image/tiff"
     assert sniff_media_type(_tiff(4, 4, end="big")) == "image/tiff"
     assert parse_tiff_header(b"II\x2b\x00" + b"\x00" * 8) is None  # BigTIFF: out of scope
+    # corruption guard: a LONG of 0xFFFFFFFF degrades to None — it
+    # must never reach the downstream Arrow int32 columns
+    assert parse_tiff_header(_tiff(10, 2**32 - 1)) is None
     assert parse_tiff_header(_tiff(9, 9)[:12]) is None  # truncated IFD
     assert parse_tiff_header(b"II*\x00" + (10 ** 6).to_bytes(4, "little")) is None  # IFD offset beyond payload
     # an IFD missing the length tag yields None, not a half answer
