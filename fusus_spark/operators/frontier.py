@@ -248,6 +248,39 @@ def parse_sitemap_entries(
     )
 
 
+def sitemap_fetch_list(
+    entries: DataFrame, roots: DataFrame | None = None
+) -> DataFrame:
+    """Sitemap FILES still to fetch — the recursion step of the
+    sitemap protocol that :func:`fetch_queue` deliberately excludes
+    from the document queue: ``index`` entries name further sitemap
+    files (sitemaps.org: a sitemap index must not contain page urls),
+    so they feed the SITEMAP fetcher for the next round, not the
+    crawler. Returns distinct (sitemap_url) rows = index-entry locs
+    not yet parsed, where "already parsed" is every ``sitemap_url``
+    the entries frame itself carries (a file we hold entries FROM was
+    necessarily fetched). Optional ``roots`` — e.g.
+    :func:`fusus_spark.operators.robots.robots_sitemaps` output with
+    its ``sitemap_url`` column — adds robots-declared roots that have
+    no entries yet, so round 0 starts from the declarations alone.
+
+    Iterating fetch → :func:`parse_sitemap_entries` → this operator
+    converges: each round's output shrinks to empty once every
+    reachable file is parsed (tested). Plan: one distinct + one
+    left_anti equi-join on the file url — both crawl-scale, no
+    broadcast assumption, no window. DuckDB oracle in
+    tests/test_frontier.py.
+    """
+    children = (
+        entries.where(F.col("kind") == "index")
+        .select(F.col("loc").alias("sitemap_url"))
+    )
+    if roots is not None:
+        children = children.unionByName(roots.select("sitemap_url"))
+    fetched = entries.select("sitemap_url")
+    return children.distinct().join(fetched, "sitemap_url", "left_anti")
+
+
 def fetch_queue(
     url_stats: DataFrame,
     sitemap_entries: DataFrame,

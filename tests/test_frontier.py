@@ -319,6 +319,69 @@ FROM f WHERE raw_loc IS NOT NULL
 # Unified fetch queue + politeness schedule
 
 
+def test_sitemap_fetch_list(spark):
+    """The sitemap recursion step: unparsed index children + unparsed
+    robots roots queue for the sitemap fetcher; parsed files never
+    requeue; iteration converges to empty. DuckDB-oracled."""
+    from fusus_spark.operators.frontier import sitemap_fetch_list
+
+    entry_rows = [
+        # root index already parsed: names two children
+        ("https://h.com/root.xml", "index", "https://h.com/a.xml",
+         None, None, None),
+        ("https://h.com/root.xml", "index", "https://h.com/b.xml",
+         None, None, None),
+        # a.xml also parsed already: one urlset entry + a grandchild
+        ("https://h.com/a.xml", "urlset", "http://h.com/p/1",
+         None, None, None),
+        ("https://h.com/a.xml", "index", "https://h.com/c.xml",
+         None, None, None),
+    ]
+    entries = spark.createDataFrame(
+        entry_rows,
+        "sitemap_url string, kind string, loc string, lastmod string, "
+        "changefreq string, priority_e6 bigint",
+    )
+    roots = spark.createDataFrame(
+        [("h.com", "https://h.com/root.xml"),   # parsed: not requeued
+         ("h.com", "https://h.com/extra.xml")],  # declared, never seen
+        "host string, sitemap_url string",
+    )
+    sdf = sitemap_fetch_list(entries, roots)
+    got = {r["sitemap_url"] for r in sdf.collect()}
+    assert got == {"https://h.com/b.xml", "https://h.com/c.xml",
+                   "https://h.com/extra.xml"}
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE sm (sitemap_url VARCHAR, kind VARCHAR, loc VARCHAR, "
+            "lastmod VARCHAR, changefreq VARCHAR, priority_e6 BIGINT)")
+    con.executemany("INSERT INTO sm VALUES (?, ?, ?, ?, ?, ?)", entry_rows)
+    con.sql("CREATE TABLE rt (host VARCHAR, sitemap_url VARCHAR)")
+    con.executemany("INSERT INTO rt VALUES (?, ?)",
+                    [("h.com", "https://h.com/root.xml"),
+                     ("h.com", "https://h.com/extra.xml")])
+    orows = con.sql("""
+SELECT DISTINCT u FROM (
+  SELECT loc AS u FROM sm WHERE kind = 'index'
+  UNION ALL SELECT sitemap_url FROM rt
+) WHERE u NOT IN (SELECT DISTINCT sitemap_url FROM sm)
+""").fetchall()
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) == len(orows) > 0
+    assert value_hash(sdf.columns, srows) == value_hash(
+        ["sitemap_url"], [tuple(r) for r in orows]
+    )
+
+    # convergence: once b/c/extra are parsed (even to zero entries,
+    # modeled as an entries row from each), nothing is left to fetch
+    done = entries.unionByName(spark.createDataFrame(
+        [(u, "urlset", f"http://h.com/p/{i}", None, None, None)
+         for i, u in enumerate(sorted(got))],
+        entries.schema,
+    ))
+    assert sitemap_fetch_list(done, roots).count() == 0
+
+
 def test_fetch_queue_hand_cases(spark):
     from fusus_spark.operators.frontier import (
         fetch_queue, parse_sitemap_entries, url_change_stats)

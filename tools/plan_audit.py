@@ -253,6 +253,14 @@ CHECKS = {
         ("BroadcastNestedLoopJoin", False),
         ("Window", False),
     ],
+    # sitemap recursion step: distinct + one left_anti equi-join on
+    # the file url — no broadcast assumption, no window, no all-pairs
+    "sitemap_fetch_list": [
+        ("HashAggregate", True),  # the distinct
+        ("Window", False),
+        ("CartesianProduct", False),
+        ("BroadcastNestedLoopJoin", False),
+    ],
     # failure evidence: ONE per-url unbounded window (no ordering) +
     # groupBy on the same key — one shuffle, never SinglePartition
     "url_failure_stats": [
@@ -547,6 +555,24 @@ def _extra_frames():
     def f_queue(spark, sf_dir):
         return _queue(spark, sf_dir)
 
+    def f_sitemap_list(spark, sf_dir):
+        from fusus_spark.operators.frontier import sitemap_fetch_list
+
+        sm = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("https://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/sm/"), F.pmod("doc_id", F.lit(20)),
+                     F.lit(".xml")).alias("sitemap_url"),
+            F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit("index"))
+            .otherwise(F.lit("urlset")).alias("kind"),
+            F.concat(F.lit("https://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/sm/"), F.pmod("doc_id", F.lit(40)),
+                     F.lit(".xml")).alias("loc"),
+            F.lit(None).cast("string").alias("lastmod"),
+            F.lit(None).cast("string").alias("changefreq"),
+            F.lit(None).cast("bigint").alias("priority_e6"),
+        )
+        return sitemap_fetch_list(sm)
+
     def f_failures(spark, sf_dir):
         from fusus_spark.operators.frontier import url_failure_stats
 
@@ -684,6 +710,7 @@ def _extra_frames():
             "schedule_fetches_domain": f_schedule_domain,
             "robots_crawl_delays": f_crawl_delays,
             "url_failure_stats": f_failures,
+            "sitemap_fetch_list": f_sitemap_list,
             "resolve_redirects": f_redirects,
             "follow_redirects": f_follow,
             "extend_snapshots": f_extend}
