@@ -249,7 +249,9 @@ def parse_sitemap_entries(
 
 
 def sitemap_fetch_list(
-    entries: DataFrame, roots: DataFrame | None = None
+    entries: DataFrame,
+    roots: DataFrame | None = None,
+    attempted: DataFrame | None = None,
 ) -> DataFrame:
     """Sitemap FILES still to fetch — the recursion step of the
     sitemap protocol that :func:`fetch_queue` deliberately excludes
@@ -257,19 +259,30 @@ def sitemap_fetch_list(
     files (sitemaps.org: a sitemap index must not contain page urls),
     so they feed the SITEMAP fetcher for the next round, not the
     crawler. Returns distinct (sitemap_url) rows = index-entry locs
-    not yet parsed, where "already parsed" is every ``sitemap_url``
-    the entries frame itself carries (a file we hold entries FROM was
-    necessarily fetched). Optional ``roots`` — e.g.
+    not yet fetched. Optional ``roots`` — e.g.
     :func:`fusus_spark.operators.robots.robots_sitemaps` output with
     its ``sitemap_url`` column — adds robots-declared roots that have
     no entries yet, so round 0 starts from the declarations alone.
 
+    "Already fetched" is ``attempted`` when given — the sitemap fetch
+    layer's own (sitemap_url) log, which is the AUTHORITATIVE set: a
+    file that 404'd, was empty, or parsed to zero entries (the junk
+    pathologies :func:`parse_sitemap_entries` degrades on) was still
+    attempted and must not requeue forever. Without ``attempted`` the
+    fallback infers fetched-ness from ``entries.sitemap_url`` (a file
+    we hold entries FROM was necessarily fetched) — correct ONLY
+    while every fetch yields at least one entry; iteration to
+    convergence needs the fetch log. Urls join EXACTLY: both sides
+    must carry the same form (robots_sitemaps emits declarations
+    verbatim — run both sides through ``canonical_url``, or record
+    the attempted log in the request form, before joining).
+
     Iterating fetch → :func:`parse_sitemap_entries` → this operator
-    converges: each round's output shrinks to empty once every
-    reachable file is parsed (tested). Plan: one distinct + one
-    left_anti equi-join on the file url — both crawl-scale, no
-    broadcast assumption, no window. DuckDB oracle in
-    tests/test_frontier.py.
+    with the accumulated ``attempted`` log converges: each round's
+    output shrinks to empty once every reachable file was tried
+    (tested). Plan: one distinct + one left_anti equi-join on the
+    file url — both crawl-scale, no broadcast assumption, no window.
+    DuckDB oracle in tests/test_frontier.py.
     """
     children = (
         entries.where(F.col("kind") == "index")
@@ -277,7 +290,9 @@ def sitemap_fetch_list(
     )
     if roots is not None:
         children = children.unionByName(roots.select("sitemap_url"))
-    fetched = entries.select("sitemap_url")
+    fetched = (
+        attempted if attempted is not None else entries
+    ).select("sitemap_url")
     return children.distinct().join(fetched, "sitemap_url", "left_anti")
 
 

@@ -372,14 +372,27 @@ SELECT DISTINCT u FROM (
         ["sitemap_url"], [tuple(r) for r in orows]
     )
 
-    # convergence: once b/c/extra are parsed (even to zero entries,
-    # modeled as an entries row from each), nothing is left to fetch
-    done = entries.unionByName(spark.createDataFrame(
-        [(u, "urlset", f"http://h.com/p/{i}", None, None, None)
-         for i, u in enumerate(sorted(got))],
+    # convergence via the attempted log (the real contract): the next
+    # round fetches b/c/extra — b parses fine, c 404s, extra is an
+    # empty urlset. The failed/empty files contribute NO entries rows,
+    # but the attempted log still retires them: nothing requeues.
+    next_entries = entries.unionByName(spark.createDataFrame(
+        [("https://h.com/b.xml", "urlset", "http://h.com/p/2",
+          None, None, None)],
         entries.schema,
     ))
-    assert sitemap_fetch_list(done, roots).count() == 0
+    attempted = spark.createDataFrame(
+        [(u,) for u in ["https://h.com/root.xml", "https://h.com/a.xml",
+                        "https://h.com/b.xml", "https://h.com/c.xml",
+                        "https://h.com/extra.xml"]],
+        "sitemap_url string",
+    )
+    assert sitemap_fetch_list(next_entries, roots, attempted).count() == 0
+    # whereas the entries-only fallback WOULD requeue the entry-less
+    # files — exactly why iteration must feed the fetch log
+    fallback = {r["sitemap_url"] for r in
+                sitemap_fetch_list(next_entries, roots).collect()}
+    assert fallback == {"https://h.com/c.xml", "https://h.com/extra.xml"}
 
 
 def test_fetch_queue_hand_cases(spark):
