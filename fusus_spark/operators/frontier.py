@@ -264,36 +264,47 @@ def sitemap_fetch_list(
     its ``sitemap_url`` column — adds robots-declared roots that have
     no entries yet, so round 0 starts from the declarations alone.
 
-    "Already fetched" is ``attempted`` when given — the sitemap fetch
-    layer's own (sitemap_url) log, which is the AUTHORITATIVE set: a
-    file that 404'd, was empty, or parsed to zero entries (the junk
-    pathologies :func:`parse_sitemap_entries` degrades on) was still
-    attempted and must not requeue forever. Without ``attempted`` the
-    fallback infers fetched-ness from ``entries.sitemap_url`` (a file
-    we hold entries FROM was necessarily fetched) — correct ONLY
-    while every fetch yields at least one entry; iteration to
-    convergence needs the fetch log. Urls join EXACTLY: both sides
-    must carry the same form (robots_sitemaps emits declarations
-    verbatim — run both sides through ``canonical_url``, or record
-    the attempted log in the request form, before joining).
+    "Already fetched" is ``entries.sitemap_url`` (a file we hold
+    entries FROM was necessarily fetched) unioned with ``attempted``
+    when given — the sitemap fetch layer's own (sitemap_url) log.
+    The log is what makes iteration converge: a file that 404'd, was
+    empty, or parsed to zero entries (the junk pathologies
+    :func:`parse_sitemap_entries` degrades on) contributes no entries
+    rows but was still attempted and must not requeue forever.
+    Folding the entries side in even when the log is given makes the
+    operator robust to an INCOMPLETE log (e.g. entries restored from
+    an archive predating the log): a file already parsed never
+    requeues regardless of which evidence survives. Urls join
+    EXACTLY: both sides must carry the same form (robots_sitemaps
+    emits declarations verbatim — run both sides through
+    ``canonical_url``, or record the attempted log in the request
+    form, before joining).
 
     Iterating fetch → :func:`parse_sitemap_entries` → this operator
     with the accumulated ``attempted`` log converges: each round's
     output shrinks to empty once every reachable file was tried
-    (tested). Plan: one distinct + one left_anti equi-join on the
-    file url — both crawl-scale, no broadcast assumption, no window.
-    DuckDB oracle in tests/test_frontier.py.
+    (tested). Plan: per-side distincts + one left_anti equi-join on
+    the file url — both crawl-scale, no broadcast assumption, no
+    window. DuckDB oracle in tests/test_frontier.py.
     """
+    # entries feeds BOTH join sides; checkpoint so Catalyst does not
+    # recompute the upstream parse per consumer (exchange-reuse
+    # limitation, same as fetch_queue's inputs).
+    entries = entries.localCheckpoint()
     children = (
         entries.where(F.col("kind") == "index")
         .select(F.col("loc").alias("sitemap_url"))
     )
     if roots is not None:
         children = children.unionByName(roots.select("sitemap_url"))
-    fetched = (
-        attempted if attempted is not None else entries
-    ).select("sitemap_url")
-    return children.distinct().join(fetched, "sitemap_url", "left_anti")
+    fetched = entries.select("sitemap_url")
+    if attempted is not None:
+        fetched = fetched.unionByName(attempted.select("sitemap_url"))
+    # distinct before the anti-join: up to 50k entry rows per file
+    # collapse to one sitemap_url map-side instead of in the shuffle
+    return children.distinct().join(
+        fetched.distinct(), "sitemap_url", "left_anti"
+    )
 
 
 def fetch_queue(

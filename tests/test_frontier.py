@@ -388,6 +388,15 @@ SELECT DISTINCT u FROM (
         "sitemap_url string",
     )
     assert sitemap_fetch_list(next_entries, roots, attempted).count() == 0
+    # an INCOMPLETE log (e.g. restarted after the archive was built)
+    # is repaired by the entries side: root/a/b are absent from the
+    # log but we hold entries from them, so only the genuinely
+    # entry-less failures (c 404'd, extra was empty) requeue
+    partial = spark.createDataFrame(
+        [("https://never-seen.example/x.xml",)], "sitemap_url string")
+    got_partial = {r["sitemap_url"] for r in
+                   sitemap_fetch_list(next_entries, roots, partial).collect()}
+    assert got_partial == {"https://h.com/c.xml", "https://h.com/extra.xml"}
     # whereas the entries-only fallback WOULD requeue the entry-less
     # files — exactly why iteration must feed the fetch log
     fallback = {r["sitemap_url"] for r in
