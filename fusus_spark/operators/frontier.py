@@ -320,6 +320,7 @@ def fetch_queue(
     link_cap_e6: int = 990_000,
     failures: DataFrame | None = None,
     max_consecutive_fails: int = 3,
+    announce_boost_e6: int | None = None,
 ) -> DataFrame:
     """The unified fetch queue: every url the crawler should consider
     this cycle, scored. (url, source, priority_e6, last_hash).
@@ -372,6 +373,22 @@ def fetch_queue(
     link discovery (seeds are anti-joined against the history;
     redirect targets against both; link targets against all three).
 
+    ``announce_boost_e6`` (optional) turns the sitemap ``<lastmod>``
+    into a CHANGE ANNOUNCEMENT for urls the crawler already holds: a
+    revisit row whose max announced lastmod DATE (first 10 chars of
+    the W3C datetime; junk dates ignored via try_to_date) is strictly
+    newer than its ``last_date`` snapshot gets ``priority_e6 =
+    greatest(priority_e6, announce_boost_e6)`` — the publisher says
+    the page changed since we last saw it, which is stronger evidence
+    than any churn model, while ``greatest`` keeps genuinely hotter
+    urls above the floor. Only revisit rows are affected (a lastmod
+    for a never-crawled url adds nothing beyond its seed priority —
+    there is no stored copy to invalidate), and a lastmod OLDER than
+    the last crawl is silently inert (already observed). Off by
+    default; the publisher-honesty tradeoff (spammy always-now
+    lastmods) is policy — cap abuse upstream by dropping lastmod from
+    untrusted hosts before this operator.
+
     ``failures`` (optional, a :func:`url_failure_stats` frame) demotes
     DEAD urls: any url with ``n_consecutive_fails >=
     max_consecutive_fails`` is dropped from EVERY supply by one final
@@ -385,8 +402,10 @@ def fetch_queue(
     distinct-host groupBy(url) over the links + left_anti equi-joins
     on url — hash-partitioned, no broadcast assumption (at crawl scale
     BOTH sides are billions of rows) — and a map-side union with the
-    revisit projection. No window, no all-pairs. DuckDB oracle in
-    tests/test_frontier.py.
+    revisit projection. With ``announce_boost_e6``, one more
+    groupBy(loc) + one left equi-join on url against the revisit
+    projection (same scale discipline). No window, no all-pairs.
+    DuckDB oracle in tests/test_frontier.py.
     """
     # url_stats feeds BOTH branches (revisit projection + anti-join
     # right side) and Catalyst does not reuse exchanges across
@@ -396,12 +415,47 @@ def fetch_queue(
     # convention; executor loss recomputes, acceptable for one cycle's
     # queue build.
     url_stats = url_stats.localCheckpoint()
+    if announce_boost_e6 is not None:
+        # the announcement branch adds a THIRD consumer of the entries
+        # frame (seeds groupBy, urlset locs, announced groupBy) — same
+        # exchange-reuse gotcha as url_stats above
+        sitemap_entries = sitemap_entries.localCheckpoint()
     revisit = url_stats.select(
         "url",
         F.lit("revisit").alias("source"),
         _priority_e6(as_of_date, halflife_days),
         "last_hash",
+        "last_date",
     )
+    if announce_boost_e6 is not None:
+        announced = (
+            sitemap_entries.where(
+                (F.col("kind") == "urlset") & F.col("lastmod").isNotNull()
+            )
+            .select(
+                F.col("loc").alias("url"),
+                # date prefix of the W3C datetime; junk parses to null
+                F.try_to_date(F.substring("lastmod", 1, 10)).alias("__lm__"),
+            )
+            .where(F.col("__lm__").isNotNull())
+            .groupBy("url")
+            .agg(F.max("__lm__").alias("__announced__"))
+        )
+        revisit = (
+            revisit.join(announced, "url", "left")
+            .withColumn(
+                "priority_e6",
+                F.when(
+                    F.col("__announced__") > F.to_date("last_date"),
+                    F.greatest(
+                        "priority_e6",
+                        F.lit(announce_boost_e6).cast("bigint"),
+                    ),
+                ).otherwise(F.col("priority_e6")),
+            )
+            .drop("__announced__")
+        )
+    revisit = revisit.select("url", "source", "priority_e6", "last_hash")
     seeds = (
         sitemap_entries.where(F.col("kind") == "urlset")
         .groupBy(F.col("loc").alias("url"))
@@ -428,7 +482,10 @@ def fetch_queue(
         F.col("loc").alias("url")
     )
     if redirects is not None and links is not None:
-        urlset_locs = urlset_locs.localCheckpoint()
+        if announce_boost_e6 is None:
+            # skip when the entries frame itself is already
+            # checkpointed above — locs is a cheap projection of it
+            urlset_locs = urlset_locs.localCheckpoint()
         redirects = redirects.localCheckpoint()
     terminal_targets = (
         redirects.where(F.col("terminal")).select(

@@ -528,6 +528,106 @@ SELECT host, url, source, priority_e6, last_hash, rank_in_host FROM (
     assert len(hosts) == len(set(hosts))
 
 
+def test_fetch_queue_lastmod_announcements(spark):
+    """announce_boost_e6: a sitemap <lastmod> newer than the url's
+    last snapshot boosts its revisit priority to the floor; older or
+    junk lastmods are inert; seeds are untouched. DuckDB-oracled."""
+    from fusus_spark.operators.frontier import fetch_queue, url_change_stats
+
+    stats = url_change_stats(spark.createDataFrame(
+        _snapshots(), "url string, content_hash string, crawl_date string"
+    ))
+    entries = [
+        # static page, publisher announces a change after our last
+        # crawl (W3C datetime form) -> boosted to the floor
+        ("https://d.com/sm.xml", "urlset", "http://docs.com/page",
+         "2026-02-01T09:30:00+00:00", None, None),
+        # announced BEFORE our last crawl (2026-01-22) -> inert
+        ("https://n.com/sm.xml", "urlset", "http://news.com/front",
+         "2026-01-20", None, 900_000),
+        # two sitemaps disagree: max lastmod wins -> newer -> boost
+        ("https://m.com/sm.xml", "urlset", "http://mix.com/x",
+         "2026-01-10", None, None),
+        ("https://m.com/sm2.xml", "urlset", "http://mix.com/x",
+         "2026-02-05", None, None),
+        # junk lastmod parses to null -> ignored
+        ("https://m.com/sm.xml", "urlset", "http://mix.com/once",
+         "not-a-date", None, None),
+        # never-crawled url: lastmod adds nothing beyond seed priority
+        ("https://m.com/sm.xml", "urlset", "http://m.com/new",
+         "2026-02-10", None, 300_000),
+    ]
+    sm = spark.createDataFrame(
+        entries, "sitemap_url string, kind string, loc string, "
+                 "lastmod string, changefreq string, priority_e6 bigint")
+    qdf = fetch_queue(stats, sm, as_of_date="2026-02-21",
+                      announce_boost_e6=900_000)
+    q = {r["url"]: r for r in qdf.collect()}
+    assert q["http://docs.com/page"]["priority_e6"] == 900_000   # boosted
+    assert q["http://news.com/front"]["priority_e6"] == 800_000  # inert
+    assert q["http://mix.com/x"]["priority_e6"] == 900_000       # max lastmod
+    assert q["http://mix.com/once"]["priority_e6"] == 700_000    # junk
+    assert q["http://m.com/new"]["source"] == "seed"
+    assert q["http://m.com/new"]["priority_e6"] == 300_000
+    # greatest(): a hotter-than-floor url keeps its own score
+    # (docs/page: 4 snapshots incl. the duplicate row, 0 changes ->
+    # smoothed 1/5, 37 days stale -> 246667 > the 100k floor)
+    q2 = {r["url"]: r for r in
+          fetch_queue(stats, sm, as_of_date="2026-02-21",
+                      announce_boost_e6=100_000).collect()}
+    assert q2["http://docs.com/page"]["priority_e6"] == 246_667
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE snaps (url VARCHAR, content_hash VARCHAR, crawl_date VARCHAR)")
+    con.executemany("INSERT INTO snaps VALUES (?, ?, ?)", _snapshots())
+    con.sql("CREATE TABLE sm (sitemap_url VARCHAR, kind VARCHAR, loc VARCHAR, "
+            "lastmod VARCHAR, changefreq VARCHAR, priority_e6 BIGINT)")
+    con.executemany("INSERT INTO sm VALUES (?, ?, ?, ?, ?, ?)", entries)
+    orc = con.sql("""
+WITH o AS (
+  SELECT url, content_hash, crawl_date,
+         lag(content_hash) OVER (PARTITION BY url ORDER BY crawl_date, content_hash) AS prev
+  FROM snaps
+),
+g AS (
+  SELECT url, count(*)::INT AS n_snapshots,
+         sum(CASE WHEN prev IS NOT NULL AND content_hash != prev THEN 1 ELSE 0 END)::INT AS n_changes,
+         max(crawl_date) AS last_date,
+         string_split(max(crawl_date || chr(1) || content_hash), chr(1))[2] AS last_hash
+  FROM o GROUP BY url
+),
+a AS (
+  SELECT loc AS url, max(try_cast(substr(lastmod, 1, 10) AS DATE)) AS lm
+  FROM sm WHERE kind = 'urlset' AND lastmod IS NOT NULL GROUP BY loc
+),
+r AS (
+  SELECT g.url, 'revisit' AS source,
+         CASE WHEN a.lm > CAST(g.last_date AS DATE)
+              THEN greatest(round((n_changes + 1) / (n_snapshots - 1 + 2)
+                   * greatest(datediff('day', CAST(last_date AS DATE), DATE '2026-02-21'), 0)
+                   / 30 * 1000000)::BIGINT, 900000)
+              ELSE round((n_changes + 1) / (n_snapshots - 1 + 2)
+                   * greatest(datediff('day', CAST(last_date AS DATE), DATE '2026-02-21'), 0)
+                   / 30 * 1000000)::BIGINT END AS priority_e6,
+         last_hash
+  FROM g LEFT JOIN a ON g.url = a.url
+),
+s AS (
+  SELECT loc AS url, max(coalesce(priority_e6, 500000))::BIGINT AS priority_e6
+  FROM sm WHERE kind = 'urlset' GROUP BY loc
+)
+SELECT * FROM r
+UNION ALL
+SELECT s.url, 'seed' AS source, s.priority_e6, NULL AS last_hash
+FROM s LEFT JOIN g ON s.url = g.url WHERE g.url IS NULL
+""")
+    srows = [tuple(r) for r in qdf.collect()]
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert sorted(qdf.columns) == sorted(orc.columns)
+    assert value_hash(qdf.columns, srows) == value_hash(orc.columns, orows)
+
+
 def test_fetch_queue_redirect_supply(spark):
     """Third supply: terminal redirect targets that were never crawled
     and are not sitemap-hinted — strongest-evidence-wins precedence,

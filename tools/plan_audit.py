@@ -528,7 +528,8 @@ def _extra_frames():
             F.lit("urlset").alias("kind"),
             F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
                      F.lit(".com/new/"), "doc_id").alias("loc"),
-            F.lit(None).cast("string").alias("lastmod"),
+            # a real lastmod so the announce-boost join is in the plan
+            F.lit("2026-01-15T00:00:00+00:00").alias("lastmod"),
             F.lit(None).cast("string").alias("changefreq"),
             F.lit(None).cast("bigint").alias("priority_e6"),
         )
@@ -549,7 +550,8 @@ def _extra_frames():
                      F.pmod("doc_id", F.lit(97))).alias("resolved"),
         )
         return fetch_queue(
-            stats, sm, as_of_date="2026-02-01", redirects=rd, links=lk
+            stats, sm, as_of_date="2026-02-01", redirects=rd, links=lk,
+            announce_boost_e6=900_000,
         )
 
     def f_queue(spark, sf_dir):
