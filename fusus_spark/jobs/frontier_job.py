@@ -29,7 +29,10 @@ Stage order mirrors the loop the operators define:
                                ordered, one row per url; --fetch-log
                                demotes dead urls — >= max-fails
                                consecutive failures — with the stats
-                               written as the demotion audit)
+                               written as the demotion audit;
+                               --announce-boost turns sitemap lastmods
+                               newer than a url's last snapshot into
+                               revisit-priority floors)
     3. politeness schedule    (schedule_fetches top-k per host ->
                                <output>/schedule, the cycle's work
                                list; --robots harvests Crawl-delays
@@ -81,6 +84,7 @@ def run_job(
     hash_col: str = "content_hash",
     halflife_days: int = 30,
     k_per_host: int = 100,
+    announce_boost_e6: int | None = None,
 ) -> dict:
     """The job body, session-agnostic (tests drive it directly).
 
@@ -169,6 +173,7 @@ def run_job(
         ),
         failures=failures,
         max_consecutive_fails=max_consecutive_fails,
+        announce_boost_e6=announce_boost_e6,
     )
 
     # 3. the politeness-capped work list — the cycle's deliverable.
@@ -233,6 +238,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--hash-col", default="content_hash",
                    help="change-signal column (content_hash or a validator like etag)")
     p.add_argument("--halflife-days", type=int, default=30)
+    p.add_argument("--announce-boost", type=int, default=None,
+                   help="priority-e6 floor for revisit urls whose sitemap "
+                        "<lastmod> is newer than their last snapshot "
+                        "(publisher change announcements; off by default)")
     p.add_argument("--k-per-host", type=int, default=100)
     a = p.parse_args(argv)
 
@@ -255,6 +264,7 @@ def main(argv: list[str] | None = None) -> None:
         hash_col=a.hash_col,
         halflife_days=a.halflife_days,
         k_per_host=a.k_per_host,
+        announce_boost_e6=a.announce_boost,
     )
     print(json.dumps(summary, sort_keys=True))
 

@@ -90,6 +90,39 @@ def test_frontier_job_end_to_end(spark, tmp_path):
     assert {"churn.com", "static.com"} <= hosts
 
 
+def test_frontier_job_lastmod_announcement(spark, tmp_path):
+    """--announce-boost: a sitemap lastmod newer than the static url's
+    last snapshot lifts it ABOVE the churner this cycle — the announced
+    change outranks the churn model."""
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "cycle")
+    _write_store(spark, store)
+    spark.createDataFrame(
+        [("https://s.com/sm.xml", "urlset", "http://static.com/b",
+          "2026-02-01T00:00:00+00:00", None, None)],
+        "sitemap_url string, kind string, loc string, lastmod string, "
+        "changefreq string, priority_e6 bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "sitemaps"))
+
+    run_job(
+        spark,
+        snapshots_path=store,
+        output_path=out,
+        as_of_date="2026-02-14",
+        sitemaps_path=str(tmp_path / "sitemaps"),
+        k_per_host=10,
+        announce_boost_e6=900_000,
+    )
+    sched = {r["url"]: r for r in
+             spark.read.parquet(f"{out}/schedule").collect()}
+    # static.com/b: 3 snaps, 0 changes -> 300000 unboosted; the
+    # announcement floors it at 900000, above the churner's 750000
+    # (3 snaps, 2 changes -> smoothed 3/4, 30 days stale)
+    assert sched["http://static.com/b"]["priority_e6"] == 900_000
+    assert sched["http://churn.com/a"]["priority_e6"] == 750_000
+    assert sched["http://static.com/b"]["source"] == "revisit"
+
+
 def test_frontier_job_robots_budgets(spark, tmp_path):
     """--robots: a host whose Crawl-delay exceeds the cycle is skipped;
     an in-cycle delay caps its depth."""
