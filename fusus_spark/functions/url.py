@@ -253,6 +253,67 @@ def url_features(docs: DataFrame, url_col: str = "url",
     )
 
 
+def url_repeated_segments(url) -> Column:
+    """Number of DUPLICATED path-segment positions: ``len(segments) -
+    len(distinct segments)``. ``/a/b/a/b/a/b`` -> 4, ``/x/y/z`` -> 0.
+    The signature of a self-referencing crawl trap (a relative link
+    resolving back into its own directory grows ``/foo/bar/foo/bar/...``
+    one level per hop) — counting duplicated POSITIONS rather than
+    max multiplicity keeps the expression pure-JVM (no nested
+    higher-order aggregation) and monotone in trap depth."""
+    segs = F.filter(F.split(url_path(url), "/"), lambda s: s != "")
+    return (F.size(segs) - F.size(F.array_distinct(segs))).cast("int")
+
+
+def url_trap_features(
+    docs: DataFrame,
+    url_col: str = "url",
+    *,
+    max_depth: int = 12,
+    max_params: int = 8,
+    max_repeated: int = 2,
+) -> DataFrame:
+    """Crawl-trap signals per url: (url, path_depth, n_params,
+    n_repeated_segments, is_trap). A trap url is one a crawler can
+    fetch forever without new content — infinite calendars, session
+    mazes, self-referencing relative links — and the frontier must
+    drop it BEFORE fetching, from the url string alone:
+
+    * ``n_repeated_segments > max_repeated`` — the same path segment
+      recurring (> 2 duplicated positions means some segment appears
+      3+ times, or several repeat): the relative-link loop signature.
+      Legitimate one-repeat paths (``/docs/api/docs.html``) survive.
+    * ``path_depth > max_depth`` — infinite-descent traps (calendars,
+      faceted navigation) grow depth without bound; real content
+      paths rarely exceed a dozen segments.
+    * ``n_params > max_params`` — parameter-explosion traps (faceted
+      search, session-id permutations) accumulate query params.
+
+    ``is_trap`` is the OR. Thresholds are deliberately loose — the
+    cost of a false positive is one skipped url, of a false negative
+    an unbounded fetch budget leak, but a curator tuning for recall
+    can raise them per deployment. Filter the fetch queue with
+    ``queue.join(traps.where('is_trap'), 'url', 'left_anti')`` or
+    gate link discovery upstream. One codegen'd projection, zero
+    shuffle, no per-row Python. DuckDB list-function oracle in
+    tests/test_url.py."""
+    u = F.col(url_col)
+    rep = url_repeated_segments(u)
+    depth = url_path_depth(u)
+    npar = url_query_param_count(u)
+    return docs.select(
+        u.alias("url"),
+        depth.alias("path_depth"),
+        npar.alias("n_params"),
+        rep.alias("n_repeated_segments"),
+        (
+            (rep > max_repeated)
+            | (depth > max_depth)
+            | (npar > max_params)
+        ).alias("is_trap"),
+    )
+
+
 def dedup_by_canonical_url(docs: DataFrame, url_col: str = "url") -> DataFrame:
     """URL-level exact dedup: (url, canonical, rep_url, group_size);
     rep_url = min url of the canonical group. One shuffle on the

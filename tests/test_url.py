@@ -470,3 +470,60 @@ def test_canonical_url_fuzz_idempotent_and_total(spark):
     assert bad == [], bad[:5]
     # url_features is total too (host/domain/path on the same soup)
     assert url_features(df).count() == len(urls)
+
+
+def test_url_trap_features(spark):
+    """Crawl-trap signals: repeated-segment loops, infinite descent,
+    parameter explosion — from the url string alone, before any fetch.
+    Hand-pinned cases + DuckDB list-function oracle over the full
+    synthetic corpus."""
+    from fusus_spark.functions.url import url_trap_features
+
+    hand = [
+        "http://h.com/a/b/a/b/a/b",                # relative-link loop
+        "http://h.com/cal/2026/01/cal/2026/01",    # calendar trap
+        "http://h.com/docs/api/docs",              # one repeat: fine
+        "http://h.com/" + "/".join(f"d{i}" for i in range(13)),  # deep
+        "http://h.com/p?" + "&".join(f"a{i}=1" for i in range(9)),
+        "http://h.com/x/y/z?a=1&b=2",              # clean
+        "http://h.com",                            # bare host
+    ]
+    urls = hand + _synthetic_urls()
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    sdf = url_trap_features(df)
+    got = {r["url"]: r for r in sdf.collect()}
+    assert got[hand[0]]["n_repeated_segments"] == 4 and got[hand[0]]["is_trap"]
+    assert got[hand[1]]["n_repeated_segments"] == 3 and got[hand[1]]["is_trap"]
+    assert got[hand[2]]["n_repeated_segments"] == 1
+    assert not got[hand[2]]["is_trap"]
+    assert got[hand[3]]["path_depth"] == 13 and got[hand[3]]["is_trap"]
+    assert got[hand[4]]["n_params"] == 9 and got[hand[4]]["is_trap"]
+    assert not got[hand[5]]["is_trap"]
+    assert got[hand[6]]["path_depth"] == 0 and not got[hand[6]]["is_trap"]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE urls (url VARCHAR)")
+    con.executemany("INSERT INTO urls VALUES (?)", [(u,) for u in urls])
+    orc = con.sql(r"""
+WITH s AS (
+  SELECT url,
+         list_filter(string_split(
+           regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+           '/'), x -> x != '') AS segs,
+         CASE WHEN regexp_extract(url, '^[^#]*?\?([^#]*)', 1) = '' THEN 0
+              ELSE len(list_filter(string_split(
+                regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'), x -> x != ''))
+         END::INT AS n_params
+  FROM urls
+)
+SELECT url, len(segs)::INT AS path_depth, n_params,
+       (len(segs) - len(list_distinct(segs)))::INT AS n_repeated_segments,
+       ((len(segs) - len(list_distinct(segs))) > 2
+        OR len(segs) > 12 OR n_params > 8) AS is_trap
+FROM s
+""")
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)

@@ -253,6 +253,16 @@ CHECKS = {
         ("BroadcastNestedLoopJoin", False),
         ("Window", False),
     ],
+    # crawl-trap signals: ONE codegen'd projection over the url
+    # string — zero extra shuffle (the lone Exchange is the load
+    # repartition), no window, no join, no per-row Python
+    "url_trap_features": [
+        ("Exchange", 1),
+        ("codegen id", True),
+        ("Window", False),
+        ("CartesianProduct", False),
+        ("MapInPandas", False),
+    ],
     # sitemap recursion step: distinct + one left_anti equi-join on
     # the file url — no broadcast assumption, no window, no all-pairs
     "sitemap_fetch_list": [
@@ -557,6 +567,15 @@ def _extra_frames():
     def f_queue(spark, sf_dir):
         return _queue(spark, sf_dir)
 
+    def f_trap(spark, sf_dir):
+        from fusus_spark.functions.url import url_trap_features
+
+        urls = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/a/b/"), F.pmod("doc_id", F.lit(3)),
+                     F.lit("/a/b?q="), "doc_id").alias("url"))
+        return url_trap_features(urls)
+
     def f_sitemap_list(spark, sf_dir):
         from fusus_spark.operators.frontier import sitemap_fetch_list
 
@@ -713,6 +732,7 @@ def _extra_frames():
             "robots_crawl_delays": f_crawl_delays,
             "url_failure_stats": f_failures,
             "sitemap_fetch_list": f_sitemap_list,
+            "url_trap_features": f_trap,
             "resolve_redirects": f_redirects,
             "follow_redirects": f_follow,
             "extend_snapshots": f_extend}
