@@ -453,3 +453,84 @@ def apply_robots_optout(
         ~_directive(_robots_content(html_col), "noindex")
         & ~_directive(_header_content(docs, xrobots_col), "noindex")
     )
+
+
+def robots_fetch_policy(
+    fetch_log: DataFrame,
+    *,
+    as_of_ts: str,
+    max_age_hours: int = 24,
+    unreachable_grace_days: int = 30,
+) -> DataFrame:
+    """Per-host robots.txt ACCESS POLICY from the robots fetch log —
+    the RFC 9309 §2.3.1 state machine the crawler consults before any
+    fetch on the host: (host, last_status, last_fetch_ts, policy,
+    needs_refetch).
+
+    Input rows are (host, http_status, fetched_at) across cycles; a
+    null ``http_status`` means no HTTP response at all (DNS/conn
+    failure) and classes with the 5xx "unreachable" bucket (stored as
+    0 in ``last_status``). Policy from the LATEST fetch per host
+    (deterministic (fetched_at, status) max-of-struct; agg-only, no
+    window — the cluster_representatives convention):
+
+    * 2xx -> ``parse``: a robots body was served; parse and apply it
+      (:func:`robots_txt_rules` / :func:`apply_robots_txt`).
+    * 3xx / 4xx -> ``allow_all``: "unavailable" per §2.3.1.3 — the
+      crawler MAY access any resource (the fetch layer already chased
+      redirects ≥5 hops per §2.3.1.2; a residual 3xx is a loop or an
+      over-cap chain, which the RFC says MAY be treated as
+      unavailable).
+    * 5xx / no response -> ``disallow_all``: "unreachable" per
+      §2.3.1.4 — MUST assume complete disallow... UNLESS the host has
+      been continuously unreachable longer than
+      ``unreachable_grace_days`` (the RFC's 30 days), after which the
+      crawler MAY fall back: ``parse_cached`` when some earlier fetch
+      DID serve a body (use the stored copy), ``allow_all`` when none
+      ever did. Continuity is measured from the last reachable
+      (status <= 499) fetch, or the first attempt if none.
+
+    ``needs_refetch`` is orthogonal: the latest fetch (whatever its
+    outcome) is older than ``max_age_hours`` (the RFC's §2.4 cache
+    cap, default 24 h) as of ``as_of_ts`` — pass the schedule time
+    explicitly (wall-clock defaults are nondeterministic, the repo
+    contract). Timestamps compare as differences, so the session
+    timezone cancels.
+
+    Plan shape: ONE groupBy(host) computing every aggregate (latest
+    struct, last reachable ts, any-2xx flag, first ts) — one shuffle,
+    no window, no join. DuckDB oracle in tests/test_robots.py.
+    """
+    s = F.coalesce(F.col("http_status"), F.lit(0)).cast("int")
+    log = fetch_log.select("host", s.alias("__s__"), "fetched_at")
+    reachable = (F.col("__s__") >= 200) & (F.col("__s__") <= 499)
+    ok = (F.col("__s__") >= 200) & (F.col("__s__") <= 299)
+    agg = log.groupBy("host").agg(
+        F.max(F.struct("fetched_at", "__s__")).alias("m"),
+        F.max(F.when(reachable, F.col("fetched_at"))).alias("__reach__"),
+        F.max(F.when(ok, 1).otherwise(0)).alias("__had_ok__"),
+        F.min("fetched_at").alias("__first__"),
+    )
+    as_of = F.to_timestamp(F.lit(as_of_ts)).cast("long")
+    last_s = F.col("m.__s__")
+    last_ts = F.col("m.fetched_at")
+    age_h = (as_of - F.to_timestamp(last_ts).cast("long")) / 3600.0
+    unreach_since = F.coalesce(F.col("__reach__"), F.col("__first__"))
+    unreach_d = (as_of - F.to_timestamp(unreach_since).cast("long")) / 86400.0
+    policy = (
+        F.when((last_s >= 200) & (last_s <= 299), F.lit("parse"))
+        .when((last_s >= 300) & (last_s <= 499), F.lit("allow_all"))
+        .when(
+            unreach_d > unreachable_grace_days,
+            F.when(F.col("__had_ok__") == 1, F.lit("parse_cached"))
+            .otherwise(F.lit("allow_all")),
+        )
+        .otherwise(F.lit("disallow_all"))
+    )
+    return agg.select(
+        "host",
+        last_s.alias("last_status"),
+        last_ts.alias("last_fetch_ts"),
+        policy.alias("policy"),
+        (age_h > max_age_hours).alias("needs_refetch"),
+    )

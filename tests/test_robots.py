@@ -446,3 +446,89 @@ def test_robots_never_raise_on_junk(spark):
     assert got["http://x.com/a"]["noindex"] is True
     assert got["http://x.com/b"]["robots_content"] == ""
     assert got["http://x.com/c"]["noindex"] is False
+
+
+def _robots_fetch_log() -> list[tuple[str, int | None, str]]:
+    """(host, http_status, fetched_at): one host per RFC 9309 §2.3.1
+    policy branch, plus staleness variants."""
+    return [
+        ("ok.com", 200, "2026-02-20 12:00:00"),          # parse, fresh
+        ("stale.com", 200, "2026-02-19 00:00:00"),       # parse, stale
+        ("gone.com", 404, "2026-02-20 12:00:00"),        # unavailable
+        ("redir.com", 301, "2026-02-20 12:00:00"),       # loop residue
+        # fresh outage: reachable 3 days ago -> MUST disallow
+        ("down.com", 200, "2026-02-18 00:00:00"),
+        ("down.com", 503, "2026-02-20 12:00:00"),
+        # continuously unreachable 82 days WITH a cached body
+        ("longdown.com", 200, "2025-12-01 00:00:00"),
+        ("longdown.com", 503, "2026-01-01 00:00:00"),
+        ("longdown.com", 503, "2026-02-19 00:00:00"),
+        # unreachable 51 days, never served a body
+        ("neverup.com", None, "2026-01-01 00:00:00"),
+        ("neverup.com", 503, "2026-02-20 12:00:00"),
+        # network failure half a day ago -> grace not reached
+        ("freshdown.com", None, "2026-02-20 12:00:00"),
+    ]
+
+
+def test_robots_fetch_policy(spark):
+    """RFC 9309 §2.3.1 access policy + §2.4 cache staleness from the
+    robots fetch log; every branch hand-pinned, DuckDB-oracled."""
+    from fusus_spark.operators.robots import robots_fetch_policy
+
+    rows = _robots_fetch_log()
+    df = spark.createDataFrame(
+        rows, "host string, http_status int, fetched_at string")
+    sdf = robots_fetch_policy(df, as_of_ts="2026-02-21 00:00:00")
+    got = {r["host"]: r for r in sdf.collect()}
+    assert got["ok.com"]["policy"] == "parse"
+    assert not got["ok.com"]["needs_refetch"]          # 12 h old
+    assert got["stale.com"]["policy"] == "parse"
+    assert got["stale.com"]["needs_refetch"]           # 48 h old
+    assert got["gone.com"]["policy"] == "allow_all"
+    assert got["redir.com"]["policy"] == "allow_all"
+    assert got["down.com"]["policy"] == "disallow_all"  # 3 d, within grace
+    assert got["down.com"]["last_status"] == 503
+    assert got["longdown.com"]["policy"] == "parse_cached"  # 82 d, had body
+    assert got["longdown.com"]["needs_refetch"]        # 48 h old
+    assert got["neverup.com"]["policy"] == "allow_all"  # 51 d, no body ever
+    assert got["freshdown.com"]["policy"] == "disallow_all"
+    assert got["freshdown.com"]["last_status"] == 0     # no HTTP response
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE log (host VARCHAR, http_status INT, fetched_at VARCHAR)")
+    con.executemany("INSERT INTO log VALUES (?, ?, ?)", rows)
+    orc = con.sql("""
+WITH l AS (
+  SELECT host, coalesce(http_status, 0)::INT AS s, fetched_at FROM log
+),
+g AS (
+  SELECT host,
+         string_split(max(fetched_at || chr(1) || lpad(s::VARCHAR, 3, '0')), chr(1)) AS m,
+         max(CASE WHEN s BETWEEN 200 AND 499 THEN fetched_at END) AS reach,
+         max(CASE WHEN s BETWEEN 200 AND 299 THEN 1 ELSE 0 END) AS had_ok,
+         min(fetched_at) AS first
+  FROM l GROUP BY host
+),
+p AS (
+  SELECT host, CAST(m[2] AS INT) AS last_status, m[1] AS last_fetch_ts,
+         (epoch(TIMESTAMP '2026-02-21 00:00:00') - epoch(CAST(m[1] AS TIMESTAMP))) / 3600.0 AS age_h,
+         (epoch(TIMESTAMP '2026-02-21 00:00:00')
+          - epoch(CAST(coalesce(reach, first) AS TIMESTAMP))) / 86400.0 AS unreach_d,
+         had_ok
+  FROM g
+)
+SELECT host, last_status, last_fetch_ts,
+       CASE WHEN last_status BETWEEN 200 AND 299 THEN 'parse'
+            WHEN last_status BETWEEN 300 AND 499 THEN 'allow_all'
+            WHEN unreach_d > 30 THEN
+              CASE WHEN had_ok = 1 THEN 'parse_cached' ELSE 'allow_all' END
+            ELSE 'disallow_all' END AS policy,
+       age_h > 24 AS needs_refetch
+FROM p
+""")
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)

@@ -253,6 +253,16 @@ CHECKS = {
         ("BroadcastNestedLoopJoin", False),
         ("Window", False),
     ],
+    # robots access policy: ONE groupBy(host) computing every
+    # aggregate (latest struct, last reachable, any-2xx, first) — one
+    # shuffle, no window, no join
+    "robots_fetch_policy": [
+        ("Aggregate", True),  # max-of-struct folds via SortAggregate
+        ("Window", False),
+        ("Exchange SinglePartition", False),
+        ("CartesianProduct", False),
+        ("MapInPandas", False),
+    ],
     # crawl-trap signals: ONE codegen'd projection over the url
     # string — zero extra shuffle (the lone Exchange is the load
     # repartition), no window, no join, no per-row Python
@@ -567,6 +577,21 @@ def _extra_frames():
     def f_queue(spark, sf_dir):
         return _queue(spark, sf_dir)
 
+    def f_robots_policy(spark, sf_dir):
+        from fusus_spark.operators.robots import robots_fetch_policy
+
+        log = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("h"), F.pmod("doc_id", F.lit(50)),
+                     F.lit(".com")).alias("host"),
+            F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit(503))
+            .when(F.pmod("doc_id", F.lit(5)) == 1, F.lit(404))
+            .otherwise(F.lit(200)).alias("http_status"),
+            F.concat(F.lit("2026-01-0"),
+                     (F.pmod("doc_id", F.lit(9)) + 1),
+                     F.lit(" 00:00:00")).alias("fetched_at"),
+        )
+        return robots_fetch_policy(log, as_of_ts="2026-02-01 00:00:00")
+
     def f_trap(spark, sf_dir):
         from fusus_spark.functions.url import url_trap_features
 
@@ -733,6 +758,7 @@ def _extra_frames():
             "url_failure_stats": f_failures,
             "sitemap_fetch_list": f_sitemap_list,
             "url_trap_features": f_trap,
+            "robots_fetch_policy": f_robots_policy,
             "resolve_redirects": f_redirects,
             "follow_redirects": f_follow,
             "extend_snapshots": f_extend}
