@@ -375,8 +375,10 @@ def fetch_queue(
 
     ``announce_boost_e6`` (optional) turns the sitemap ``<lastmod>``
     into a CHANGE ANNOUNCEMENT for urls the crawler already holds: a
-    revisit row whose max announced lastmod DATE (first 10 chars of
-    the W3C datetime; junk dates ignored via try_to_date) is strictly
+    revisit row whose max announced lastmod DATE (the sitemaps.org
+    W3C set: YYYY / YYYY-MM / YYYY-MM-DD with an optional time part,
+    partials folded to the first day of the period; junk — including
+    non-zero-padded dates — is null) is strictly
     newer than its ``last_date`` snapshot gets ``priority_e6 =
     greatest(priority_e6, announce_boost_e6)`` — the publisher says
     the page changed since we last saw it, which is stronger evidence
@@ -434,8 +436,28 @@ def fetch_queue(
             )
             .select(
                 F.col("loc").alias("url"),
-                # date prefix of the W3C datetime; junk parses to null
-                F.try_to_date(F.substring("lastmod", 1, 10)).alias("__lm__"),
+                # W3C datetime per sitemaps.org: full dates (with an
+                # optional time part) plus the YYYY / YYYY-MM partial
+                # granularities, folded to the first day of the period
+                # (pad then re-truncate); anything else is junk ->
+                # null. The regexp gate keeps Spark and the DuckDB
+                # oracle byte-identical — Spark's bare try_to_date
+                # accepts forms ('2026-1-5') DuckDB's DATE cast won't.
+                F.when(
+                    F.col("lastmod").rlike(
+                        r"^\d{4}(-\d{2})?$|^\d{4}-\d{2}-\d{2}([Tt ].*)?$"
+                    ),
+                    F.try_to_date(
+                        F.substring(
+                            F.concat(
+                                F.substring("lastmod", 1, 10),
+                                F.lit("-01-01"),
+                            ),
+                            1,
+                            10,
+                        )
+                    ),
+                ).alias("__lm__"),
             )
             .where(F.col("__lm__").isNotNull())
             .groupBy("url")

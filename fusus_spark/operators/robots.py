@@ -29,7 +29,7 @@ asked out" bit, here sourced from the page itself.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # lowered-copy patterns (robots content is case-insensitive by spec).
 # Attribute VALUES may be double-quoted, single-quoted, or unquoted
@@ -485,10 +485,14 @@ def robots_fetch_policy(
       §2.3.1.4 — MUST assume complete disallow... UNLESS the host has
       been continuously unreachable longer than
       ``unreachable_grace_days`` (the RFC's 30 days), after which the
-      crawler MAY fall back: ``parse_cached`` when some earlier fetch
-      DID serve a body (use the stored copy), ``allow_all`` when none
-      ever did. Continuity is measured from the last reachable
-      (status <= 499) fetch, or the first attempt if none.
+      crawler MAY fall back: ``parse_cached`` when the LAST reachable
+      fetch served a body (2xx — a later 404 invalidates the cached
+      copy, so any-2xx-ever is NOT enough), ``allow_all`` otherwise.
+      Continuity is anchored on the FIRST failing fetch of the
+      trailing unreachable streak (the first failure with no
+      reachable fetch after it) — NOT on the last reachable fetch:
+      a host that was fine, unobserved for 35 days, then failed once
+      yesterday has been *observed* unreachable for one day, not 36.
 
     ``needs_refetch`` is orthogonal: the latest fetch (whatever its
     outcome) is older than ``max_age_hours`` (the RFC's §2.4 cache
@@ -497,32 +501,46 @@ def robots_fetch_policy(
     contract). Timestamps compare as differences, so the session
     timezone cancels.
 
-    Plan shape: ONE groupBy(host) computing every aggregate (latest
-    struct, last reachable ts, any-2xx flag, first ts) — one shuffle,
-    no window, no join. DuckDB oracle in tests/test_robots.py.
+    Plan shape: one Exchange on host feeding a reversed-frame running
+    max (marks the trailing failure streak) and a groupBy(host) that
+    REUSES the window's hash partitioning — one shuffle total, no
+    join. DuckDB oracle in tests/test_robots.py.
     """
     s = F.coalesce(F.col("http_status"), F.lit(0)).cast("int")
     log = fetch_log.select("host", s.alias("__s__"), "fetched_at")
     reachable = (F.col("__s__") >= 200) & (F.col("__s__") <= 499)
-    ok = (F.col("__s__") >= 200) & (F.col("__s__") <= 299)
-    agg = log.groupBy("host").agg(
+    # a failure row belongs to the trailing unreachable streak iff no
+    # reachable fetch happens at-or-after it (its own contribution to
+    # the reversed running max is null, so the frame may include it)
+    w = (
+        Window.partitionBy("host")
+        .orderBy(F.col("fetched_at").asc(), F.col("__s__").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    rev_reach = F.max(F.when(reachable, F.col("fetched_at"))).over(w)
+    marked = log.withColumn(
+        "__trail__",
+        F.when(~reachable & rev_reach.isNull(), F.col("fetched_at")),
+    )
+    agg = marked.groupBy("host").agg(
         F.max(F.struct("fetched_at", "__s__")).alias("m"),
-        F.max(F.when(reachable, F.col("fetched_at"))).alias("__reach__"),
-        F.max(F.when(ok, 1).otherwise(0)).alias("__had_ok__"),
-        F.min("fetched_at").alias("__first__"),
+        F.min("__trail__").alias("__since__"),
+        F.max(F.when(reachable, F.struct("fetched_at", "__s__"))).alias("r"),
     )
     as_of = F.to_timestamp(F.lit(as_of_ts)).cast("long")
     last_s = F.col("m.__s__")
     last_ts = F.col("m.fetched_at")
     age_h = (as_of - F.to_timestamp(last_ts).cast("long")) / 3600.0
-    unreach_since = F.coalesce(F.col("__reach__"), F.col("__first__"))
-    unreach_d = (as_of - F.to_timestamp(unreach_since).cast("long")) / 86400.0
+    unreach_d = (
+        as_of - F.to_timestamp(F.col("__since__")).cast("long")
+    ) / 86400.0
+    cached_live = (F.col("r.__s__") >= 200) & (F.col("r.__s__") <= 299)
     policy = (
         F.when((last_s >= 200) & (last_s <= 299), F.lit("parse"))
         .when((last_s >= 300) & (last_s <= 499), F.lit("allow_all"))
         .when(
             unreach_d > unreachable_grace_days,
-            F.when(F.col("__had_ok__") == 1, F.lit("parse_cached"))
+            F.when(cached_live, F.lit("parse_cached"))
             .otherwise(F.lit("allow_all")),
         )
         .otherwise(F.lit("disallow_all"))

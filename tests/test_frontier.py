@@ -545,14 +545,24 @@ def test_fetch_queue_lastmod_announcements(spark):
         # announced BEFORE our last crawl (2026-01-22) -> inert
         ("https://n.com/sm.xml", "urlset", "http://news.com/front",
          "2026-01-20", None, 900_000),
-        # two sitemaps disagree: max lastmod wins -> newer -> boost
+        # two sitemaps disagree: max lastmod wins; the winner is a
+        # W3C MONTH granularity (folds to 2026-02-01 > last crawl
+        # 2026-01-22) -> boost, and the fold must agree with DuckDB
         ("https://m.com/sm.xml", "urlset", "http://mix.com/x",
          "2026-01-10", None, None),
         ("https://m.com/sm2.xml", "urlset", "http://mix.com/x",
-         "2026-02-05", None, None),
-        # junk lastmod parses to null -> ignored
+         "2026-02", None, None),
+        # junk lastmod parses to null -> ignored; a NON-ZERO-PADDED
+        # date is junk BY CONTRACT (Spark's bare try_to_date would
+        # parse '2026-2-5' and boost; DuckDB's DATE cast nulls it —
+        # the regexp gate pins both to null), and YEAR granularity
+        # folds to Jan 1 (2026-01-01 < last crawl 2026-01-10: inert)
         ("https://m.com/sm.xml", "urlset", "http://mix.com/once",
          "not-a-date", None, None),
+        ("https://m.com/sm.xml", "urlset", "http://mix.com/once",
+         "2026-2-5", None, None),
+        ("https://m.com/sm.xml", "urlset", "http://mix.com/once",
+         "2026", None, None),
         # never-crawled url: lastmod adds nothing beyond seed priority
         ("https://m.com/sm.xml", "urlset", "http://m.com/new",
          "2026-02-10", None, 300_000),
@@ -597,7 +607,11 @@ g AS (
   FROM o GROUP BY url
 ),
 a AS (
-  SELECT loc AS url, max(try_cast(substr(lastmod, 1, 10) AS DATE)) AS lm
+  SELECT loc AS url,
+         max(CASE WHEN regexp_matches(lastmod,
+                  '^\\d{4}(-\\d{2})?$|^\\d{4}-\\d{2}-\\d{2}([Tt ].*)?$')
+              THEN try_cast(substr(substr(lastmod, 1, 10) || '-01-01', 1, 10)
+                            AS DATE) END) AS lm
   FROM sm WHERE kind = 'urlset' AND lastmod IS NOT NULL GROUP BY loc
 ),
 r AS (

@@ -459,7 +459,7 @@ def _robots_fetch_log() -> list[tuple[str, int | None, str]]:
         # fresh outage: reachable 3 days ago -> MUST disallow
         ("down.com", 200, "2026-02-18 00:00:00"),
         ("down.com", 503, "2026-02-20 12:00:00"),
-        # continuously unreachable 82 days WITH a cached body
+        # continuously unreachable 51 days WITH a cached body
         ("longdown.com", 200, "2025-12-01 00:00:00"),
         ("longdown.com", 503, "2026-01-01 00:00:00"),
         ("longdown.com", 503, "2026-02-19 00:00:00"),
@@ -468,6 +468,16 @@ def _robots_fetch_log() -> list[tuple[str, int | None, str]]:
         ("neverup.com", 503, "2026-02-20 12:00:00"),
         # network failure half a day ago -> grace not reached
         ("freshdown.com", None, "2026-02-20 12:00:00"),
+        # fine 51 days ago, UNOBSERVED since, one failure yesterday:
+        # the streak clock starts at the failure, not the last success
+        ("blip.com", 200, "2026-01-01 00:00:00"),
+        ("blip.com", 503, "2026-02-20 12:00:00"),
+        # body served, then 404 (cache invalidated), then a long
+        # outage: the dead body must NOT be resurrected after grace
+        ("deadbody.com", 200, "2025-11-01 00:00:00"),
+        ("deadbody.com", 404, "2025-11-05 00:00:00"),
+        ("deadbody.com", 503, "2025-12-01 00:00:00"),
+        ("deadbody.com", 503, "2026-02-19 00:00:00"),
     ]
 
 
@@ -489,11 +499,17 @@ def test_robots_fetch_policy(spark):
     assert got["redir.com"]["policy"] == "allow_all"
     assert got["down.com"]["policy"] == "disallow_all"  # 3 d, within grace
     assert got["down.com"]["last_status"] == 503
-    assert got["longdown.com"]["policy"] == "parse_cached"  # 82 d, had body
+    assert got["longdown.com"]["policy"] == "parse_cached"  # 51 d, had body
     assert got["longdown.com"]["needs_refetch"]        # 48 h old
     assert got["neverup.com"]["policy"] == "allow_all"  # 51 d, no body ever
     assert got["freshdown.com"]["policy"] == "disallow_all"
     assert got["freshdown.com"]["last_status"] == 0     # no HTTP response
+    # streak anchored on the first TRAILING failure: half a day of
+    # observed outage, not 51 days since the last success
+    assert got["blip.com"]["policy"] == "disallow_all"
+    # last reachable fetch was a 404 -> cached body is dead; after
+    # grace the fallback is allow_all, never parse_cached
+    assert got["deadbody.com"]["policy"] == "allow_all"
 
     con = duckdb.connect()
     con.sql("CREATE TABLE log (host VARCHAR, http_status INT, fetched_at VARCHAR)")
@@ -502,27 +518,35 @@ def test_robots_fetch_policy(spark):
 WITH l AS (
   SELECT host, coalesce(http_status, 0)::INT AS s, fetched_at FROM log
 ),
+mk AS (
+  SELECT host, s, fetched_at,
+         max(CASE WHEN s BETWEEN 200 AND 499 THEN fetched_at END)
+           OVER (PARTITION BY host ORDER BY fetched_at, s
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rev_reach
+  FROM l
+),
 g AS (
   SELECT host,
          string_split(max(fetched_at || chr(1) || lpad(s::VARCHAR, 3, '0')), chr(1)) AS m,
-         max(CASE WHEN s BETWEEN 200 AND 499 THEN fetched_at END) AS reach,
-         max(CASE WHEN s BETWEEN 200 AND 299 THEN 1 ELSE 0 END) AS had_ok,
-         min(fetched_at) AS first
-  FROM l GROUP BY host
+         min(CASE WHEN s NOT BETWEEN 200 AND 499 AND rev_reach IS NULL
+                  THEN fetched_at END) AS since,
+         string_split(max(CASE WHEN s BETWEEN 200 AND 499
+             THEN fetched_at || chr(1) || lpad(s::VARCHAR, 3, '0') END), chr(1)) AS r
+  FROM mk GROUP BY host
 ),
 p AS (
   SELECT host, CAST(m[2] AS INT) AS last_status, m[1] AS last_fetch_ts,
          (epoch(TIMESTAMP '2026-02-21 00:00:00') - epoch(CAST(m[1] AS TIMESTAMP))) / 3600.0 AS age_h,
          (epoch(TIMESTAMP '2026-02-21 00:00:00')
-          - epoch(CAST(coalesce(reach, first) AS TIMESTAMP))) / 86400.0 AS unreach_d,
-         had_ok
+          - epoch(CAST(since AS TIMESTAMP))) / 86400.0 AS unreach_d,
+         CAST(r[2] AS INT) BETWEEN 200 AND 299 AS cached_live
   FROM g
 )
 SELECT host, last_status, last_fetch_ts,
        CASE WHEN last_status BETWEEN 200 AND 299 THEN 'parse'
             WHEN last_status BETWEEN 300 AND 499 THEN 'allow_all'
             WHEN unreach_d > 30 THEN
-              CASE WHEN had_ok = 1 THEN 'parse_cached' ELSE 'allow_all' END
+              CASE WHEN cached_live THEN 'parse_cached' ELSE 'allow_all' END
             ELSE 'disallow_all' END AS policy,
        age_h > 24 AS needs_refetch
 FROM p

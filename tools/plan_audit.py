@@ -253,12 +253,15 @@ CHECKS = {
         ("BroadcastNestedLoopJoin", False),
         ("Window", False),
     ],
-    # robots access policy: ONE groupBy(host) computing every
-    # aggregate (latest struct, last reachable, any-2xx, first) — one
-    # shuffle, no window, no join
+    # robots access policy: one Exchange on host feeding the
+    # reversed-frame streak window, then a groupBy(host) that reuses
+    # the window's hash partitioning — one shuffle, no join
     "robots_fetch_policy": [
         ("Aggregate", True),  # max-of-struct folds via SortAggregate
-        ("Window", False),
+        ("Window", True),     # trailing-failure streak marker
+        # load repartition + ONE hashpartitioning(host); the groupBy
+        # reuses the window's partitioning (verified: no 3rd exchange)
+        ("Exchange", 2),
         ("Exchange SinglePartition", False),
         ("CartesianProduct", False),
         ("MapInPandas", False),
