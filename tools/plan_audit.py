@@ -266,6 +266,27 @@ CHECKS = {
         ("CartesianProduct", False),
         ("MapInPandas", False),
     ],
+    # declared-canonical collapse: pure per-row projection (RFC 3986
+    # merge + canonical fold + PSL InSet scope guard, all JVM) — the
+    # lone Exchange is the load repartition; no join, no window
+    "canonical_collapse": [
+        ("Exchange", 1),
+        ("codegen id", True),
+        ("Window", False),
+        ("CartesianProduct", False),
+        ("MapInPandas", False),
+        ("SortMergeJoin", False),
+        ("BroadcastHashJoin", False),
+    ],
+    # canonical-group representatives: ONE groupBy min-of-struct (the
+    # cluster_representatives convention) — no window, no join
+    "canonical_representatives": [
+        ("Aggregate", True),
+        ("Window", False),
+        ("Exchange SinglePartition", False),
+        ("CartesianProduct", False),
+        ("MapInPandas", False),
+    ],
     # crawl-trap signals: ONE codegen'd projection over the url
     # string — zero extra shuffle (the lone Exchange is the load
     # repartition), no window, no join, no per-row Python
@@ -604,6 +625,28 @@ def _extra_frames():
                      F.lit("/a/b?q="), "doc_id").alias("url"))
         return url_trap_features(urls)
 
+    def _canon_signals(spark, sf_dir):
+        return load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("https://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".example.com/p/"), "doc_id").alias("url"),
+            F.when(F.pmod("doc_id", F.lit(3)) == 0,
+                   F.concat(F.lit("http://www.example.com/c/"),
+                            F.pmod("doc_id", F.lit(50))))
+            .otherwise(F.lit("")).alias("canonical_href"),
+        )
+
+    def f_canon_collapse(spark, sf_dir):
+        from fusus_spark.operators.canonical import canonical_collapse
+
+        return canonical_collapse(_canon_signals(spark, sf_dir))
+
+    def f_canon_reps(spark, sf_dir):
+        from fusus_spark.operators.canonical import (
+            canonical_collapse, canonical_representatives)
+
+        return canonical_representatives(
+            canonical_collapse(_canon_signals(spark, sf_dir)))
+
     def f_sitemap_list(spark, sf_dir):
         from fusus_spark.operators.frontier import sitemap_fetch_list
 
@@ -762,6 +805,8 @@ def _extra_frames():
             "sitemap_fetch_list": f_sitemap_list,
             "url_trap_features": f_trap,
             "robots_fetch_policy": f_robots_policy,
+            "canonical_collapse": f_canon_collapse,
+            "canonical_representatives": f_canon_reps,
             "resolve_redirects": f_redirects,
             "follow_redirects": f_follow,
             "extend_snapshots": f_extend}
