@@ -14,6 +14,12 @@ tier's input (the CCNet / RefinedWeb macro shape):
                                   dropped — publisher consent first;
                                   pure map-side filter, the cheapest
                                   tier of all)
+    1a. declared-canonical collapse (optional) (pages declaring
+                                  rel=canonical fold into the nominated
+                                  page, RFC 6596 — scoped to the same
+                                  registrable domain; the cheapest
+                                  cross-url dedup, the page hands us
+                                  the cluster key)
     1. canonical-URL dedup       (one shuffle on the canonical key)
     1b. host policy (optional)   (domain blocklist broadcast anti-join +
                                   sort-free per-host cap; metadata only)
@@ -68,6 +74,7 @@ def run_job(
     output_path: str,
     eval_path: str | None = None,
     respect_robots: bool = False,
+    canonical_scope: str | None = None,
     robots_txt_path: str | None = None,
     robots_agent: str = "*",
     block_domains_path: str | None = None,
@@ -133,6 +140,37 @@ def run_job(
         )
         docs = spark.read.parquet(f"{out}/stage/robots_txt")
         summary["n_after_robots_txt"] = docs.count()
+
+    # 1a. optional declared-canonical collapse (RFC 6596): pages that
+    # DECLARE their duplicate-ness via rel=canonical fold into the
+    # nominated page before any heuristic comparison runs — it catches
+    # alternates content dedup can miss (a print view rendered with
+    # different chrome). Signals are computed on the CURRENT docs (post
+    # consent tiers), never reused from the tier-0 audit: a
+    # representative tier 0 dropped must not take its whole cluster
+    # down through the semi-join. The mapping table is the audit;
+    # survivors = one representative per declared group.
+    if canonical_scope is not None:
+        if "url" not in docs.columns or "html" not in docs.columns:
+            raise ValueError(
+                "canonical collapse needs url and html columns"
+            )
+        from fusus_spark.operators.canonical import (
+            apply_canonical_collapse,
+            canonical_collapse,
+        )
+        from fusus_spark.operators.robots import robots_signals
+
+        mapped = canonical_collapse(
+            robots_signals(docs).select("url", "canonical_href"),
+            scope=canonical_scope,
+        )
+        mapped.write.mode("overwrite").parquet(f"{out}/audit/canonical")
+        mapped = spark.read.parquet(f"{out}/audit/canonical")
+        docs = apply_canonical_collapse(docs, mapped)
+        summary["n_after_canonical"] = (
+            mapped.select("canonical_target").distinct().count()
+        )
 
     # 1. canonical-URL dedup (cheapest tier; only if a url column exists)
     if "url" in docs.columns:
@@ -335,6 +373,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--respect-robots", action="store_true",
                    help="drop pages declaring meta robots noindex "
                         "(tier 0, needs an html column)")
+    p.add_argument("--canonical-scope", choices=("domain", "host", "any"),
+                   default=None,
+                   help="collapse pages onto their declared rel=canonical "
+                        "target within this scope (tier 1a, needs url and "
+                        "html columns; off when absent)")
     p.add_argument("--robots-txt",
                    help="(host, robots_txt) parquet dir: apply RFC 9309 "
                         "robots.txt rules as tier 0b (needs a url column)")
@@ -378,6 +421,7 @@ def main(argv: list[str] | None = None) -> None:
         output_path=args.output,
         eval_path=args.eval,
         respect_robots=args.respect_robots,
+        canonical_scope=args.canonical_scope,
         robots_txt_path=args.robots_txt,
         robots_agent=args.robots_agent,
         block_domains_path=args.block_domains,

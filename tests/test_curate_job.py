@@ -308,3 +308,58 @@ def test_curate_job_packing_tier(spark, tmp_path):
     packing = spark.read.parquet(f"{out}/packing")
     assert sorted(r["doc_id"] for r in packing.collect()) == list(range(12))
     assert packing.where("n_tokens != 11").count() == 0
+
+
+def test_curate_job_canonical_tier(spark, tmp_path):
+    """Opt-in tier 1a: pages declaring rel=canonical fold into the
+    nominated page (print views and m.-mirrors carry DIFFERENT chrome,
+    so content dedup would miss them); cross-site declarations are
+    flagged in the audit, never followed."""
+    inp = str(tmp_path / "docs12")
+    out = str(tmp_path / "out12")
+    rows = [
+        (1, "http://www.ex.com/story",
+         b"<p>s</p>",
+         "the main story body is here and it reads perfectly fine", "en"),
+        # print view of doc 1: different chrome, declared alternate
+        (2, "http://www.ex.com/story?output=print",
+         b'<link rel="canonical" href="http://www.ex.com/story"><p>p</p>',
+         "print chrome wraps the story body in its own different text", "en"),
+        # m.-mirror: cross-host but same registrable domain -> in scope
+        (3, "http://m.ex.com/story",
+         b'<link rel="canonical" href="http://www.ex.com/story"><p>m</p>',
+         "mobile chrome wraps the story body in another different text", "en"),
+        # cross-site canonical: the spam vector -- flagged, NOT followed
+        (4, "http://ex.com/spam",
+         b'<link rel="canonical" href="http://evil.com/landing"><p>x</p>',
+         "the spam page body is here and it survives the collapse", "en"),
+        (5, "http://other.com/page",
+         b"<p>o</p>",
+         "an unrelated page body is here and it also reads fine", "en"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, url string, html binary, text string, lang string"
+    ).write.parquet(inp)
+
+    summary = run_job(
+        spark, input_path=inp, output_path=out, canonical_scope="domain"
+    )
+    assert summary["n_after_canonical"] == 3   # {story x3}, {spam}, {page}
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert kept == {1, 4, 5}
+    audit = {r["url"]: r
+             for r in spark.read.parquet(f"{out}/audit/canonical").collect()}
+    assert audit["http://m.ex.com/story"]["collapsed"] is True
+    assert audit["http://ex.com/spam"]["out_of_scope"] is True
+    assert audit["http://ex.com/spam"]["collapsed"] is False
+
+    # without url/html the flag is a loud error, not a silent no-op
+    import pytest as _pytest
+
+    bare = str(tmp_path / "docs12b")
+    spark.createDataFrame(
+        [(1, "a body")], "doc_id long, text string"
+    ).write.parquet(bare)
+    with _pytest.raises(ValueError, match="url and html"):
+        run_job(spark, input_path=bare, output_path=str(tmp_path / "o12b"),
+                canonical_scope="domain")
