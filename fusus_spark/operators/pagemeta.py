@@ -1,0 +1,253 @@
+"""Page-level metadata: the document's self-description from its head.
+
+The extraction pipeline deliberately prunes ``<head>`` as chrome (the
+body is the payload — extraction/boilerplate.py PRUNE_TAGS), but the
+head carries the columns a corpus needs for grouping, display and
+citation: the ``<title>``, the meta description, the Open Graph card
+(og:title/og:description/og:image/...), article timestamps
+(``article:published_time``), the declared JSON-LD type/headline, the
+``rel=next``/``rel=prev`` pagination hints, and the ``hreflang``
+language-alternate cluster. This module recovers them WITHOUT a DOM
+parse: the same design as robots.robots_signals / webgraph.
+extract_links — linear codegen'd regexp scans over the raw html cast,
+RE2-safe patterns (no lookarounds/backrefs) so a DuckDB oracle
+tokenizes identically, one projection per row, zero Python, zero
+shuffle. Keyword case-insensitivity is spelled as explicit ASCII case
+classes (house style — ``(?i)`` folds Unicode differently in RE2 vs
+Java, e.g. the Kelvin sign), so attribute VALUES keep their original
+bytes.
+
+Scale shape: ``page_metadata`` is a pure projection (pipelines into
+whatever scan feeds it, no exchange); ``hreflang_alternates`` is a
+projection + one Generate (explode over the matched link tags), still
+shuffle-free. At 10^12 rows both are map-side only.
+
+Reference role analog: the reference harvests per-page self-
+description the same way — getToc piece extraction and the per-page
+metadata fields of fusus/book.py — as side tables next to the
+extracted text, never inside it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from fusus_spark.operators.robots import _FILLER, _HREF_VAL, _first_group
+
+
+def _ci(word: str) -> str:
+    """ASCII case-class spelling of a literal keyword: ``og:title`` ->
+    ``[oO][gG]:[tT]...``. Non-alpha chars pass through verbatim (the
+    callers' keywords contain only ``:/_+.`` — no regex specials that
+    need escaping beyond ``+``)."""
+    out = []
+    for ch in word:
+        if ch.isalpha():
+            out.append(f"[{ch}{ch.upper()}]")
+        elif ch == "+":
+            out.append(r"\+")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+# content= value on ORIGINAL bytes (robots' _CONTENT_VAL runs on a
+# lowered copy; metadata values keep their case): quoted / single /
+# unquoted 3-way, captures in groups 1-3. Matched inside a tag REGION,
+# not the whole document (see _tag_regions below).
+_CONTENT_VAL_CI = (
+    _ci("content") + r"""\s*=\s*(?:"([^"<>]*)"|'([^'<>]*)'|([^\s"'<>]+))"""
+)
+# a tag region: from '<meta '/'<link ' up to (not including) the
+# unquoted '>' that closes the tag — _FILLER walks quoted values but
+# cannot cross into the next tag or a text node.
+_META_TAG_RE = "<" + _ci("meta") + r"\s" + _FILLER
+_LINK_TAG_RE = "<" + _ci("link") + r"\s" + _FILLER
+
+
+def _attr_in_region(attr: str, value: str) -> str:
+    """``attr="value"`` in any quoting form, matched INSIDE a tag
+    region; the unquoted form is delimited so ``name=descriptionx``
+    never matches (``[\\s/]`` mid-region, end-of-region when the
+    attribute closes the tag — regions carry no trailing '>')."""
+    v = _ci(value)
+    return (
+        _ci(attr) + r"\s*=\s*(?:\"" + v + r"\"|'" + v + r"'|" + v
+        + r"(?:[\s/]|$))"
+    )
+
+
+def _first_region(tags: Column, attr: str, value: str) -> Column:
+    """The first tag region carrying ``attr="value"`` (null when
+    none). A higher-order filter over the pre-extracted region array —
+    the document was scanned ONCE for all tags of the family; each
+    field then pays one small-pattern pass over tag-sized strings
+    instead of a full-document scan per field. (The lambda is a
+    closure factory per the repo's F.transform gotcha; ArrayFilter is
+    CodegenFallback, which keeps each field's generated code tiny —
+    the naive 16-field whole-document design overflowed the JVM's
+    64 KB method limit and dropped the whole stage to interpreted.)"""
+    pat = _attr_in_region(attr, value)
+
+    def pred(tag: Column) -> Column:
+        return tag.rlike(pat)
+
+    return F.get(F.filter(tags, pred), 0)
+
+
+def _meta_content(metas: Column, attr: str, name: str) -> Column:
+    """The content of the first ``<meta attr="name" content="...">``
+    (attribute order free — region matching does not care which comes
+    first)."""
+    return _first_group(_first_region(metas, attr, name), _CONTENT_VAL_CI)
+
+
+def _og(metas: Column, name: str) -> Column:
+    """Open Graph value: ``property=`` is the spec spelling, ``name=``
+    the common-in-the-wild variant — property wins even when the
+    name= tag appears earlier in the document."""
+    return F.coalesce(
+        _meta_content(metas, "property", name),
+        _meta_content(metas, "name", name),
+    )
+
+
+def _rel_link_href(links: Column, rel: str) -> Column:
+    """``href`` of the first ``<link rel="<rel>" href="...">``."""
+    return _first_group(_first_region(links, "rel", rel), _HREF_VAL)
+
+
+# <title> text: tag-name delimited (no '<titlearea'), text up to the
+# first '<' (the closing tag; entity refs survive into the capture and
+# are folded by _entity_lite).
+_TITLE_RE = "<" + _ci("title") + r"(?:[\s/][^>]*)?>([^<]*)"
+
+# first <script type="application/ld+json"> block: the type value in
+# any quoting form (the unquoted form may sit against the closing '>'),
+# then a scoped-dotall non-greedy capture up to the closing tag.
+_LDJ = r"application/ld\+json"
+_LDJSON_BLOCK = (
+    "<" + _ci("script") + r"\s" + _FILLER + _ci("type") + r"\s*=\s*"
+    + '(?:"' + _LDJ + '"' + _FILLER + "|'" + _LDJ + "'" + _FILLER
+    + "|" + _LDJ + r"(?:[\s/]" + _FILLER + r")?)>((?s:.*?))</" + _ci("script")
+)
+# JSON string fields inside the block. First simple-string value wins;
+# an array @type or an escaped quote inside the value cuts the match —
+# documented signal-grade fidelity, not a JSON parser.
+_JSON_TYPE_RE = r'"@type"\s*:\s*"([^"]*)"'
+_JSON_HEADLINE_RE = r'"headline"\s*:\s*"([^"]*)"'
+_JSON_DATE_RE = r'"datePublished"\s*:\s*"([^"]*)"'
+
+
+def _extract1(col: Column, pat: str) -> Column:
+    """Group-1 extract, null when absent/empty ('' means absent,
+    module-wide)."""
+    return F.nullif(F.regexp_extract(col, pat, 1), F.lit(""))
+
+
+def _entity_lite(col: Column) -> Column:
+    """Fold the six entity references that dominate real titles/
+    descriptions (&lt; &gt; &quot; &#39; &nbsp; &amp;) — &amp; LAST so
+    double-escapes decode one level, the correct reading. Full entity
+    handling lives in the extraction pipeline (domparse); this is the
+    signal-column approximation, JVM-only so the DuckDB oracle can
+    mirror it with the same replace chain."""
+    c = F.replace(col, F.lit("&lt;"), F.lit("<"))
+    c = F.replace(c, F.lit("&gt;"), F.lit(">"))
+    c = F.replace(c, F.lit("&quot;"), F.lit('"'))
+    c = F.replace(c, F.lit("&#39;"), F.lit("'"))
+    c = F.replace(c, F.lit("&nbsp;"), F.lit(" "))
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+
+def _clean_text(col: Column) -> Column:
+    """Entity-lite fold + whitespace collapse + trim (explicit ws
+    class — Java \\s and RE2 \\s disagree on vertical tab), nulled
+    when the result is empty."""
+    c = F.regexp_replace(_entity_lite(col), r"[ \t\r\n\f]+", " ")
+    return F.nullif(F.trim(c), F.lit(""))
+
+
+def page_metadata(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, title, meta_description, og_title, og_description,
+    og_image, og_url, og_type, og_site_name, published_time,
+    modified_time, jsonld_type, jsonld_headline, jsonld_date,
+    rel_next, rel_prev) — one codegen'd projection per document, every
+    field null when the page does not declare it.
+
+    ``title`` and the two description fields are entity-lite-folded
+    and whitespace-collapsed (display-grade text); url-valued fields
+    (og_image, og_url, rel_next, rel_prev) keep their original bytes —
+    resolve them like any harvested href (webgraph.resolve_links, then
+    functions.url.canonical_url) before joining. ``published_time`` /
+    ``modified_time`` are the raw declared strings (usually ISO-8601;
+    parse at the consumer, a bad date must not null out the row).
+
+    Cost shape: THREE full-document scans (meta-tag harvest, link-tag
+    harvest, title+ldjson region) no matter how many fields; all
+    per-field matching runs over the tag-sized region arrays.
+    """
+    orig = F.col(html_col).cast("string")
+    metas = F.regexp_extract_all(orig, F.lit(_META_TAG_RE), F.lit(0))
+    links = F.regexp_extract_all(orig, F.lit(_LINK_TAG_RE), F.lit(0))
+    ldjson = F.regexp_extract(orig, _LDJSON_BLOCK, 1)
+    return docs.select(
+        F.col(url_col).alias("url"),
+        _clean_text(_extract1(orig, _TITLE_RE)).alias("title"),
+        _clean_text(_meta_content(metas, "name", "description")).alias(
+            "meta_description"
+        ),
+        _clean_text(_og(metas, "og:title")).alias("og_title"),
+        _clean_text(_og(metas, "og:description")).alias("og_description"),
+        _og(metas, "og:image").alias("og_image"),
+        _og(metas, "og:url").alias("og_url"),
+        _og(metas, "og:type").alias("og_type"),
+        _clean_text(_og(metas, "og:site_name")).alias("og_site_name"),
+        _og(metas, "article:published_time").alias("published_time"),
+        _og(metas, "article:modified_time").alias("modified_time"),
+        _extract1(ldjson, _JSON_TYPE_RE).alias("jsonld_type"),
+        _clean_text(_extract1(ldjson, _JSON_HEADLINE_RE)).alias(
+            "jsonld_headline"
+        ),
+        _extract1(ldjson, _JSON_DATE_RE).alias("jsonld_date"),
+        _rel_link_href(links, "next").alias("rel_next"),
+        _rel_link_href(links, "prev").alias("rel_prev"),
+    )
+
+
+# hreflang alternates: every <link rel="alternate" hreflang=...> tag.
+# Multi-valued per page, so the shape is extract-all + explode over the
+# matched tag regions (a region is a full _FILLER match: it walks
+# quoted values but stops at the unquoted '>' that closes the tag).
+_REL_ALT_IN_REGION = _attr_in_region("rel", "alternate")
+_HREFLANG_VAL = (
+    _ci("hreflang") + r"""\s*=\s*(?:"([^"<>]+)"|'([^'<>]+)'|([^\s"'<>]+))"""
+)
+
+
+def hreflang_alternates(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, hreflang, href) — one row per declared language alternate
+    (``<link rel="alternate" hreflang="de" href="...">``), hreflang
+    lowered (BCP-47 tags are case-insensitive; ``x-default`` is the
+    spec's fallback marker and passes through). Pages declare the
+    FULL cluster on every member, so grouping by resolved href yields
+    the translation cluster directly — the language analog of the
+    rel=canonical group. Projection + one Generate, zero shuffle."""
+    regions = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(_LINK_TAG_RE), F.lit(0)
+    )
+    tag = F.col("tag")
+    return (
+        docs.select(F.col(url_col).alias("url"), F.explode(regions).alias("tag"))
+        .where(tag.rlike(_REL_ALT_IN_REGION))
+        .select(
+            "url",
+            F.lower(_first_group(tag, _HREFLANG_VAL)).alias("hreflang"),
+            _first_group(tag, _HREF_VAL).alias("href"),
+        )
+        .where(F.col("hreflang").isNotNull() & F.col("href").isNotNull())
+    )

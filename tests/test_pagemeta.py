@@ -1,0 +1,260 @@
+"""Page metadata: hand-pinned semantics per quoting/order form, junk
+tolerance, and RE2-identical DuckDB hash oracles for both the
+projection and the hreflang explode (the beyond-cap operator
+contract)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from fusus_spark.operators.pagemeta import (
+    _CONTENT_VAL_CI,
+    _HREFLANG_VAL,
+    _LDJSON_BLOCK,
+    _LINK_TAG_RE,
+    _META_TAG_RE,
+    _REL_ALT_IN_REGION,
+    _TITLE_RE,
+    _JSON_DATE_RE,
+    _JSON_HEADLINE_RE,
+    _JSON_TYPE_RE,
+    _attr_in_region,
+    hreflang_alternates,
+    page_metadata,
+)
+from fusus_spark.operators.robots import _HREF_VAL
+from tools.parity import value_hash
+
+_SCHEMA = "url string, html binary"
+
+
+def _pages() -> list[tuple[str, str]]:
+    return [
+        # 1: the full card — every field declared, title with entities
+        # and ragged whitespace, ldjson multiline
+        ("http://ex.com/full", """<html><head>
+<title>  News &amp; Views &#39;26
+  &nbsp;daily</title>
+<meta name="description" content="All the &quot;news&quot; that fits">
+<meta property="og:title" content="News &amp; Views">
+<meta property="og:description" content="OG blurb">
+<meta property="og:image" content="https://cdn.ex.com/i.png">
+<meta property="og:url" content="https://ex.com/full">
+<meta property="og:type" content="article">
+<meta property="og:site_name" content="ExCom">
+<meta property="article:published_time" content="2026-01-02T03:04:05Z">
+<meta property="article:modified_time" content="2026-01-03T00:00:00Z">
+<script type="application/ld+json">
+{"@context": "https://schema.org",
+ "@type": "NewsArticle",
+ "headline": "News &amp; Views",
+ "datePublished": "2026-01-02T03:04:05Z"}
+</script>
+<link rel="next" href="/page/2">
+<link rel="prev" href="/page/0">
+</head><body>b</body></html>"""),
+        # 2: single quotes + content-first attribute order
+        ("http://ex.com/q2", "<meta content='rev desc' name='description'>"
+                             "<LINK HREF='/n2' REL='NEXT'>"),
+        # 3: unquoted values; name=descriptionx must NOT match
+        ("http://ex.com/unq", "<meta name=descriptionx content=wrong>"
+                              "<meta name=description content=short>"),
+        # 4: og via name= (the in-the-wild variant), and property
+        # beating name when both are present
+        ("http://ex.com/ogname", '<meta name="og:title" content="from name">'
+                                 '<meta name="og:type" content=website>'),
+        ("http://ex.com/ogboth", '<meta name="og:title" content="loser">'
+                                 '<meta property="og:title" content="winner">'),
+        # 5: title variants — upper tag, attributes, a non-title tag,
+        # an empty title
+        ("http://ex.com/t1", "<TITLE>Upper</TITLE>"),
+        ("http://ex.com/t2", '<title class="x">With attr</title>'),
+        ("http://ex.com/t3", "<titlearea>nope</titlearea>"),
+        ("http://ex.com/t4", "<title>   </title>"),
+        # 6: ldjson type unquoted and last-attribute-against-'>'
+        ("http://ex.com/ld1", "<script type=application/ld+json>"
+                              '{"@type":"Recipe"}</script>'),
+        ("http://ex.com/ld2", "<script async type='application/ld+json' id=a>"
+                              '{"headline":"H only"}</script>'),
+        # 7: junk — binary-ish bytes, no html at all
+        ("http://ex.com/junk", "\x00\xff<<>>&&&"),
+        ("http://ex.com/empty", ""),
+        # 8: double-escape decodes exactly one level
+        ("http://ex.com/ent", "<title>&amp;lt;b&amp;gt;</title>"),
+    ]
+
+
+def _hreflang_pages() -> list[tuple[str, str]]:
+    return [
+        # the full cluster declared on one member, mixed case + forms
+        ("http://ex.com/en", '<link rel="alternate" hreflang="EN" href="https://ex.com/en">'
+                             "<link rel='alternate' hreflang='de' href='https://ex.com/de'>"
+                             '<link hreflang=x-default href=https://ex.com/ rel=alternate>'
+                             '<link rel="stylesheet" href="/s.css">'
+                             '<link rel="alternate" hreflang="fr">'),
+        ("http://ex.com/none", "<p>no links</p>"),
+        ("http://ex.com/junk", "\x00<link rel=alternate"),
+    ]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode("utf-8", "surrogateescape")) for u, h in rows], _SCHEMA
+    )
+
+
+def test_page_metadata_hand_cases(spark):
+    got = {r["url"]: r for r in page_metadata(_df(spark, _pages())).collect()}
+
+    full = got["http://ex.com/full"]
+    assert full["title"] == "News & Views '26 daily"
+    assert full["meta_description"] == 'All the "news" that fits'
+    assert full["og_title"] == "News & Views"
+    assert full["og_description"] == "OG blurb"
+    assert full["og_image"] == "https://cdn.ex.com/i.png"
+    assert full["og_url"] == "https://ex.com/full"
+    assert full["og_type"] == "article"
+    assert full["og_site_name"] == "ExCom"
+    assert full["published_time"] == "2026-01-02T03:04:05Z"
+    assert full["modified_time"] == "2026-01-03T00:00:00Z"
+    assert full["jsonld_type"] == "NewsArticle"
+    assert full["jsonld_headline"] == "News & Views"
+    assert full["jsonld_date"] == "2026-01-02T03:04:05Z"
+    assert full["rel_next"] == "/page/2"
+    assert full["rel_prev"] == "/page/0"
+
+    assert got["http://ex.com/q2"]["meta_description"] == "rev desc"
+    assert got["http://ex.com/q2"]["rel_next"] == "/n2"
+    assert got["http://ex.com/unq"]["meta_description"] == "short"
+    assert got["http://ex.com/ogname"]["og_title"] == "from name"
+    assert got["http://ex.com/ogname"]["og_type"] == "website"
+    assert got["http://ex.com/ogboth"]["og_title"] == "winner"
+    assert got["http://ex.com/t1"]["title"] == "Upper"
+    assert got["http://ex.com/t2"]["title"] == "With attr"
+    assert got["http://ex.com/t3"]["title"] is None
+    assert got["http://ex.com/t4"]["title"] is None
+    assert got["http://ex.com/ld1"]["jsonld_type"] == "Recipe"
+    assert got["http://ex.com/ld2"]["jsonld_headline"] == "H only"
+    assert got["http://ex.com/ld2"]["jsonld_type"] is None
+    # one unescape level: &amp;lt; -> &lt; (literal text, not '<')
+    assert got["http://ex.com/ent"]["title"] == "&lt;b&gt;"
+    for u in ("http://ex.com/junk", "http://ex.com/empty"):
+        r = got[u]
+        assert all(r[c] is None for c in r.asDict() if c != "url")
+
+
+def test_hreflang_hand_cases(spark):
+    rows = hreflang_alternates(_df(spark, _hreflang_pages())).collect()
+    got = sorted((r["url"], r["hreflang"], r["href"]) for r in rows)
+    assert got == [
+        ("http://ex.com/en", "de", "https://ex.com/de"),
+        ("http://ex.com/en", "en", "https://ex.com/en"),
+        ("http://ex.com/en", "x-default", "https://ex.com/"),
+    ]
+
+
+def _fg_sql(expr: str, pat: str) -> str:
+    p = pat.replace("'", "''")
+    return ("coalesce(" + ", ".join(
+        f"nullif(regexp_extract({expr}, '{p}', {g}), '')" for g in (1, 2, 3)
+    ) + ")")
+
+
+def _region_sql(tags: str, attr: str, name: str) -> str:
+    """First tag region carrying attr="name" — DuckDB's list_filter
+    lambda mirrors Spark's ArrayFilter, 1-indexed [1] mirrors
+    F.get(_, 0) (both NULL on empty)."""
+    pat = _attr_in_region(attr, name).replace("'", "''")
+    return f"(list_filter({tags}, x -> regexp_matches(x, '{pat}')))[1]"
+
+
+def _meta_sql(attr: str, name: str) -> str:
+    return _fg_sql(_region_sql("metas", attr, name), _CONTENT_VAL_CI)
+
+
+def _og_sql(name: str) -> str:
+    return f"coalesce({_meta_sql('property', name)}, {_meta_sql('name', name)})"
+
+
+def _clean_sql(expr: str) -> str:
+    for a, b in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&")):
+        expr = f"replace({expr}, '{a}', '{b}')"
+    # single backslashes reach DuckDB verbatim (no literal escape
+    # processing) and RE2 interprets them — see CLAUDE.md
+    return (f"nullif(trim(regexp_replace({expr}, '[ \\t\\r\\n\\f]+', ' ', 'g')),"
+            " '')")
+
+
+def _rel_sql(rel: str) -> str:
+    return _fg_sql(_region_sql("links", "rel", rel), _HREF_VAL)
+
+
+def test_page_metadata_matches_duckdb_oracle(spark):
+    sdf = page_metadata(_df(spark, _pages()))
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pages (url VARCHAR, html VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", _pages())
+    title_p = _TITLE_RE.replace("'", "''")
+    ldj_p = _LDJSON_BLOCK.replace("'", "''")
+    meta_tag_p = _META_TAG_RE.replace("'", "''")
+    link_tag_p = _LINK_TAG_RE.replace("'", "''")
+    orc = con.sql(f"""
+WITH s AS (SELECT url, html AS orig FROM pages),
+b AS (
+  SELECT *, regexp_extract(orig, '{ldj_p}', 1) AS ldjson,
+         regexp_extract_all(orig, '{meta_tag_p}', 0) AS metas,
+         regexp_extract_all(orig, '{link_tag_p}', 0) AS links
+  FROM s
+)
+SELECT url,
+  {_clean_sql(f"nullif(regexp_extract(orig, '{title_p}', 1), '')")} AS title,
+  {_clean_sql(_meta_sql("name", "description"))} AS meta_description,
+  {_clean_sql(_og_sql("og:title"))} AS og_title,
+  {_clean_sql(_og_sql("og:description"))} AS og_description,
+  {_og_sql("og:image")} AS og_image,
+  {_og_sql("og:url")} AS og_url,
+  {_og_sql("og:type")} AS og_type,
+  {_clean_sql(_og_sql("og:site_name"))} AS og_site_name,
+  {_og_sql("article:published_time")} AS published_time,
+  {_og_sql("article:modified_time")} AS modified_time,
+  nullif(regexp_extract(ldjson, '{_JSON_TYPE_RE}', 1), '') AS jsonld_type,
+  {_clean_sql(f"nullif(regexp_extract(ldjson, '{_JSON_HEADLINE_RE}', 1), '')")}
+    AS jsonld_headline,
+  nullif(regexp_extract(ldjson, '{_JSON_DATE_RE}', 1), '') AS jsonld_date,
+  {_rel_sql("next")} AS rel_next,
+  {_rel_sql("prev")} AS rel_prev
+FROM b
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+def test_hreflang_matches_duckdb_oracle(spark):
+    sdf = hreflang_alternates(_df(spark, _hreflang_pages()))
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pages (url VARCHAR, html VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", _hreflang_pages())
+    ltr = _LINK_TAG_RE.replace("'", "''")
+    alt = _REL_ALT_IN_REGION.replace("'", "''")
+    orc = con.sql(f"""
+WITH t AS (
+  SELECT url, unnest(regexp_extract_all(html, '{ltr}', 0)) AS tag FROM pages
+),
+x AS (
+  SELECT url,
+         lower({_fg_sql("tag", _HREFLANG_VAL)}) AS hreflang,
+         {_fg_sql("tag", _HREF_VAL)} AS href
+  FROM t WHERE regexp_matches(tag, '{alt}')
+)
+SELECT * FROM x WHERE hreflang IS NOT NULL AND href IS NOT NULL
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)

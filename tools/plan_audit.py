@@ -156,6 +156,13 @@ CHECKS = {
     # robots signals: pure map-side regexp scan, zero shuffle beyond
     # the testdata-load repartition, fully codegen'd
     "robots_signals": [("Exchange", 1), ("codegen id", True)],
+    # page_metadata: pure codegen'd projection — the only exchange is
+    # the loader's repartition; no python stage, no shuffle
+    "page_metadata": [("Exchange", 1), ("codegen id", True),
+                      ("MapInPandas", False), ("BatchEvalPython", False)],
+    # hreflang explode: projection + one Generate, still shuffle-free
+    "hreflang_alternates": [("Generate", True), ("Exchange", 1),
+                            ("BatchEvalPython", False)],
     # temperature mixture: one stratum agg + a broadcast of the 1-ROW
     # total (BroadcastNestedLoop over one row is the intended shape;
     # a CartesianProduct would mean the broadcast was lost)
@@ -778,6 +785,26 @@ def _extra_frames():
             docs, mixture_ppm(docs, budget_docs=100, alpha_e6=500_000)
         )
 
+    def f_pagemeta(spark, sf_dir):
+        from fusus_spark.operators.pagemeta import page_metadata
+
+        return page_metadata(_web_docs(spark, sf_dir))
+
+    def f_hreflang(spark, sf_dir):
+        from fusus_spark.operators.pagemeta import hreflang_alternates
+
+        docs = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), "doc_id").alias("url"),
+            F.encode(
+                F.concat(F.lit('<link rel="alternate" hreflang="de" '
+                               'href="http://h'),
+                         F.pmod("doc_id", F.lit(5)), F.lit('.com/de">')),
+                "UTF-8",
+            ).alias("html"),
+        )
+        return hreflang_alternates(docs)
+
     return {"decontaminate": f_decontam, "dedup_lines": f_lines,
             "redact_pii": f_pii, "dedup_passages": f_passages,
             "pack_sequences": f_pack, "apply_host_policy": f_host_policy,
@@ -809,7 +836,9 @@ def _extra_frames():
             "canonical_representatives": f_canon_reps,
             "resolve_redirects": f_redirects,
             "follow_redirects": f_follow,
-            "extend_snapshots": f_extend}
+            "extend_snapshots": f_extend,
+            "page_metadata": f_pagemeta,
+            "hreflang_alternates": f_hreflang}
 
 
 def main() -> None:
