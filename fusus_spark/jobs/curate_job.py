@@ -168,7 +168,12 @@ def run_job(
         mapped.write.mode("overwrite").parquet(f"{out}/audit/canonical")
         mapped = spark.read.parquet(f"{out}/audit/canonical")
         docs = apply_canonical_collapse(docs, mapped)
-        summary["n_after_canonical"] = (
+        # n_after_* keys are SURVIVING ROW counts everywhere in this
+        # summary (input urls need not be unique — a representative url
+        # present at two snapshots keeps both rows); the declared-group
+        # count is its own key
+        summary["n_after_canonical"] = docs.count()
+        summary["n_canonical_groups"] = (
             mapped.select("canonical_target").distinct().count()
         )
 

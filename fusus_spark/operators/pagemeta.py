@@ -37,17 +37,18 @@ from fusus_spark.operators.robots import _FILLER, _HREF_VAL, _first_group
 
 def _ci(word: str) -> str:
     """ASCII case-class spelling of a literal keyword: ``og:title`` ->
-    ``[oO][gG]:[tT]...``. Non-alpha chars pass through verbatim (the
-    callers' keywords contain only ``:/_+.`` — no regex specials that
-    need escaping beyond ``+``)."""
+    ``[oO][gG]:[tT]...``. Digits pass through; every other non-alpha
+    char is backslash-escaped (punctuation escapes are literal in both
+    Java regex and RE2 — an unescaped ``.`` would silently become a
+    wildcard)."""
     out = []
     for ch in word:
         if ch.isalpha():
             out.append(f"[{ch}{ch.upper()}]")
-        elif ch == "+":
-            out.append(r"\+")
-        else:
+        elif ch.isdigit():
             out.append(ch)
+        else:
+            out.append("\\" + ch)
     return "".join(out)
 
 
@@ -64,15 +65,29 @@ _CONTENT_VAL_CI = (
 _META_TAG_RE = "<" + _ci("meta") + r"\s" + _FILLER
 _LINK_TAG_RE = "<" + _ci("link") + r"\s" + _FILLER
 
+# in-region attribute anchor: the tag prefix, then optionally
+# filler ENDING IN a delimiter. Two containment rules fall out:
+# the attribute name must sit at the tag start or right after
+# [\s/] (so data-name=... / a quoted value's ...name=... never
+# match — _FILLER walks quoted values ATOMICALLY, a quote char is
+# reachable only as part of a whole quoted unit, never as the
+# delimiter), and a match can never begin inside another
+# attribute's quoted value. The naive unanchored region search
+# lost exactly this (caught in review: content= inside a
+# data-attr's quoted value, hreflang= inside a quoted href's
+# query string).
+_IN_REGION = r"^<[a-zA-Z]+\s(?:" + _FILLER + r"[\s/])?"
+
 
 def _attr_in_region(attr: str, value: str) -> str:
-    """``attr="value"`` in any quoting form, matched INSIDE a tag
-    region; the unquoted form is delimited so ``name=descriptionx``
-    never matches (``[\\s/]`` mid-region, end-of-region when the
-    attribute closes the tag — regions carry no trailing '>')."""
+    """``attr="value"`` in any quoting form, anchored INSIDE a tag
+    region (see ``_IN_REGION``); the unquoted form is right-delimited
+    so ``name=descriptionx`` never matches (``[\\s/]`` mid-region,
+    end-of-region when the attribute closes the tag — regions carry
+    no trailing '>')."""
     v = _ci(value)
     return (
-        _ci(attr) + r"\s*=\s*(?:\"" + v + r"\"|'" + v + r"'|" + v
+        _IN_REGION + _ci(attr) + r"\s*=\s*(?:\"" + v + r"\"|'" + v + r"'|" + v
         + r"(?:[\s/]|$))"
     )
 
@@ -98,8 +113,12 @@ def _first_region(tags: Column, attr: str, value: str) -> Column:
 def _meta_content(metas: Column, attr: str, name: str) -> Column:
     """The content of the first ``<meta attr="name" content="...">``
     (attribute order free — region matching does not care which comes
-    first)."""
-    return _first_group(_first_region(metas, attr, name), _CONTENT_VAL_CI)
+    first). The value pull is ``_IN_REGION``-anchored too, so a
+    ``content=`` inside another attribute's quoted value is never the
+    extracted value."""
+    return _first_group(
+        _first_region(metas, attr, name), _IN_REGION + _CONTENT_VAL_CI
+    )
 
 
 def _og(metas: Column, name: str) -> Column:
@@ -114,7 +133,9 @@ def _og(metas: Column, name: str) -> Column:
 
 def _rel_link_href(links: Column, rel: str) -> Column:
     """``href`` of the first ``<link rel="<rel>" href="...">``."""
-    return _first_group(_first_region(links, "rel", rel), _HREF_VAL)
+    return _first_group(
+        _first_region(links, "rel", rel), _IN_REGION + _HREF_VAL
+    )
 
 
 # <title> text: tag-name delimited (no '<titlearea'), text up to the
@@ -185,8 +206,8 @@ def page_metadata(
     ``modified_time`` are the raw declared strings (usually ISO-8601;
     parse at the consumer, a bad date must not null out the row).
 
-    Cost shape: THREE full-document scans (meta-tag harvest, link-tag
-    harvest, title+ldjson region) no matter how many fields; all
+    Cost shape: FOUR full-document scans (meta-tag harvest, link-tag
+    harvest, title, ldjson block) no matter how many fields; all
     per-field matching runs over the tag-sized region arrays.
     """
     orig = F.col(html_col).cast("string")
@@ -246,8 +267,10 @@ def hreflang_alternates(
         .where(tag.rlike(_REL_ALT_IN_REGION))
         .select(
             "url",
-            F.lower(_first_group(tag, _HREFLANG_VAL)).alias("hreflang"),
-            _first_group(tag, _HREF_VAL).alias("href"),
+            F.lower(
+                _first_group(tag, _IN_REGION + _HREFLANG_VAL)
+            ).alias("hreflang"),
+            _first_group(tag, _IN_REGION + _HREF_VAL).alias("href"),
         )
         .where(F.col("hreflang").isNotNull() & F.col("href").isNotNull())
     )

@@ -36,20 +36,29 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 # (valid HTML: <meta name=robots content=noindex>) — each value is a
 # 3-way alternation whose capture lands in exactly one of groups 1-3
 # (extracted via _first_group); the unquoted robots name must be
-# DELIMITED so name=robotsx never matches. Two containment rules keep
-# a match inside ONE tag: the inter-attribute FILLER never crosses an
-# unquoted '<' or '>' (so a match cannot escape into the next tag or a
-# text node) while still walking over QUOTED attribute values that
-# legally contain '<'/'>'; and the unquoted-name delimiter may consume
-# '>' only in the AT-END position (content-first ordering) — mid-
-# pattern it is [\s/]. All alternations are RE2-safe (no lookarounds/
-# backrefs) so the DuckDB oracle tokenizes identically.
+# DELIMITED so name=robotsx never matches. Three containment rules
+# keep a match inside ONE tag and on REAL attributes: the
+# inter-attribute FILLER never crosses an unquoted '<' or '>' (so a
+# match cannot escape into the next tag or a text node) while still
+# walking over QUOTED attribute values that legally contain '<'/'>';
+# every attribute keyword must sit at the tag start or right after a
+# [\s/] delimiter (the _SEP junction — so data-name=robots is not
+# name=robots, and a 'name=robots'/'content=...' payload INSIDE
+# another attribute's quoted value is unreachable: FILLER consumes
+# quoted values atomically and a quote char is never the delimiter);
+# and the unquoted-name delimiter may consume '>' only in the AT-END
+# position (content-first ordering) — mid-pattern it is [\s/]. All
+# alternations are RE2-safe (no lookarounds/backrefs) so the DuckDB
+# oracle tokenizes identically.
 _FILLER = r"""(?:"[^"]*"|'[^']*'|[^<>"'])*"""
+# junction between attributes: optional filler, but the next keyword
+# must follow a delimiter (or sit directly at the tag start)
+_SEP = r"(?:" + _FILLER + r"[\s/])?"
 _CONTENT_VAL = r"""content\s*=\s*(?:"([^"<>]*)"|'([^'<>]*)'|([^\s"'<>]+))"""
 _NAME_ROBOTS_MID = r"""name\s*=\s*(?:"robots"|'robots'|robots[\s/])"""
 _NAME_ROBOTS_END = r"""name\s*=\s*(?:"robots"|'robots'|robots[\s/>])"""
-_META_NAME_FIRST = r"<meta\s" + _FILLER + _NAME_ROBOTS_MID + _FILLER + _CONTENT_VAL
-_META_CONTENT_FIRST = r"<meta\s" + _FILLER + _CONTENT_VAL + _FILLER + _NAME_ROBOTS_END
+_META_NAME_FIRST = r"<meta\s" + _SEP + _NAME_ROBOTS_MID + _SEP + _CONTENT_VAL
+_META_CONTENT_FIRST = r"<meta\s" + _SEP + _CONTENT_VAL + _SEP + _NAME_ROBOTS_END
 # original-bytes patterns (href case preserved); keyword case-classes
 _REL = r"[rR][eE][lL]"
 _CANON = r"[cC][aA][nN][oO][nN][iI][cC][aA][lL]"
@@ -66,8 +75,8 @@ _REL_CANON_END = (
     _REL + r"\s*=\s*(?:\"" + _CANON + r"\"|'" + _CANON + r"'|"
     + _CANON + r"[\s/>])"
 )
-_LINK_REL_FIRST = _LINK + _FILLER + _REL_CANON_MID + _FILLER + _HREF_VAL
-_LINK_HREF_FIRST = _LINK + _FILLER + _HREF_VAL + _FILLER + _REL_CANON_END
+_LINK_REL_FIRST = _LINK + _SEP + _REL_CANON_MID + _SEP + _HREF_VAL
+_LINK_HREF_FIRST = _LINK + _SEP + _HREF_VAL + _SEP + _REL_CANON_END
 
 
 def _first_group(col: Column, pat: str) -> Column:

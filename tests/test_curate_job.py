@@ -344,7 +344,8 @@ def test_curate_job_canonical_tier(spark, tmp_path):
     summary = run_job(
         spark, input_path=inp, output_path=out, canonical_scope="domain"
     )
-    assert summary["n_after_canonical"] == 3   # {story x3}, {spam}, {page}
+    assert summary["n_after_canonical"] == 3   # surviving rows: docs 1,4,5
+    assert summary["n_canonical_groups"] == 3  # {story x3}, {spam}, {page}
     kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").collect()}
     assert kept == {1, 4, 5}
     audit = {r["url"]: r

@@ -10,6 +10,7 @@ import duckdb
 from fusus_spark.operators.pagemeta import (
     _CONTENT_VAL_CI,
     _HREFLANG_VAL,
+    _IN_REGION,
     _LDJSON_BLOCK,
     _LINK_TAG_RE,
     _META_TAG_RE,
@@ -81,6 +82,17 @@ def _pages() -> list[tuple[str, str]]:
         ("http://ex.com/empty", ""),
         # 8: double-escape decodes exactly one level
         ("http://ex.com/ent", "<title>&amp;lt;b&amp;gt;</title>"),
+        # 9: containment regressions (review findings): attr=value text
+        # inside ANOTHER attribute's quoted value must never match, and
+        # data-name= is not name=
+        ("http://ex.com/adv1",
+         "<meta data-x='content=\"fake\"' name=\"description\" content=\"real\">"),
+        ("http://ex.com/adv2",
+         "<meta name=\"author\" content='see name=description docs'>"),
+        ("http://ex.com/adv3",
+         "<link title='use rel=\"next\" here' href=\"/x\">"),
+        ("http://ex.com/adv4",
+         '<meta data-name=description content=nope>'),
     ]
 
 
@@ -92,6 +104,11 @@ def _hreflang_pages() -> list[tuple[str, str]]:
                              '<link hreflang=x-default href=https://ex.com/ rel=alternate>'
                              '<link rel="stylesheet" href="/s.css">'
                              '<link rel="alternate" hreflang="fr">'),
+        # a quoted href whose query string SPELLS hreflang= must not
+        # override the real attribute (review finding)
+        ("http://ex.com/qs", '<link rel="alternate" '
+                             'href="https://ex.com/x?hreflang=pt" '
+                             'hreflang="sv">'),
         ("http://ex.com/none", "<p>no links</p>"),
         ("http://ex.com/junk", "\x00<link rel=alternate"),
     ]
@@ -138,6 +155,11 @@ def test_page_metadata_hand_cases(spark):
     assert got["http://ex.com/ld2"]["jsonld_type"] is None
     # one unescape level: &amp;lt; -> &lt; (literal text, not '<')
     assert got["http://ex.com/ent"]["title"] == "&lt;b&gt;"
+    # containment: quoted-value payloads and data- prefixes never match
+    assert got["http://ex.com/adv1"]["meta_description"] == "real"
+    assert got["http://ex.com/adv2"]["meta_description"] is None
+    assert got["http://ex.com/adv3"]["rel_next"] is None
+    assert got["http://ex.com/adv4"]["meta_description"] is None
     for u in ("http://ex.com/junk", "http://ex.com/empty"):
         r = got[u]
         assert all(r[c] is None for c in r.asDict() if c != "url")
@@ -150,6 +172,7 @@ def test_hreflang_hand_cases(spark):
         ("http://ex.com/en", "de", "https://ex.com/de"),
         ("http://ex.com/en", "en", "https://ex.com/en"),
         ("http://ex.com/en", "x-default", "https://ex.com/"),
+        ("http://ex.com/qs", "sv", "https://ex.com/x?hreflang=pt"),
     ]
 
 
@@ -169,7 +192,7 @@ def _region_sql(tags: str, attr: str, name: str) -> str:
 
 
 def _meta_sql(attr: str, name: str) -> str:
-    return _fg_sql(_region_sql("metas", attr, name), _CONTENT_VAL_CI)
+    return _fg_sql(_region_sql("metas", attr, name), _IN_REGION + _CONTENT_VAL_CI)
 
 
 def _og_sql(name: str) -> str:
@@ -187,7 +210,7 @@ def _clean_sql(expr: str) -> str:
 
 
 def _rel_sql(rel: str) -> str:
-    return _fg_sql(_region_sql("links", "rel", rel), _HREF_VAL)
+    return _fg_sql(_region_sql("links", "rel", rel), _IN_REGION + _HREF_VAL)
 
 
 def test_page_metadata_matches_duckdb_oracle(spark):
@@ -249,8 +272,8 @@ WITH t AS (
 ),
 x AS (
   SELECT url,
-         lower({_fg_sql("tag", _HREFLANG_VAL)}) AS hreflang,
-         {_fg_sql("tag", _HREF_VAL)} AS href
+         lower({_fg_sql("tag", _IN_REGION + _HREFLANG_VAL)}) AS hreflang,
+         {_fg_sql("tag", _IN_REGION + _HREF_VAL)} AS href
   FROM t WHERE regexp_matches(tag, '{alt}')
 )
 SELECT * FROM x WHERE hreflang IS NOT NULL AND href IS NOT NULL
