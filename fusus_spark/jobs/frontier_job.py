@@ -9,6 +9,7 @@ extraction and curation jobs:
         --as-of-date 2026-02-01 \\
         [--fetch-results <(url, http_status, content_hash) parquet>] \\
         [--sitemaps  <parse_sitemap_entries output parquet>] \\
+        [--feeds     <raw (feed_url, xml) RSS/Atom parquet>] \\
         [--redirects <resolve_redirects output parquet>] \\
         [--links     <resolve_links output parquet>]
 
@@ -63,6 +64,9 @@ _SITEMAP_SCHEMA = (
     "sitemap_url string, kind string, loc string, "
     "lastmod string, changefreq string, priority_e6 bigint"
 )
+_SITEMAP_COLS = [
+    "sitemap_url", "kind", "loc", "lastmod", "changefreq", "priority_e6"
+]
 
 
 def run_job(
@@ -73,6 +77,7 @@ def run_job(
     as_of_date: str,
     fetch_results_path: str | None = None,
     sitemaps_path: str | None = None,
+    feeds_path: str | None = None,
     redirects_path: str | None = None,
     links_path: str | None = None,
     robots_path: str | None = None,
@@ -158,6 +163,24 @@ def run_job(
         if sitemaps_path is not None
         else spark.createDataFrame([], _SITEMAP_SCHEMA)
     )
+    # feeds are the second announce channel: raw (feed_url, xml) rows
+    # parse per-cycle (feeds are small and change every cycle — caching
+    # parsed entries would just go stale) and fold into the SAME
+    # sitemap-seed/announce supply; the parsed entries are written as
+    # the discovery audit
+    if feeds_path is not None:
+        from fusus_spark.operators.frontier import (
+            feed_entries_as_announcements,
+            parse_feed_entries,
+        )
+
+        entries = parse_feed_entries(spark.read.parquet(feeds_path))
+        entries.write.mode("overwrite").parquet(f"{out}/audit/feed_entries")
+        entries = spark.read.parquet(f"{out}/audit/feed_entries")
+        summary["n_feed_entries"] = entries.count()
+        sitemaps = sitemaps.select(_SITEMAP_COLS).unionByName(
+            feed_entries_as_announcements(entries).select(_SITEMAP_COLS)
+        )
     queue = fetch_queue(
         stats,
         sitemaps,
@@ -219,6 +242,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="previous cycle's (url, http_status, content_hash) parquet "
                         "to fold into the evidence first")
     p.add_argument("--sitemaps", help="parse_sitemap_entries output parquet")
+    p.add_argument("--feeds",
+                   help="raw (feed_url, xml) RSS/Atom parquet; entries parse "
+                        "per-cycle and join the sitemap-seed/announce supply")
     p.add_argument("--redirects", help="resolve_redirects output parquet")
     p.add_argument("--links", help="resolve_links output parquet")
     p.add_argument("--robots",
@@ -253,6 +279,7 @@ def main(argv: list[str] | None = None) -> None:
         as_of_date=a.as_of_date,
         fetch_results_path=a.fetch_results,
         sitemaps_path=a.sitemaps,
+        feeds_path=a.feeds,
         redirects_path=a.redirects,
         links_path=a.links,
         robots_path=a.robots,

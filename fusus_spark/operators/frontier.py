@@ -307,6 +307,190 @@ def sitemap_fetch_list(
     )
 
 
+# ---------------------------------------------------------------------------
+# RSS/Atom feeds — the OTHER standard discovery channel next to
+# sitemaps: publishers announce NEW content in feeds minutes after
+# posting, days before it shows up in a sitemap crawl. Same parsing
+# discipline as parse_sitemap_entries: one codegen'd projection per
+# feed file, regexp block extraction + per-entry field pulls inside
+# ``transform``, RE2-safe so the DuckDB oracle tokenizes identically,
+# zero Python, no shuffle. Feeds are small (tens to hundreds of
+# entries), so per-row work is bounded.
+
+
+def _feed_field(e, tag: str):
+    """Text content of the first ``<tag ...>text</tag>`` inside an
+    entry block ('' -> null). The open tag may carry attributes but
+    the tag NAME is delimited (``<link>`` never matches
+    ``<linkxyz>``; ``<atom:link>`` is a different byte sequence and
+    never matches either)."""
+    return F.nullif(
+        F.trim(
+            F.regexp_extract(
+                e, rf"<{tag}(?:\s[^>]*)?>\s*([\s\S]*?)\s*</{tag}>", 1
+            )
+        ),
+        F.lit(""),
+    )
+
+
+def _feed_text(raw):
+    """Display text of a feed field: CDATA bodies are literal (strip
+    the wrapper, no unescape), everything else gets the XML entity
+    fold — mirrored verbatim in the DuckDB oracle."""
+    stripped = F.replace(
+        F.replace(raw, F.lit("<![CDATA["), F.lit("")), F.lit("]]>"), F.lit("")
+    )
+    return F.when(raw.contains("<![CDATA["), stripped).otherwise(
+        _xml_unescape(raw)
+    )
+
+
+# Atom link href: rel="alternate" wins (attribute order free), else the
+# first href of any <link>. XML requires quoted attribute values;
+# both quote styles are honored, captures land in group 1/2.
+_ATOM_REL_HREF = (
+    r"""<link\s[^>]*rel\s*=\s*["']alternate["'][^>]*"""
+    r"""href\s*=\s*(?:"([^"]*)"|'([^']*)')"""
+)
+_ATOM_HREF_REL = (
+    r"""<link\s[^>]*href\s*=\s*(?:"([^"]*)"|'([^']*)')"""
+    r"""[^>]*rel\s*=\s*["']alternate["']"""
+)
+_ATOM_ANY_HREF = r"""<link\s[^>]*href\s*=\s*(?:"([^"]*)"|'([^']*)')"""
+# RSS guid: group 1 = open-tag attributes, group 2 = text
+_GUID_RE = r"<guid([^>]*)>\s*([\s\S]*?)\s*</guid>"
+
+
+def _href2(e, pat: str):
+    """First non-empty capture of a 2-group quoted-href pattern."""
+    return F.coalesce(
+        *[F.nullif(F.regexp_extract(e, pat, g), F.lit("")) for g in (1, 2)]
+    )
+
+
+def parse_feed_entries(
+    feeds: DataFrame, url_col: str = "feed_url", xml_col: str = "xml"
+) -> DataFrame:
+    """(feed_url, xml) -> one row per entry: (feed_url, kind, loc,
+    published, title, guid).
+
+    ``kind`` is ``atom`` for <feed> documents, ``rss`` otherwise
+    (RSS 2.0's <rss><channel><item> and RDF/RSS 1.0's <item> both
+    land here). ``loc`` is the announced page url: RSS takes the
+    <link> text (XML-unescaped — feeds legally carry &amp; in query
+    strings) falling back to a PERMALINK <guid> (isPermaLink
+    defaults true per the RSS spec; an explicit false or a
+    non-http(s) guid never becomes a url); Atom takes the
+    rel="alternate" <link href>, else the first <link href>.
+    ``published`` is the verbatim-trimmed date string (RFC 822 in
+    RSS pubDate, ISO-8601 in Atom published/updated — parse at the
+    consumer; :func:`feed_entries_as_announcements` folds both to
+    W3C dates). ``title`` is CDATA-stripped / entity-folded display
+    text. Entries with no resolvable loc are dropped — they
+    schedule nothing. Byte-level XML pathologies degrade to dropped
+    entries, never an error: the frontier can always refetch.
+    """
+    xml = F.coalesce(F.col(xml_col).cast("string"), F.lit(""))
+    is_atom = xml.rlike(r"<\s*feed[\s>]")
+    kind = F.when(is_atom, "atom").otherwise("rss")
+    block = F.when(
+        is_atom,
+        F.regexp_extract_all(xml, F.lit(r"<entry(?:\s[^>]*)?>([\s\S]*?)</entry>"), F.lit(1)),
+    ).otherwise(
+        F.regexp_extract_all(xml, F.lit(r"<item(?:\s[^>]*)?>([\s\S]*?)</item>"), F.lit(1))
+    )
+
+    def entry(e):
+        guid_attrs = F.regexp_extract(e, _GUID_RE, 1)
+        guid_text = F.nullif(
+            F.trim(F.regexp_extract(e, _GUID_RE, 2)), F.lit("")
+        )
+        guid_url = F.when(
+            ~F.lower(guid_attrs).rlike(r"""ispermalink\s*=\s*["']?false""")
+            & _xml_unescape(F.coalesce(guid_text, F.lit(""))).rlike(
+                r"^https?://"
+            ),
+            _xml_unescape(guid_text),
+        )
+        rss_loc = F.coalesce(_xml_unescape(_feed_field(e, "link")), guid_url)
+        atom_loc = F.coalesce(
+            _href2(e, _ATOM_REL_HREF),
+            _href2(e, _ATOM_HREF_REL),
+            _href2(e, _ATOM_ANY_HREF),
+        )
+        return F.struct(
+            F.when(is_atom, _xml_unescape(atom_loc)).otherwise(rss_loc).alias("loc"),
+            F.when(
+                is_atom,
+                F.coalesce(
+                    _feed_field(e, "published"), _feed_field(e, "updated")
+                ),
+            ).otherwise(_feed_field(e, "pubDate")).alias("published"),
+            _feed_text(_feed_field(e, "title")).alias("title"),
+            F.coalesce(guid_text, _feed_field(e, "id")).alias("guid"),
+        )
+
+    return (
+        feeds.select(
+            F.col(url_col).alias("feed_url"),
+            kind.alias("kind"),
+            F.explode(F.transform(block, entry)).alias("e"),
+        )
+        .where(F.col("e.loc").isNotNull())
+        .select(
+            "feed_url", "kind", F.col("e.loc").alias("loc"),
+            F.col("e.published").alias("published"),
+            F.col("e.title").alias("title"),
+            F.col("e.guid").alias("guid"),
+        )
+    )
+
+
+def feed_entries_as_announcements(entries: DataFrame) -> DataFrame:
+    """Feed entries in :func:`parse_sitemap_entries`'s output schema,
+    so one ``unionByName`` folds them into :func:`fetch_queue`'s
+    sitemap-seed supply AND its ``--announce-boost`` machinery with
+    zero new join paths: (sitemap_url=feed_url, kind='urlset', loc,
+    lastmod, changefreq=null, priority_e6=null).
+
+    ``lastmod`` is the published date folded to a W3C ``YYYY-MM-DD``
+    string — the ONE format the announce gate accepts: ISO-8601
+    prefixes pass through, RFC 822 dates ("Mon, 02 Jan 2026 ...")
+    are re-assembled day-by-month-name and parsed with an explicit
+    format (both branches regexp-gated so the DuckDB oracle is
+    byte-identical; month names are the RFC 822 English tokens in
+    both engines). Unparseable dates become null lastmod — the entry
+    still seeds the queue, it just announces nothing.
+    """
+    iso = F.when(
+        F.col("published").rlike(r"^\d{4}-\d{2}-\d{2}([Tt ].*)?$"),
+        F.substring("published", 1, 10),
+    )
+    # RFC 822: "[Mon, ]02 Jan 2026 03:04:05 GMT" — pull d/MMM/yyyy,
+    # zero-pad the day, parse "dd MMM yyyy"
+    d = F.regexp_extract("published", r"(?:^|,\s*)(\d{1,2}) ([A-Z][a-z]{2}) (\d{4})", 1)
+    mon = F.regexp_extract("published", r"(?:^|,\s*)(\d{1,2}) ([A-Z][a-z]{2}) (\d{4})", 2)
+    yr = F.regexp_extract("published", r"(?:^|,\s*)(\d{1,2}) ([A-Z][a-z]{2}) (\d{4})", 3)
+    rfc = F.when(
+        yr != "",
+        F.date_format(
+            F.try_to_date(
+                F.concat_ws(" ", F.lpad(d, 2, "0"), mon, yr), "dd MMM yyyy"
+            ),
+            "yyyy-MM-dd",
+        ),
+    )
+    return entries.select(
+        F.col("feed_url").alias("sitemap_url"),
+        F.lit("urlset").alias("kind"),
+        "loc",
+        F.coalesce(iso, rfc).alias("lastmod"),
+        F.lit(None).cast("string").alias("changefreq"),
+        F.lit(None).cast("bigint").alias("priority_e6"),
+    )
+
+
 def fetch_queue(
     url_stats: DataFrame,
     sitemap_entries: DataFrame,

@@ -204,3 +204,43 @@ def test_frontier_job_minimal_supplies(spark, tmp_path):
     assert "n_folded" not in summary
     assert summary["by_source"] == {"revisit": 2}
     assert summary["n_scheduled"] == 2  # k=1 per host, two hosts
+
+
+def test_frontier_job_feed_supply(spark, tmp_path):
+    """--feeds: raw RSS xml parses per-cycle, the entries land as the
+    discovery audit, a feed pubDate newer than the static url's last
+    snapshot boosts it, and a never-crawled feed url seeds the queue —
+    all through the SAME sitemap-supply path (no sitemaps given)."""
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "cycle")
+    _write_store(spark, store)
+    rss = ("<rss><channel>"
+           "<item><link>http://static.com/b</link>"
+           "<pubDate>Sun, 01 Feb 2026 08:00:00 GMT</pubDate></item>"
+           "<item><link>http://new.com/from-feed</link></item>"
+           "</channel></rss>")
+    spark.createDataFrame(
+        [("http://static.com/feed.xml", rss)], "feed_url string, xml string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "feeds"))
+
+    summary = run_job(
+        spark,
+        snapshots_path=store,
+        output_path=out,
+        as_of_date="2026-02-14",
+        feeds_path=str(tmp_path / "feeds"),
+        k_per_host=10,
+        announce_boost_e6=900_000,
+    )
+    assert summary["n_feed_entries"] == 2
+    audit = spark.read.parquet(f"{out}/audit/feed_entries")
+    assert audit.where("published is not null").count() == 1
+    sched = {r["url"]: r for r in
+             spark.read.parquet(f"{out}/schedule").collect()}
+    # same numbers as the sitemap announcement test: the feed pubDate
+    # (2026-02-01 > last snapshot 2026-01-15) floors static.com/b at
+    # 900000, above the churner's 750000
+    assert sched["http://static.com/b"]["priority_e6"] == 900_000
+    assert sched["http://static.com/b"]["source"] == "revisit"
+    assert sched["http://new.com/from-feed"]["source"] == "seed"
+    assert sched["http://new.com/from-feed"]["priority_e6"] == 500_000

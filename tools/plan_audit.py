@@ -163,6 +163,13 @@ CHECKS = {
     # hreflang explode: projection + one Generate, still shuffle-free
     "hreflang_alternates": [("Generate", True), ("Exchange", 1),
                             ("BatchEvalPython", False)],
+    # feed parsing mirrors parse_sitemap_entries: projection + one
+    # Generate per feed file, no python stage, no shuffle beyond the
+    # loader; the announcement adapter adds a projection only
+    "parse_feed_entries": [("Generate", True), ("Exchange", 1),
+                           ("BatchEvalPython", False)],
+    "feed_entries_as_announcements": [("Generate", True), ("Exchange", 1),
+                                      ("MapInPandas", False)],
     # temperature mixture: one stratum agg + a broadcast of the 1-ROW
     # total (BroadcastNestedLoop over one row is the intended shape;
     # a CartesianProduct would mean the broadcast was lost)
@@ -785,6 +792,33 @@ def _extra_frames():
             docs, mixture_ppm(docs, budget_docs=100, alpha_e6=500_000)
         )
 
+    def f_feeds(spark, sf_dir):
+        from fusus_spark.operators.frontier import parse_feed_entries
+
+        feeds = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/feed.xml")).alias("feed_url"),
+            F.concat(F.lit("<rss><channel><item><link>http://h.com/p/"),
+                     "doc_id",
+                     F.lit("</link><pubDate>Mon, 02 Feb 2026 00:00:00 GMT"
+                           "</pubDate></item></channel></rss>")).alias("xml"),
+        )
+        return parse_feed_entries(feeds)
+
+    def f_feed_ann(spark, sf_dir):
+        from fusus_spark.operators.frontier import (
+            feed_entries_as_announcements, parse_feed_entries)
+
+        feeds = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/feed.xml")).alias("feed_url"),
+            F.concat(F.lit("<rss><channel><item><link>http://h.com/p/"),
+                     "doc_id",
+                     F.lit("</link><pubDate>Mon, 02 Feb 2026 00:00:00 GMT"
+                           "</pubDate></item></channel></rss>")).alias("xml"),
+        )
+        return feed_entries_as_announcements(parse_feed_entries(feeds))
+
     def f_pagemeta(spark, sf_dir):
         from fusus_spark.operators.pagemeta import page_metadata
 
@@ -838,7 +872,9 @@ def _extra_frames():
             "follow_redirects": f_follow,
             "extend_snapshots": f_extend,
             "page_metadata": f_pagemeta,
-            "hreflang_alternates": f_hreflang}
+            "hreflang_alternates": f_hreflang,
+            "parse_feed_entries": f_feeds,
+            "feed_entries_as_announcements": f_feed_ann}
 
 
 def main() -> None:
