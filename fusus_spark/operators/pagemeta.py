@@ -274,3 +274,99 @@ def hreflang_alternates(
         )
         .where(F.col("hreflang").isNotNull() & F.col("href").isNotNull())
     )
+
+
+def hreflang_clusters(
+    alternates: DataFrame, *, scope: str = "domain", psl_rules: dict | None = None
+) -> DataFrame:
+    """Per-url translation-cluster mapping from the declared hreflang
+    alternates: (url, self_canonical, cluster_id, self_lang, n_alts,
+    n_langs, has_x_default).
+
+    Pages that publish language alternates declare the FULL cluster on
+    every member (the hreflang return-link requirement), so the
+    cluster key needs no transitive closure: ``cluster_id`` = the
+    minimum canonical key over the url's own key plus its ACCEPTED
+    alternate targets — identical on every member when the
+    declarations are complete. Incomplete or one-sided declarations
+    degrade to split clusters (documented; the iterative machinery for
+    adversarial graphs is operators/dedup.dedup_clusters). The cluster
+    is the unit a curation pipeline needs for translation-aware
+    mixture (one representative per language per cluster — compose
+    with cluster_representatives) and for keeping parallel text
+    together.
+
+    Alternate hrefs resolve and fold exactly like declared canonicals
+    (resolve_links page-level merge -> canonical_url; the hreflang
+    spec requires absolute urls but relative ones still resolve), and
+    the same scope guard applies (``domain``/``host``/``any``,
+    canonical.py semantics): a cross-site alternate is ignored — spam
+    never pulls a page into a foreign cluster. ``self_lang`` is the
+    language whose alternate resolves to the url's own key (the page
+    naming itself in the cluster; null when it doesn't), ``n_alts``
+    counts accepted alternates, ``n_langs`` their distinct language
+    tags, ``has_x_default`` whether an accepted x-default exists.
+
+    Plan: one projection (all-JVM resolve + fold + PSL InSet) and ONE
+    groupBy(url) — the shuffle carries (url, key, lang) rows only.
+    """
+    from fusus_spark.functions.psl import registrable_domain
+    from fusus_spark.functions.url import canonical_url, url_host
+    from fusus_spark.operators.webgraph import resolve_links
+
+    if scope not in ("domain", "host", "any"):
+        raise ValueError(f"scope must be domain|host|any, got {scope!r}")
+    base = alternates.select(
+        F.col("url").alias("src_url"),
+        F.lower(F.col("hreflang")).alias("hreflang"),
+        F.when(F.col("href") == "", None).otherwise(F.col("href")).alias("href"),
+    )
+    resolved = resolve_links(base, page_level=True)
+    self_key = canonical_url(F.col("src_url"))
+    decl = F.when(
+        F.col("resolved").isNotNull(), canonical_url(F.col("resolved"))
+    )
+    src_h = url_host(F.col("src_url"))
+    dst_h = url_host(F.col("resolved"))
+    if scope == "host":
+        in_scope = dst_h == src_h
+    elif scope == "domain":
+        sd = registrable_domain(src_h, psl_rules)
+        dd = registrable_domain(dst_h, psl_rules)
+        in_scope = (dd != "") & (dd == sd)
+    else:
+        in_scope = F.lit(True)
+    accepted = decl.isNotNull() & decl.rlike(r"^http://[^/?#]") & in_scope
+    rows = resolved.select(
+        "src_url",
+        self_key.alias("self_key"),
+        F.when(accepted, decl).alias("alt_key"),
+        "hreflang",
+    )
+    return rows.groupBy("src_url").agg(
+        F.min("self_key").alias("self_canonical"),
+        # least() skips nulls: min accepted target, floored by self
+        F.least(F.min("alt_key"), F.min("self_key")).alias("cluster_id"),
+        # x-default is the fallback MARKER, not a language — a page
+        # that is both the default and a language member reports the
+        # language
+        F.max(
+            F.when(
+                (F.col("alt_key") == F.col("self_key"))
+                & (F.col("hreflang") != "x-default"),
+                F.col("hreflang"),
+            )
+        ).alias("self_lang"),
+        F.count("alt_key").cast("int").alias("n_alts"),
+        # size(collect_set) not count_distinct: the distinct-agg
+        # rewrite costs a THIRD exchange; the per-url language set is
+        # a handful of tags, so the set agg is one shuffle and cheap
+        F.size(
+            F.collect_set(
+                F.when(F.col("alt_key").isNotNull(), F.col("hreflang"))
+            )
+        ).cast("int").alias("n_langs"),
+        F.max(
+            (F.col("hreflang") == "x-default") & F.col("alt_key").isNotNull()
+        ).alias("has_x_default"),
+    ).withColumnRenamed("src_url", "url")

@@ -281,3 +281,167 @@ SELECT * FROM x WHERE hreflang IS NOT NULL AND href IS NOT NULL
     orows = [tuple(r) for r in orc.fetchall()]
     assert len(srows) == len(orows)
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+# ---------------------------------------------------------------------------
+# hreflang translation clusters
+
+
+def test_hreflang_clusters_hand_cases(spark):
+    from fusus_spark.operators.pagemeta import hreflang_clusters
+
+    full = [  # the complete 3-member cluster declared on every member
+        ("https://www.ex.com/en?utm_source=x", "EN", "http://www.ex.com/en"),
+        ("https://www.ex.com/en?utm_source=x", "de", "http://m.ex.com/de"),
+        ("https://www.ex.com/en?utm_source=x", "x-default", "http://www.ex.com/en"),
+        ("http://m.ex.com/de", "en", "http://www.ex.com/en"),
+        ("http://m.ex.com/de", "de", "http://m.ex.com/de"),
+        ("http://m.ex.com/de", "x-default", "http://www.ex.com/en"),
+    ]
+    spam = [  # cross-site alternate is ignored, never followed
+        ("http://ex.com/solo", "en", "http://ex.com/solo"),
+        ("http://ex.com/solo", "pt", "http://evil.com/pt"),
+    ]
+    df = spark.createDataFrame(
+        full + spam, "url string, hreflang string, href string"
+    )
+    got = {r["url"]: r for r in hreflang_clusters(df).collect()}
+
+    en = got["https://www.ex.com/en?utm_source=x"]
+    de = got["http://m.ex.com/de"]
+    # one cluster id on both members: the min canonical key
+    assert en["cluster_id"] == de["cluster_id"] == "http://m.ex.com/de"
+    assert en["self_canonical"] == "http://www.ex.com/en"
+    assert en["self_lang"] == "en"       # tracking twin folds to self
+    assert de["self_lang"] == "de"
+    assert en["n_alts"] == 3 and en["n_langs"] == 3
+    assert en["has_x_default"] and de["has_x_default"]
+
+    solo = got["http://ex.com/solo"]
+    assert solo["cluster_id"] == "http://ex.com/solo"  # spam ignored
+    assert solo["n_alts"] == 1 and solo["n_langs"] == 1
+    assert solo["self_lang"] == "en" and not solo["has_x_default"]
+
+    # 'any' trusts the cross-site declaration
+    trusting = {r["url"]: r for r in
+                hreflang_clusters(df, scope="any").collect()}
+    assert trusting["http://ex.com/solo"]["cluster_id"] == "http://evil.com/pt"
+    assert trusting["http://ex.com/solo"]["n_alts"] == 2
+
+
+def _hl_corpus() -> list[tuple[str, str, str]]:
+    """SQL-expressible href forms (absolute / protocol-relative /
+    root-relative / self / junk) across plain and co.uk hosts; the
+    RFC 3986 merge forms are hand-cased + code-oracled elsewhere."""
+    hosts = ["example.com", "www.example.com", "blog.example.co.uk",
+             "m.example.co.uk", "evil.com", "sub.evil.com"]
+    langs = ["en", "de", "fr", "PT-br", "x-default"]
+    rows = []
+    for i in range(120):
+        h = hosts[i % 6]
+        u = f"https://{h}/p{i % 5}/doc{i % 30}?utm_source=x&id={i % 7}"
+        k = i % 5
+        if k == 0:
+            href = f"http://{hosts[(i + 1) % 6]}/alt{i % 4}"
+        elif k == 1:
+            href = f"//{h}/alt{i % 4}"
+        elif k == 2:
+            href = f"/alt{i % 4}"
+        elif k == 3:
+            href = u
+        else:
+            href = "javascript:void(0)"
+        rows.append((u, langs[i % 5], href))
+    return rows
+
+
+def test_hreflang_clusters_match_duckdb_oracle(spark):
+    from fusus_spark.operators.pagemeta import hreflang_clusters
+    from tests.psl_oracle import PSL_DOMAIN_EXPR, PSL_PS_CASE, install_psl_rules
+    from tests.test_url import _ORC_IDX, _ORC_KEPT, _ORC_PNORM, _ORC_PRE
+
+    rows = _hl_corpus()
+    sdf = hreflang_clusters(spark.createDataFrame(
+        rows, "url string, hreflang string, href string"))
+    srows = [tuple(r) for r in sdf.collect()]
+
+    _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+    con = duckdb.connect()
+    install_psl_rules(con)
+    con.sql("CREATE TABLE t (url VARCHAR, hreflang VARCHAR, href VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    orc = con.sql(f"""
+WITH t0 AS (
+  SELECT url AS src, lower(hreflang) AS lang,
+         CASE WHEN href = '' THEN NULL ELSE href END AS href
+  FROM t
+),
+r1 AS (
+  SELECT src, lang, href,
+    regexp_replace(coalesce(href, ''), '#.*$', '') AS hnof,
+    lower(regexp_extract(src, '{_HOST_RE}', 1)) AS srchost
+  FROM t0
+),
+r3 AS (
+  SELECT src, lang,
+    CASE WHEN regexp_matches(hnof, '^[hH][tT][tT][pP][sS]?://') THEN hnof
+         WHEN hnof LIKE '//%' THEN 'http:' || hnof
+         WHEN href LIKE '/%' AND srchost <> '' THEN 'http://' || srchost || hnof
+         ELSE NULL END AS resolved
+  FROM r1
+),
+uall AS (
+  SELECT src AS url FROM r3
+  UNION
+  SELECT resolved FROM r3 WHERE resolved IS NOT NULL
+),
+c0 AS (SELECT url, {_ORC_PRE} AS pre FROM uall),
+c1 AS (SELECT *, {_ORC_PNORM} AS pn FROM c0),
+c2 AS (
+  SELECT *, regexp_replace(regexp_replace(pn, '\\?.*$', ''), '{_ORC_IDX}', '/')
+              AS base,
+         {_ORC_KEPT} AS kept
+  FROM c1
+),
+canon AS (
+  SELECT url,
+    regexp_replace(CASE WHEN kept = '' THEN base
+                        ELSE base || '?' || kept END,
+                   '([^:/])/$', '\\1') AS c
+  FROM c2
+),
+h AS (
+  SELECT r3.src, r3.lang, cs.c AS selfc, cr.c AS declc,
+    lower(regexp_extract(r3.src, '{_HOST_RE}', 1)) AS sh,
+    lower(regexp_extract(r3.resolved, '{_HOST_RE}', 1)) AS dh
+  FROM r3
+  JOIN canon cs ON cs.url = r3.src
+  LEFT JOIN canon cr ON cr.url = r3.resolved
+),
+hs AS (SELECT sh AS host FROM h UNION SELECT dh FROM h WHERE dh IS NOT NULL),
+hl AS (SELECT host, string_split(host, '.') AS ls,
+              len(string_split(host, '.')) AS n FROM hs),
+hp AS (SELECT host, ls, n, {PSL_PS_CASE} AS ps FROM hl),
+hd AS (SELECT host, {PSL_DOMAIN_EXPR} AS dom FROM hp),
+acc AS (
+  SELECT h.src, h.lang, h.selfc,
+    CASE WHEN h.declc IS NOT NULL
+              AND regexp_matches(h.declc, '^http://[^/?#]')
+              AND dd.dom <> '' AND dd.dom = ds.dom
+         THEN h.declc END AS alt_key
+  FROM h
+  LEFT JOIN hd ds ON ds.host = h.sh
+  LEFT JOIN hd dd ON dd.host = h.dh
+)
+SELECT src AS url, min(selfc) AS self_canonical,
+  least(min(alt_key), min(selfc)) AS cluster_id,
+  max(CASE WHEN alt_key = selfc AND lang <> 'x-default' THEN lang END) AS self_lang,
+  count(alt_key)::INT AS n_alts,
+  count(DISTINCT CASE WHEN alt_key IS NOT NULL THEN lang END)::INT AS n_langs,
+  bool_or(lang = 'x-default' AND alt_key IS NOT NULL) AS has_x_default
+FROM acc GROUP BY src
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)

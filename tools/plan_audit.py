@@ -170,6 +170,15 @@ CHECKS = {
                            ("BatchEvalPython", False)],
     "feed_entries_as_announcements": [("Generate", True), ("Exchange", 1),
                                       ("MapInPandas", False)],
+    # mime sniff: pure codegen'd projection over a 40-byte hex prefix
+    "sniff_mime": [("Exchange", 1), ("codegen id", True),
+                   ("BatchEvalPython", False)],
+    # translation clusters: one projection + ONE groupBy(url) — the
+    # loader's repartition plus the partial/final agg pair
+    # (collect_set -> ObjectHashAggregate; count_distinct would cost
+    # a third exchange via the distinct-agg rewrite)
+    "hreflang_clusters": [("ObjectHashAggregate", True), ("Exchange", 2),
+                          ("Window", False), ("BatchEvalPython", False)],
     # temperature mixture: one stratum agg + a broadcast of the 1-ROW
     # total (BroadcastNestedLoop over one row is the intended shape;
     # a CartesianProduct would mean the broadcast was lost)
@@ -792,6 +801,27 @@ def _extra_frames():
             docs, mixture_ppm(docs, budget_docs=100, alpha_e6=500_000)
         )
 
+    def f_sniff(spark, sf_dir):
+        from fusus_spark.functions.mime import sniff_mime
+
+        docs = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://m"), "doc_id").alias("url"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        return docs.select("url", sniff_mime("payload").alias("mime"))
+
+    def f_hreflang_clusters(spark, sf_dir):
+        from fusus_spark.operators.pagemeta import hreflang_clusters
+
+        alts = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), F.pmod("doc_id", F.lit(50))).alias("url"),
+            F.lit("en").alias("hreflang"),
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), F.pmod("doc_id", F.lit(25))).alias("href"),
+        )
+        return hreflang_clusters(alts)
+
     def f_feeds(spark, sf_dir):
         from fusus_spark.operators.frontier import parse_feed_entries
 
@@ -874,7 +904,9 @@ def _extra_frames():
             "page_metadata": f_pagemeta,
             "hreflang_alternates": f_hreflang,
             "parse_feed_entries": f_feeds,
-            "feed_entries_as_announcements": f_feed_ann}
+            "feed_entries_as_announcements": f_feed_ann,
+            "sniff_mime": f_sniff,
+            "hreflang_clusters": f_hreflang_clusters}
 
 
 def main() -> None:
