@@ -360,6 +360,23 @@ _ATOM_HREF_REL = (
 _ATOM_ANY_HREF = r"""<link\s[^>]*href\s*=\s*(?:"([^"]*)"|'([^']*)')"""
 # RSS guid: group 1 = open-tag attributes, group 2 = text
 _GUID_RE = r"<guid([^>]*)>\s*([\s\S]*?)\s*</guid>"
+# CDATA sections are DATA, not markup: structural fields (loc/guid/
+# dates) extract from a copy with every CDATA section REMOVED, so a
+# literal <link>http://evil.com/x</link> inside an earlier element's
+# CDATA body can never become the announced url (review finding). A
+# feed that wraps its real link in CDATA degrades to a dropped/
+# guid-fallback entry — "dropped, never wrong", the module contract.
+# Title still reads the RAW block (its CDATA body is the value).
+_CDATA_RE = r"<!\[CDATA\[(?s:.*?)\]\]>"
+# atom-vs-rss by the ROOT element, anchored: optional BOM, xml decl,
+# doctype/comments, then <feed (optionally ns-prefixed). An unanchored
+# '<feed' scan misclassified RSS files whose CDATA bodies contain the
+# byte sequence (review finding), silently dropping every item.
+_ATOM_ROOT_RE = (
+    "^\ufeff?" + r"\s*"
+    + r"(?:<\?(?s:.*?)\?>\s*)?(?:<!(?s:.*?)>\s*)*"
+    + r"<(?:[A-Za-z0-9.-]+:)?feed[\s>]"
+)
 
 
 def _href2(e, pat: str):
@@ -388,11 +405,14 @@ def parse_feed_entries(
     consumer; :func:`feed_entries_as_announcements` folds both to
     W3C dates). ``title`` is CDATA-stripped / entity-folded display
     text. Entries with no resolvable loc are dropped — they
-    schedule nothing. Byte-level XML pathologies degrade to dropped
-    entries, never an error: the frontier can always refetch.
+    schedule nothing. CDATA sections are DATA for every structural
+    field (see ``_CDATA_RE``): markup embedded in a description body
+    can neither supply the loc nor flip the dialect. Byte-level XML
+    pathologies degrade to dropped entries, never an error: the
+    frontier can always refetch.
     """
     xml = F.coalesce(F.col(xml_col).cast("string"), F.lit(""))
-    is_atom = xml.rlike(r"<\s*feed[\s>]")
+    is_atom = xml.rlike(_ATOM_ROOT_RE)
     kind = F.when(is_atom, "atom").otherwise("rss")
     block = F.when(
         is_atom,
@@ -401,7 +421,9 @@ def parse_feed_entries(
         F.regexp_extract_all(xml, F.lit(r"<item(?:\s[^>]*)?>([\s\S]*?)</item>"), F.lit(1))
     )
 
-    def entry(e):
+    def entry(raw):
+        # structural fields never read CDATA bodies (see _CDATA_RE)
+        e = F.regexp_replace(raw, _CDATA_RE, "")
         guid_attrs = F.regexp_extract(e, _GUID_RE, 1)
         guid_text = F.nullif(
             F.trim(F.regexp_extract(e, _GUID_RE, 2)), F.lit("")
@@ -427,7 +449,7 @@ def parse_feed_entries(
                     _feed_field(e, "published"), _feed_field(e, "updated")
                 ),
             ).otherwise(_feed_field(e, "pubDate")).alias("published"),
-            _feed_text(_feed_field(e, "title")).alias("title"),
+            _feed_text(_feed_field(raw, "title")).alias("title"),
             F.coalesce(guid_text, _feed_field(e, "id")).alias("guid"),
         )
 

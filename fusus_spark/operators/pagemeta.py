@@ -305,7 +305,9 @@ def hreflang_clusters(
     language whose alternate resolves to the url's own key (the page
     naming itself in the cluster; null when it doesn't), ``n_alts``
     counts accepted alternates, ``n_langs`` their distinct language
-    tags, ``has_x_default`` whether an accepted x-default exists.
+    tags (``x-default`` is the fallback marker, not a language —
+    excluded from both self_lang and n_langs), ``has_x_default``
+    whether an accepted x-default exists.
 
     Plan: one projection (all-JVM resolve + fold + PSL InSet) and ONE
     groupBy(url) — the shuffle carries (url, key, lang) rows only.
@@ -363,7 +365,11 @@ def hreflang_clusters(
         # a handful of tags, so the set agg is one shuffle and cheap
         F.size(
             F.collect_set(
-                F.when(F.col("alt_key").isNotNull(), F.col("hreflang"))
+                F.when(
+                    F.col("alt_key").isNotNull()
+                    & (F.col("hreflang") != "x-default"),
+                    F.col("hreflang"),
+                )
             )
         ).cast("int").alias("n_langs"),
         F.max(

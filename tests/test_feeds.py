@@ -62,9 +62,18 @@ _RDF = """<rdf:RDF xmlns="http://purl.org/rss/1.0/">
 </rdf:RDF>"""
 
 
+_INJ = ("<rss><channel><item>"
+        "<description><![CDATA[see <link>http://evil.com/x</link>"
+        " and <feed> docs]]></description>"
+        "<link>http://ex.com/real</link>"
+        "<title><![CDATA[Safe]]></title>"
+        "</item></channel></rss>")
+
+
 def _feeds() -> list[tuple[str, str]]:
     return [
         ("http://ex.com/rss.xml", _RSS),
+        ("http://ex.com/inject.xml", _INJ),
         ("http://ex.org/atom.xml", _ATOM),
         ("http://ex.net/rdf.xml", _RDF),
         ("http://junk.com/f.xml", "\x00<<not xml &&"),
@@ -101,8 +110,16 @@ def test_parse_feed_hand_cases(spark):
     assert p3["published"] is None
 
     assert by_loc["http://ex.net/x"]["kind"] == "rss"  # RDF items land as rss
+
+    # CDATA bodies are data: an embedded <link> never becomes the loc,
+    # an embedded '<feed>' never flips the dialect (review findings)
+    inj = by_loc["http://ex.com/real"]
+    assert inj["kind"] == "rss" and inj["title"] == "Safe"
+    assert "http://evil.com/x" not in {r["loc"] for r in rows}
+
     assert {r["feed_url"] for r in rows} == {
-        "http://ex.com/rss.xml", "http://ex.org/atom.xml", "http://ex.net/rdf.xml"
+        "http://ex.com/rss.xml", "http://ex.org/atom.xml",
+        "http://ex.net/rdf.xml", "http://ex.com/inject.xml",
     }
 
 
@@ -150,21 +167,22 @@ def _unesc_sql(expr: str) -> str:
     return expr
 
 
-def _field_sql(tag: str) -> str:
+def _field_sql(tag: str, src: str = "enc") -> str:
     pat = rf"<{tag}(?:\s[^>]*)?>\s*([\s\S]*?)\s*</{tag}>"
-    return f"nullif(trim(regexp_extract(e, '{pat}', 1)), '')"
+    return f"nullif(trim(regexp_extract({src}, '{pat}', 1)), '')"
 
 
 def _href2_sql(pat: str) -> str:
     p = pat.replace("'", "''")
     return ("coalesce(" + ", ".join(
-        f"nullif(regexp_extract(e, '{p}', {g}), '')" for g in (1, 2)
+        f"nullif(regexp_extract(enc, '{p}', {g}), '')" for g in (1, 2)
     ) + ")")
 
 
 def test_parse_feed_matches_duckdb_oracle(spark):
     from fusus_spark.operators.frontier import (
-        _ATOM_ANY_HREF, _ATOM_HREF_REL, _ATOM_REL_HREF, _GUID_RE)
+        _ATOM_ANY_HREF, _ATOM_HREF_REL, _ATOM_REL_HREF, _ATOM_ROOT_RE,
+        _CDATA_RE, _GUID_RE)
 
     sdf = parse_feed_entries(_df(spark, _feeds()))
     srows = [tuple(r) for r in sdf.collect()]
@@ -173,11 +191,13 @@ def test_parse_feed_matches_duckdb_oracle(spark):
     con.sql("CREATE TABLE feeds (feed_url VARCHAR, xml VARCHAR)")
     con.executemany("INSERT INTO feeds VALUES (?, ?)", _feeds())
     guid_p = _GUID_RE.replace("'", "''")
+    root_p = _ATOM_ROOT_RE.replace("'", "''")
+    cdata_p = _CDATA_RE.replace("'", "''")
     cdata_strip = "replace(replace(t, '<![CDATA[', ''), ']]>', '')"
     orc = con.sql(f"""
 WITH f AS (
   SELECT feed_url, coalesce(xml, '') AS xml,
-         regexp_matches(coalesce(xml, ''), '<\\s*feed[\\s>]') AS is_atom
+         regexp_matches(coalesce(xml, ''), '{root_p}') AS is_atom
   FROM feeds
 ),
 x AS (
@@ -189,11 +209,14 @@ x AS (
          END) AS e
   FROM f
 ),
+g0 AS (
+  SELECT *, regexp_replace(e, '{cdata_p}', '', 'g') AS enc FROM x
+),
 g AS (
-  SELECT *, regexp_extract(e, '{guid_p}', 1) AS guid_attrs,
-         nullif(trim(regexp_extract(e, '{guid_p}', 2)), '') AS guid_text,
-         {_field_sql("title")} AS t
-  FROM x
+  SELECT *, regexp_extract(enc, '{guid_p}', 1) AS guid_attrs,
+         nullif(trim(regexp_extract(enc, '{guid_p}', 2)), '') AS guid_text,
+         {_field_sql("title", "e")} AS t
+  FROM g0
 ),
 y AS (
   SELECT feed_url, kind,

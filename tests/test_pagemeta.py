@@ -314,7 +314,7 @@ def test_hreflang_clusters_hand_cases(spark):
     assert en["self_canonical"] == "http://www.ex.com/en"
     assert en["self_lang"] == "en"       # tracking twin folds to self
     assert de["self_lang"] == "de"
-    assert en["n_alts"] == 3 and en["n_langs"] == 3
+    assert en["n_alts"] == 3 and en["n_langs"] == 2  # x-default not a lang
     assert en["has_x_default"] and de["has_x_default"]
 
     solo = got["http://ex.com/solo"]
@@ -437,7 +437,7 @@ SELECT src AS url, min(selfc) AS self_canonical,
   least(min(alt_key), min(selfc)) AS cluster_id,
   max(CASE WHEN alt_key = selfc AND lang <> 'x-default' THEN lang END) AS self_lang,
   count(alt_key)::INT AS n_alts,
-  count(DISTINCT CASE WHEN alt_key IS NOT NULL THEN lang END)::INT AS n_langs,
+  count(DISTINCT CASE WHEN alt_key IS NOT NULL AND lang <> 'x-default' THEN lang END)::INT AS n_langs,
   bool_or(lang = 'x-default' AND alt_key IS NOT NULL) AS has_x_default
 FROM acc GROUP BY src
 """)
