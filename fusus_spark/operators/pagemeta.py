@@ -238,6 +238,165 @@ def page_metadata(
     )
 
 
+# ---------------------------------------------------------------------------
+# JSON-LD structured-data records (the full-parse upgrade of the three
+# signal-grade jsonld_* columns above): EVERY ld+json block on the page,
+# EVERY entity in each block, real JSON parsing JVM-side.
+
+# publishers wrap ld+json in HTML comments or CDATA guards for ancient
+# browsers; both forms are anchored strips (comment/CDATA markers, with
+# the surrounding whitespace), mirrored verbatim in the DuckDB oracle
+_JSONLD_WRAP_LEAD = (
+    r"^[ \t\r\n\f]*(?:<!--|/\*[ \t\r\n\f]*<!\[CDATA\[[ \t\r\n\f]*\*/"
+    r"|//[ \t\r\n\f]*<!\[CDATA\[)"
+)
+_JSONLD_WRAP_TAIL = (
+    r"(?:-->|/\*[ \t\r\n\f]*\]\]>[ \t\r\n\f]*\*/|//[ \t\r\n\f]*\]\]>)"
+    r"[ \t\r\n\f]*$"
+)
+_WS_EDGES = r"^[ \t\r\n\f]+|[ \t\r\n\f]+$"
+
+#: entity-enumeration cap per block (static literal JSON paths keep the
+#: whole operator codegen'd; ``n_entities`` makes the truncation visible
+#: per row — no silent cap). Real pages carry 1-3 entities per block;
+#: @graph blocks rarely exceed a handful.
+JSONLD_MAX_ENTITIES = 8
+
+
+def _json_scalar(c: Column) -> Column:
+    """JSON SCALAR values only: ``get_json_object`` returns the raw
+    JSON text for object/array values, which must not leak into a
+    string column — they fall through to the next coalesce arm (the
+    same first-byte test the oracle runs). '' means absent."""
+    return F.nullif(F.when(~F.substring(c, 1, 1).isin("{", "["), c), F.lit(""))
+
+
+def jsonld_records(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_entities: int = JSONLD_MAX_ENTITIES,
+) -> DataFrame:
+    """Every schema.org entity declared in ``application/ld+json``
+    blocks: one row per (url, block_idx, entity_idx) with the fields a
+    training-data pipeline keys on — (jsonld_type, name, headline,
+    description, date_published, date_modified, author_name,
+    publisher_name, entity_url, image_url, in_language) plus
+    ``n_entities`` (the block's TOTAL entity count, so the
+    ``max_entities`` enumeration cap is visible, never silent).
+
+    Root-shape normalization covers the three JSON-LD publication
+    forms: a bare object (one entity), a top-level array, and the
+    ``@graph`` envelope (its array is the entity list). Entities must
+    be JSON OBJECTS (the schema.org data model); scalar/array elements
+    are dropped. Per-entity field pulls run through ``get_json_object``
+    (JVM Jackson — real JSON parsing, not regex): ``@type`` honors the
+    array form (first element wins), author/publisher accept the
+    object, object-array, and plain-string spellings, ``image`` the
+    string / object.url / array-of-either spellings, ``inLanguage``
+    the string and Language-object spellings. Display-text fields
+    (name/headline/description) get the module's entity-lite +
+    whitespace fold; type/date/url fields keep their bytes. Malformed
+    JSON yields no rows for that block (Jackson null — curation-grade;
+    the block text itself is not worth a quarantine row).
+
+    Plan: one codegen'd projection + two Generates (block posexplode,
+    entity posexplode over static-path pulls) — map-side only, zero
+    shuffle, zero Python; at 10^12 rows the cost is the one html scan
+    it pipelines into. DuckDB mirrors every step (same block regex,
+    same wrapper strips, json_extract_string on the same paths) —
+    tests/test_pagemeta.py hash-verifies; the one documented
+    divergence is Jackson's leniency (single-quoted/trailing-garbage
+    JSON parses in Spark, rejected by DuckDB) — kept out of oracle
+    corpora, pinned by Spark-side hand cases.
+
+    Reference role analog: getToc piece extraction
+    (/root/reference/fusus/book.py) — typed side-tables distilled from
+    in-band declarations, emitted next to the text, never inside it.
+    """
+    orig = F.col(html_col).cast("string")
+    blocks = F.regexp_extract_all(orig, F.lit(_LDJSON_BLOCK), F.lit(1))
+    exploded = docs.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(blocks).alias("block_idx", "raw"),
+    )
+    j = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _JSONLD_WRAP_LEAD, ""),
+        _JSONLD_WRAP_TAIL,
+        "",
+    )
+    j = F.regexp_replace(j, _WS_EDGES, "")
+    g = F.get_json_object(j, "$['@graph']")
+    arr = (
+        F.when(F.substring(j, 1, 1) == "[", j)
+        .when(g.isNotNull() & (F.substring(g, 1, 1) == "["), g)
+        .otherwise(F.concat(F.lit("["), j, F.lit("]")))
+    )
+    base = exploded.select(
+        "url",
+        "block_idx",
+        arr.alias("arr"),
+        F.json_array_length(arr).alias("n_entities"),
+    )
+    pulls = F.array(
+        *[F.get_json_object("arr", f"$[{i}]") for i in range(max_entities)]
+    )
+    ent = (
+        base.where(F.col("n_entities") >= 1)
+        .select(
+            "url",
+            "block_idx",
+            "n_entities",
+            F.posexplode(
+                F.slice(
+                    pulls, 1, F.least(F.col("n_entities"), F.lit(max_entities))
+                )
+            ).alias("entity_idx", "entity"),
+        )
+        # entities are OBJECTS; scalar/array/null elements are not
+        # schema.org entities (the decoded-string form of a scalar
+        # element could even alias JSON — the first-byte test drops it)
+        .where(F.substring("entity", 1, 1) == "{")
+    )
+    e = F.col("entity")
+
+    def js(path: str) -> Column:
+        return F.get_json_object(e, path)
+
+    return ent.select(
+        "url",
+        F.col("block_idx").cast("int").alias("block_idx"),
+        F.col("entity_idx").cast("int").alias("entity_idx"),
+        F.col("n_entities").cast("int").alias("n_entities"),
+        F.coalesce(js("$['@type'][0]"), _json_scalar(js("$['@type']"))).alias(
+            "jsonld_type"
+        ),
+        _clean_text(_json_scalar(js("$.name"))).alias("name"),
+        _clean_text(_json_scalar(js("$.headline"))).alias("headline"),
+        _clean_text(_json_scalar(js("$.description"))).alias("description"),
+        _json_scalar(js("$.datePublished")).alias("date_published"),
+        _json_scalar(js("$.dateModified")).alias("date_modified"),
+        F.coalesce(
+            js("$.author.name"),
+            js("$.author[0].name"),
+            _json_scalar(js("$.author")),
+        ).alias("author_name"),
+        F.coalesce(
+            js("$.publisher.name"), _json_scalar(js("$.publisher"))
+        ).alias("publisher_name"),
+        _json_scalar(js("$.url")).alias("entity_url"),
+        F.coalesce(
+            js("$.image.url"),
+            js("$.image[0].url"),
+            _json_scalar(js("$.image[0]")),
+            _json_scalar(js("$.image")),
+        ).alias("image_url"),
+        F.coalesce(
+            _json_scalar(js("$.inLanguage")), js("$.inLanguage.name")
+        ).alias("in_language"),
+    )
+
+
 # hreflang alternates: every <link rel="alternate" hreflang=...> tag.
 # Multi-valued per page, so the shape is extract-all + explode over the
 # matched tag regions (a region is a full _FILLER match: it walks

@@ -445,3 +445,232 @@ FROM acc GROUP BY src
     assert len(srows) == len(orows) > 0
     assert sorted(sdf.columns) == sorted(orc.columns)
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD structured-data records
+
+
+def _jsonld_pages() -> list[tuple[str, str]]:
+    ten = ",".join('{"@type":"Thing","name":"e%d"}' % i for i in range(10))
+    return [
+        # 1: full NewsArticle object root — every field, entity text
+        # with an entity ref and ragged whitespace, author/publisher
+        # objects, image string, inLanguage string
+        ("http://ex.com/art", """<html><head>
+<script type="application/ld+json">
+{"@context": "https://schema.org",
+ "@type": "NewsArticle",
+ "headline": "News &amp; Views\\n  daily",
+ "name": "Card  name",
+ "description": "All the news",
+ "datePublished": "2026-01-02T03:04:05Z",
+ "dateModified": "2026-01-03T00:00:00Z",
+ "author": {"@type": "Person", "name": "A. Writer"},
+ "publisher": {"@type": "Organization", "name": "ExCom"},
+ "url": "https://ex.com/art",
+ "image": "https://cdn.ex.com/i.png",
+ "inLanguage": "en-US"}
+</script></head><body>b</body></html>"""),
+        # 2: @graph envelope, two entities; author ARRAY of objects,
+        # image OBJECT form, inLanguage Language-object form; plus a
+        # SECOND block on the same page (block_idx 1)
+        ("http://ex.com/graph", """<head>
+<script type='application/ld+json'>
+{"@context":"https://schema.org","@graph":[
+ {"@type":"WebPage","url":"https://ex.com/graph"},
+ {"@type":"Article","headline":"G2",
+  "author":[{"name":"A1"},{"name":"A2"}],
+  "image":{"@type":"ImageObject","url":"https://cdn.ex.com/g.jpg"},
+  "inLanguage":{"@type":"Language","name":"de"}}]}
+</script>
+<script type=application/ld+json>{"@type":"BreadcrumbList","name":"crumbs"}</script>
+</head>"""),
+        # 3: top-level ARRAY root; @type array (first wins), author
+        # plain string, image array-of-objects then array-of-strings
+        ("http://ex.com/arr", '<script type="application/ld+json">'
+         '[{"@type":["Recipe","Thing"],"name":"Pie","author":"A. Cook",'
+         '"image":[{"url":"https://i/1.jpg"},"x"]},'
+         '{"@type":"Review","image":["https://i/2.jpg"]}]</script>'),
+        # 4: comment- and CDATA-wrapped blocks (legacy guards)
+        ("http://ex.com/wrap", '<script type="application/ld+json"><!--\n'
+         '{"@type":"Event","name":"E1"}\n--></script>'
+         '<script type="application/ld+json">/*<![CDATA[*/'
+         '{"@type":"Place","name":"P1"}/*]]>*/</script>'),
+        # 5: ten entities -> capped at 8 rows, n_entities says 10
+        ("http://ex.com/cap", '<script type="application/ld+json">['
+         + ten + "]</script>"),
+        # 6: degenerate blocks — malformed JSON, empty array, scalar
+        # root, array of scalars: NO rows from any of them
+        ("http://ex.com/bad", '<script type="application/ld+json">{broken'
+         "</script>"
+         '<script type="application/ld+json">[]</script>'
+         '<script type="application/ld+json">"just a string"</script>'
+         '<script type="application/ld+json">[1, "two", null]</script>'),
+        # 7: no ld+json at all / junk bytes
+        ("http://ex.com/none", "<p>plain</p>"),
+        ("http://ex.com/junk", "\x00\xff<<>>"),
+    ]
+
+
+def test_jsonld_records_hand_cases(spark):
+    from fusus_spark.operators.pagemeta import jsonld_records
+
+    rows = jsonld_records(_df(spark, _jsonld_pages())).collect()
+    by_key = {(r["url"], r["block_idx"], r["entity_idx"]): r for r in rows}
+
+    art = by_key[("http://ex.com/art", 0, 0)]
+    assert art["jsonld_type"] == "NewsArticle"
+    assert art["headline"] == "News & Views daily"
+    assert art["name"] == "Card name"
+    assert art["description"] == "All the news"
+    assert art["date_published"] == "2026-01-02T03:04:05Z"
+    assert art["date_modified"] == "2026-01-03T00:00:00Z"
+    assert art["author_name"] == "A. Writer"
+    assert art["publisher_name"] == "ExCom"
+    assert art["entity_url"] == "https://ex.com/art"
+    assert art["image_url"] == "https://cdn.ex.com/i.png"
+    assert art["in_language"] == "en-US"
+    assert art["n_entities"] == 1
+
+    g0 = by_key[("http://ex.com/graph", 0, 0)]
+    g1 = by_key[("http://ex.com/graph", 0, 1)]
+    gb = by_key[("http://ex.com/graph", 1, 0)]
+    assert g0["jsonld_type"] == "WebPage" and g0["n_entities"] == 2
+    assert g1["jsonld_type"] == "Article" and g1["headline"] == "G2"
+    assert g1["author_name"] == "A1"          # array-of-objects: first
+    assert g1["image_url"] == "https://cdn.ex.com/g.jpg"
+    assert g1["in_language"] == "de"          # Language-object form
+    assert gb["jsonld_type"] == "BreadcrumbList" and gb["name"] == "crumbs"
+
+    a0 = by_key[("http://ex.com/arr", 0, 0)]
+    a1 = by_key[("http://ex.com/arr", 0, 1)]
+    assert a0["jsonld_type"] == "Recipe"      # @type array: first wins
+    assert a0["author_name"] == "A. Cook"     # plain-string author
+    assert a0["image_url"] == "https://i/1.jpg"
+    assert a1["jsonld_type"] == "Review"
+    assert a1["image_url"] == "https://i/2.jpg"  # array-of-strings
+
+    w0 = by_key[("http://ex.com/wrap", 0, 0)]
+    w1 = by_key[("http://ex.com/wrap", 1, 0)]
+    assert (w0["jsonld_type"], w0["name"]) == ("Event", "E1")
+    assert (w1["jsonld_type"], w1["name"]) == ("Place", "P1")
+
+    caps = [r for r in rows if r["url"] == "http://ex.com/cap"]
+    assert len(caps) == 8                     # enumeration cap
+    assert all(r["n_entities"] == 10 for r in caps)  # ...and visible
+    assert {r["entity_idx"] for r in caps} == set(range(8))
+
+    for u in ("http://ex.com/bad", "http://ex.com/none", "http://ex.com/junk"):
+        assert not [r for r in rows if r["url"] == u]
+
+
+def test_jsonld_records_lenient_divergence(spark):
+    """Jackson parses single-quoted JSON (and tolerates trailing
+    garbage after the root value); DuckDB rejects both. The divergence
+    is DOCUMENTED as Spark-lenient-extra-rows and kept out of oracle
+    corpora — this pins the Spark side so a behavior change is
+    caught."""
+    from fusus_spark.operators.pagemeta import jsonld_records
+
+    pages = [("http://ex.com/sq", '<script type="application/ld+json">'
+              "{'@type':'Article','name':'SQ'}</script>")]
+    rows = jsonld_records(_df(spark, pages)).collect()
+    assert len(rows) == 1
+    assert rows[0]["jsonld_type"] == "Article" and rows[0]["name"] == "SQ"
+
+
+def _jsonld_scalar_sql(c: str) -> str:
+    return (f"nullif(CASE WHEN substr({c},1,1) NOT IN ('{{','[') "
+            f"THEN {c} END, '')")
+
+
+def test_jsonld_records_matches_duckdb_oracle(spark):
+    from fusus_spark.operators.pagemeta import (
+        _JSONLD_WRAP_LEAD,
+        _JSONLD_WRAP_TAIL,
+        _WS_EDGES,
+        jsonld_records,
+    )
+
+    sdf = jsonld_records(_df(spark, _jsonld_pages()))
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pages (url VARCHAR, html VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", _jsonld_pages())
+    ldj_p = _LDJSON_BLOCK.replace("'", "''")
+    lead_p = _JSONLD_WRAP_LEAD.replace("'", "''")
+    tail_p = _JSONLD_WRAP_TAIL.replace("'", "''")
+    ws_p = _WS_EDGES.replace("'", "''")
+
+    def js(path: str) -> str:
+        return f"json_extract_string(entity, '{path}')"
+
+    def clean(expr: str) -> str:
+        return _clean_sql(expr)
+
+    sc = _jsonld_scalar_sql
+    orc = con.sql(f"""
+WITH b0 AS (
+  SELECT url, regexp_extract_all(html, '{ldj_p}', 1) AS blocks FROM pages
+),
+bi AS (
+  SELECT url, unnest(generate_series(1, len(blocks))) AS i, blocks FROM b0
+),
+b AS (
+  SELECT url, (i - 1)::INT AS block_idx,
+    regexp_replace(regexp_replace(regexp_replace(
+      blocks[i], '{lead_p}', ''), '{tail_p}', ''), '{ws_p}', '', 'g') AS j
+  FROM bi
+),
+g0 AS (
+  SELECT url, block_idx, j,
+    CASE WHEN json_valid(j)
+         THEN json_extract_string(j, '$."@graph"') END AS gj
+  FROM b
+),
+a AS (
+  SELECT url, block_idx,
+    CASE WHEN substr(j,1,1) = '[' THEN j
+         WHEN gj IS NOT NULL AND substr(gj,1,1) = '[' THEN gj
+         ELSE '[' || j || ']' END AS arr
+  FROM g0
+),
+n AS (
+  SELECT url, block_idx, arr,
+    CASE WHEN json_valid(arr)
+         THEN json_array_length(arr)::INT END AS n_entities
+  FROM a
+),
+i0 AS (
+  SELECT url, block_idx, n_entities, arr,
+    unnest(generate_series(1, least(n_entities, 8)::BIGINT)) AS i
+  FROM n WHERE n_entities >= 1
+),
+ent AS (
+  SELECT url, block_idx, (i - 1)::INT AS entity_idx, n_entities,
+    json_extract_string(arr, '$[' || (i - 1) || ']') AS entity
+  FROM i0
+),
+sel AS (SELECT * FROM ent WHERE substr(entity,1,1) = '{{')
+SELECT url, block_idx, entity_idx, n_entities,
+  coalesce({js('$."@type"[0]')}, {sc(js('$."@type"'))}) AS jsonld_type,
+  {clean(sc(js('$.name')))} AS name,
+  {clean(sc(js('$.headline')))} AS headline,
+  {clean(sc(js('$.description')))} AS description,
+  {sc(js('$.datePublished'))} AS date_published,
+  {sc(js('$.dateModified'))} AS date_modified,
+  coalesce({js('$.author.name')}, {js('$.author[0].name')},
+           {sc(js('$.author'))}) AS author_name,
+  coalesce({js('$.publisher.name')}, {sc(js('$.publisher'))}) AS publisher_name,
+  {sc(js('$.url'))} AS entity_url,
+  coalesce({js('$.image.url')}, {js('$.image[0].url')},
+           {sc(js('$.image[0]'))}, {sc(js('$.image'))}) AS image_url,
+  coalesce({sc(js('$.inLanguage'))}, {js('$.inLanguage.name')}) AS in_language
+FROM sel
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)

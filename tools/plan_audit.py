@@ -179,6 +179,11 @@ CHECKS = {
     # a third exchange via the distinct-agg rewrite)
     "hreflang_clusters": [("ObjectHashAggregate", True), ("Exchange", 2),
                           ("Window", False), ("BatchEvalPython", False)],
+    # JSON-LD records: projection + two Generates (block explode,
+    # entity explode), all-JVM json pulls — no python stage, no shuffle
+    # beyond the loader's repartition
+    "jsonld_records": [("Generate", True), ("Exchange", 1),
+                       ("BatchEvalPython", False), ("MapInPandas", False)],
     # temperature mixture: one stratum agg + a broadcast of the 1-ROW
     # total (BroadcastNestedLoop over one row is the intended shape;
     # a CartesianProduct would mean the broadcast was lost)
@@ -822,6 +827,24 @@ def _extra_frames():
         )
         return hreflang_clusters(alts)
 
+    def f_jsonld(spark, sf_dir):
+        from fusus_spark.operators.pagemeta import jsonld_records
+
+        docs = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), "doc_id").alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit('<script type="application/ld+json">'
+                          '{"@type":"Article","headline":"'),
+                    F.substring("text", 1, 20),
+                    F.lit('"}</script>'),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+        return jsonld_records(docs)
+
     def f_feeds(spark, sf_dir):
         from fusus_spark.operators.frontier import parse_feed_entries
 
@@ -906,7 +929,8 @@ def _extra_frames():
             "parse_feed_entries": f_feeds,
             "feed_entries_as_announcements": f_feed_ann,
             "sniff_mime": f_sniff,
-            "hreflang_clusters": f_hreflang_clusters}
+            "hreflang_clusters": f_hreflang_clusters,
+            "jsonld_records": f_jsonld}
 
 
 def main() -> None:
