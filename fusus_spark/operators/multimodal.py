@@ -753,3 +753,155 @@ def frame_sample(df: DataFrame, n_frames: int = 4, fps: float = 25.0,
             yield pd.DataFrame(rows)
 
     return pruned.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image-text pair mining (the LAION-style multimodal supply): every
+# <img> on the page with its best caption — figcaption when the img
+# sits inside a <figure>, else alt/title text — plus the srcset
+# best-resolution candidate. Pure JVM regexp harvest in the house
+# style (RE2-safe, DuckDB-mirrored), zero shuffle, zero Python.
+
+def _img_patterns():
+    """Compiled-once pattern set (module import time); a function so
+    the pagemeta/robots imports stay local (no cycle at module load)."""
+    from fusus_spark.operators.pagemeta import _ci
+    from fusus_spark.operators.robots import _FILLER
+
+    img_tag = "<" + _ci("img") + r"[\s/]" + _FILLER
+    fig = (
+        "<" + _ci("figure") + r"(?:\s" + _FILLER + r")?>"
+        + r"(?s:.*?)</" + _ci("figure") + r"[ \t\r\n\f]*>"
+    )
+    figcap = (
+        "<" + _ci("figcaption") + r"(?:\s" + _FILLER + r")?>"
+        + r"((?s:.*?))</" + _ci("figcaption")
+    )
+    # leftmost-first alternation: at a '<figure' the whole region is
+    # consumed atomically, so its inner imgs are never re-matched as
+    # bare tags; an UNCLOSED figure fails the first branch and its
+    # imgs degrade to bare (alt-text-only) rows
+    return img_tag, fig + "|" + img_tag, figcap
+
+
+_IMG_TAG_RE, _FIG_OR_IMG_RE, _FIGCAP_RE = _img_patterns()
+
+# srcset candidate with a width descriptor: "url 640w". The url token
+# stops at comma/whitespace (the srcset grammar's separators).
+_SRCSET_CAND = r"([^, \t\r\n\f]+)[ \t\r\n\f]+(\d{1,9})[wW]"
+
+
+def _attr_val_pat(attr: str) -> str:
+    """attr="..." value in the 3-way quoting form, captures in groups
+    1-3 (the _first_group contract); anchored by the caller."""
+    from fusus_spark.operators.pagemeta import _ci
+
+    return _ci(attr) + r"""\s*=\s*(?:"([^"<>]*)"|'([^'<>]*)'|([^\s"'<>]+))"""
+
+
+def image_text_pairs(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, region_idx, img_idx, src, srcset_best_url, srcset_best_w,
+    width, height, alt, title, caption, text, in_figure, is_data_uri)
+    — one row per ``<img>`` tag on the page, the supply side of an
+    image-text-pair corpus (filter ``text IS NOT NULL`` for trainable
+    pairs; keep the rest as the image inventory).
+
+    Semantics: ONE whole-document scan matches ``<figure>...
+    </figure>`` regions and bare ``<img>`` tags in a single
+    leftmost-first alternation, so a figure's imgs are harvested from
+    the figure region (and inherit its first ``<figcaption>`` text,
+    tag-stripped + entity-lite folded) while standalone imgs carry
+    only their own alt/title. ``text`` is the training caption:
+    figcaption beats alt beats title (captions are human-written
+    descriptions; alt is often filename junk — the consumer can
+    re-rank). ``srcset_best_*`` is the candidate with the LARGEST
+    width descriptor (ties break on the url bytes, deterministic);
+    ``width``/``height`` are the declared attributes (digit-gated
+    cast, junk -> null). ``src`` keeps its original bytes — resolve
+    like any harvested href (webgraph.resolve_links ->
+    functions.url.canonical_url) before fetching; ``is_data_uri``
+    flags inline payloads (decode them with media_features instead of
+    fetching).
+
+    Plan: one projection + two Generates (region explode, per-region
+    img explode) — map-side only, pipelines into the html scan; at
+    10^12 rows the shuffle cost is zero and the join against a fetch
+    frontier happens on the consumer's key. DuckDB mirrors every step
+    (tests/test_multimodal_pairs.py hash oracle); plan_audit pins
+    Generate + Exchange==1 + no python stage.
+
+    Reference role analog: the per-page illustration inventory of S6
+    (lakhnawi.py's per-page image enumeration) — media references
+    harvested as a typed side table next to the text.
+    """
+    from fusus_spark.operators.pagemeta import _IN_REGION, _clean_text
+    from fusus_spark.operators.robots import _first_group
+
+    orig = F.col(html_col).cast("string")
+    regions = docs.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(orig, F.lit(_FIG_OR_IMG_RE), F.lit(0))
+        ).alias("region_idx", "region"),
+    )
+    reg = F.col("region")
+    in_figure = F.lower(F.substring(reg, 1, 7)) == "<figure"
+    cap_raw = F.regexp_extract(reg, _FIGCAP_RE, 1)
+    caption = F.when(
+        in_figure,
+        _clean_text(F.regexp_replace(cap_raw, r"<[^>]*>", " ")),
+    )
+    imgs = regions.select(
+        "url",
+        "region_idx",
+        in_figure.alias("in_figure"),
+        caption.alias("caption"),
+        F.posexplode(
+            F.regexp_extract_all(reg, F.lit(_IMG_TAG_RE), F.lit(0))
+        ).alias("img_idx", "tag"),
+    )
+    tag = F.col("tag")
+
+    def attr(name: str) -> F.Column:
+        return _first_group(tag, _IN_REGION + _attr_val_pat(name))
+
+    def dim(name: str):
+        # digit-gated int cast: ANSI-safe in Spark, identical in DuckDB
+        return F.nullif(
+            F.regexp_extract(attr(name), r"^(\d{1,9})", 1), F.lit("")
+        ).cast("int")
+
+    cands = F.regexp_extract_all(attr("srcset"), F.lit(_SRCSET_CAND), F.lit(0))
+    best = F.array_max(
+        F.transform(
+            cands,
+            lambda t: F.struct(
+                F.regexp_extract(t, _SRCSET_CAND, 2).cast("int").alias("w"),
+                F.regexp_extract(t, _SRCSET_CAND, 1).alias("u"),
+            ),
+        )
+    )
+    src = attr("src")
+    alt = _clean_text(attr("alt"))
+    title = _clean_text(attr("title"))
+    return (
+        imgs.select(
+            "url",
+            F.col("region_idx").cast("int").alias("region_idx"),
+            F.col("img_idx").cast("int").alias("img_idx"),
+            src.alias("src"),
+            best["u"].alias("srcset_best_url"),
+            best["w"].alias("srcset_best_w"),
+            dim("width").alias("width"),
+            dim("height").alias("height"),
+            alt.alias("alt"),
+            title.alias("title"),
+            F.col("caption"),
+            F.coalesce(F.col("caption"), alt, title).alias("text"),
+            "in_figure",
+            (F.lower(F.substring(src, 1, 5)) == "data:").alias("is_data_uri"),
+        )
+        .where(F.col("src").isNotNull())
+    )

@@ -1,0 +1,212 @@
+"""Image-text pair mining: hand-pinned semantics per harvest form
+(figure captions, alt/title fallback, srcset best-width, data: URIs)
+and an RE2-identical DuckDB hash oracle (the beyond-cap operator
+contract)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from fusus_spark.operators.multimodal import (
+    _FIG_OR_IMG_RE,
+    _FIGCAP_RE,
+    _IMG_TAG_RE,
+    _SRCSET_CAND,
+    _attr_val_pat,
+    image_text_pairs,
+)
+from fusus_spark.operators.pagemeta import _IN_REGION
+from tools.parity import value_hash
+
+_SCHEMA = "url string, html binary"
+
+
+def _pages() -> list[tuple[str, str]]:
+    return [
+        # 1: figure with caption (nested markup + entity in caption),
+        # two imgs in one figure share the caption; a standalone img
+        # after it keeps only its alt
+        ("http://ex.com/fig", """<article>
+<figure class="hero">
+  <img src="/a.jpg" alt="alt A" width="640" height="480">
+  <img src='/b.jpg' alt='alt B'>
+  <figcaption>A <b>bold</b> cat &amp; dog</figcaption>
+</figure>
+<img src=/c.jpg alt="solo C" title="title C">
+</article>"""),
+        # 2: srcset picks the largest width descriptor; 2x (density)
+        # candidates are ignored; width attr with px junk -> null
+        ("http://ex.com/srcset",
+         '<img src="/s.jpg" width="12px" '
+         'srcset="/s-320.jpg 320w, /s-1280.jpg 1280w, /s-2x.jpg 2x, '
+         '/s-640.jpg 640w">'),
+        # 3: alt missing -> title fallback; both missing -> text null;
+        # empty alt ('' = decorative per HTML) also falls through
+        ("http://ex.com/fallback",
+         '<img src="/t.jpg" title="only title">'
+         '<img src="/n.jpg">'
+         '<img src="/e.jpg" alt="" title="t2">'),
+        # 4: data: URI flagged; unclosed figure degrades imgs to bare
+        ("http://ex.com/data",
+         '<img src="data:image/png;base64,AAAA" alt="inline">'
+         '<figure><img src="/u.jpg" alt="unclosed">'),
+        # 5: figure with caption BEFORE the img; figcaption with
+        # attributes; uppercase tags
+        ("http://ex.com/pre", "<FIGURE><FIGCAPTION class=c>Cap first"
+                              "</FIGCAPTION><IMG SRC='/p.jpg'></FIGURE>"),
+        # 6: img-less figure, img-less page, junk bytes
+        ("http://ex.com/nofig", "<figure><figcaption>no img</figcaption></figure>"),
+        ("http://ex.com/none", "<p>text only</p>"),
+        ("http://ex.com/junk", "\x00\xff<<img>>"),
+    ]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode("utf-8", "surrogateescape")) for u, h in rows], _SCHEMA
+    )
+
+
+def test_image_text_pairs_hand_cases(spark):
+    rows = image_text_pairs(_df(spark, _pages())).collect()
+    by_src = {(r["url"], r["src"]): r for r in rows}
+
+    a = by_src[("http://ex.com/fig", "/a.jpg")]
+    b = by_src[("http://ex.com/fig", "/b.jpg")]
+    c = by_src[("http://ex.com/fig", "/c.jpg")]
+    assert a["caption"] == b["caption"] == "A bold cat & dog"
+    assert a["text"] == "A bold cat & dog"      # caption beats alt
+    assert a["alt"] == "alt A" and b["alt"] == "alt B"
+    assert (a["width"], a["height"]) == (640, 480)
+    assert a["in_figure"] and b["in_figure"] and not c["in_figure"]
+    assert (a["img_idx"], b["img_idx"]) == (0, 1)  # order inside figure
+    assert c["caption"] is None and c["text"] == "solo C"
+
+    s = by_src[("http://ex.com/srcset", "/s.jpg")]
+    assert s["srcset_best_url"] == "/s-1280.jpg"
+    assert s["srcset_best_w"] == 1280
+    assert s["width"] == 12                     # digit prefix of "12px"
+
+    t = by_src[("http://ex.com/fallback", "/t.jpg")]
+    n = by_src[("http://ex.com/fallback", "/n.jpg")]
+    e = by_src[("http://ex.com/fallback", "/e.jpg")]
+    assert t["text"] == "only title" and n["text"] is None
+    assert e["alt"] is None and e["text"] == "t2"   # '' alt = absent
+
+    d = by_src[("http://ex.com/data", "data:image/png;base64,AAAA")]
+    u = by_src[("http://ex.com/data", "/u.jpg")]
+    assert d["is_data_uri"] and not u["is_data_uri"]
+    assert not u["in_figure"] and u["text"] == "unclosed"  # degraded
+
+    p = by_src[("http://ex.com/pre", "/p.jpg")]
+    assert p["in_figure"] and p["text"] == "Cap first"
+
+    urls = {r["url"] for r in rows}
+    for absent in ("http://ex.com/nofig", "http://ex.com/none",
+                   "http://ex.com/junk"):
+        assert absent not in urls
+
+
+def _fg_sql(expr: str, pat: str) -> str:
+    p = pat.replace("'", "''")
+    return ("coalesce(" + ", ".join(
+        f"nullif(regexp_extract({expr}, '{p}', {g}), '')" for g in (1, 2, 3)
+    ) + ")")
+
+
+def _clean_sql(expr: str) -> str:
+    for x, y in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&")):
+        expr = f"replace({expr}, '{x}', '{y}')"
+    return (f"nullif(trim(regexp_replace({expr}, '[ \\t\\r\\n\\f]+', ' ', 'g')),"
+            " '')")
+
+
+def test_image_text_pairs_matches_duckdb_oracle(spark):
+    sdf = image_text_pairs(_df(spark, _pages()))
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pages (url VARCHAR, html VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", _pages())
+    forimg = _FIG_OR_IMG_RE.replace("'", "''")
+    imgtag = _IMG_TAG_RE.replace("'", "''")
+    figcap = _FIGCAP_RE.replace("'", "''")
+    cand = _SRCSET_CAND.replace("'", "''")
+
+    def attr(name: str) -> str:
+        return _fg_sql("tag", _IN_REGION + _attr_val_pat(name))
+
+    def dim(name: str) -> str:
+        return (f"nullif(regexp_extract({attr(name)}, '^(\\d{{1,9}})', 1), '')"
+                "::INT")
+
+    cap_strip = "regexp_replace(regexp_extract(region, '" + figcap + \
+        "', 1), '<[^>]*>', ' ', 'g')"
+    orc = con.sql(f"""
+WITH r0 AS (
+  SELECT url, regexp_extract_all(html, '{forimg}', 0) AS regions FROM pages
+),
+r1 AS (
+  SELECT url, unnest(generate_series(1, len(regions))) AS ri, regions FROM r0
+),
+r AS (
+  SELECT url, (ri - 1)::INT AS region_idx, regions[ri] AS region FROM r1
+),
+rc AS (
+  SELECT url, region_idx, region,
+    lower(substr(region, 1, 7)) = '<figure' AS in_figure,
+    CASE WHEN lower(substr(region, 1, 7)) = '<figure'
+         THEN {_clean_sql(cap_strip)} END AS caption
+  FROM r
+),
+i0 AS (
+  SELECT url, region_idx, in_figure, caption,
+    unnest(generate_series(1, len(regexp_extract_all(region, '{imgtag}', 0))))
+      AS ii,
+    regexp_extract_all(region, '{imgtag}', 0) AS tags
+  FROM rc
+),
+i AS (
+  SELECT url, region_idx, in_figure, caption, (ii - 1)::INT AS img_idx,
+    tags[ii] AS tag
+  FROM i0
+),
+sc AS (
+  SELECT url, region_idx, img_idx,
+    unnest(regexp_extract_all({attr("srcset")}, '{cand}', 0)) AS c
+  FROM i
+),
+scp AS (
+  SELECT url, region_idx, img_idx,
+    regexp_extract(c, '{cand}', 1) AS u,
+    regexp_extract(c, '{cand}', 2)::INT AS w
+  FROM sc
+),
+best AS (
+  SELECT url, region_idx, img_idx, u AS srcset_best_url, w AS srcset_best_w
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY url, region_idx, img_idx
+          ORDER BY w DESC, u DESC) AS rn FROM scp)
+  WHERE rn = 1
+),
+flat AS (
+  SELECT i.url, i.region_idx, i.img_idx,
+    {attr("src")} AS src,
+    b.srcset_best_url, b.srcset_best_w,
+    {dim("width")} AS width, {dim("height")} AS height,
+    {_clean_sql(attr("alt"))} AS alt,
+    {_clean_sql(attr("title"))} AS title,
+    i.caption,
+    coalesce(i.caption, {_clean_sql(attr("alt"))},
+             {_clean_sql(attr("title"))}) AS text,
+    i.in_figure
+  FROM i LEFT JOIN best b USING (url, region_idx, img_idx)
+)
+SELECT *, lower(substr(src, 1, 5)) = 'data:' AS is_data_uri
+FROM flat WHERE src IS NOT NULL
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)

@@ -184,6 +184,10 @@ CHECKS = {
     # beyond the loader's repartition
     "jsonld_records": [("Generate", True), ("Exchange", 1),
                        ("BatchEvalPython", False), ("MapInPandas", False)],
+    # image-text pairs: projection + two Generates (figure/img region
+    # explode, per-region img explode) — map-side only, no python stage
+    "image_text_pairs": [("Generate", True), ("Exchange", 1),
+                         ("BatchEvalPython", False), ("MapInPandas", False)],
     # temperature mixture: one stratum agg + a broadcast of the 1-ROW
     # total (BroadcastNestedLoop over one row is the intended shape;
     # a CartesianProduct would mean the broadcast was lost)
@@ -845,6 +849,24 @@ def _extra_frames():
         )
         return jsonld_records(docs)
 
+    def f_img_pairs(spark, sf_dir):
+        from fusus_spark.operators.multimodal import image_text_pairs
+
+        docs = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), "doc_id").alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit('<figure><img src="/i/'), "doc_id",
+                    F.lit('.jpg" alt="pic"><figcaption>'),
+                    F.substring("text", 1, 30),
+                    F.lit("</figcaption></figure>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+        return image_text_pairs(docs)
+
     def f_feeds(spark, sf_dir):
         from fusus_spark.operators.frontier import parse_feed_entries
 
@@ -930,7 +952,8 @@ def _extra_frames():
             "feed_entries_as_announcements": f_feed_ann,
             "sniff_mime": f_sniff,
             "hreflang_clusters": f_hreflang_clusters,
-            "jsonld_records": f_jsonld}
+            "jsonld_records": f_jsonld,
+            "image_text_pairs": f_img_pairs}
 
 
 def main() -> None:
