@@ -338,3 +338,94 @@ def read_warc(
             yield pdf_out
 
     return binary.mapInPandas(run, schema=WARC_DOCS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WET export: the extraction output in Common Crawl's companion
+# "conversion" format, so standard WET tooling can consume this
+# engine's text directly.
+
+def wet_records(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "extracted_text",
+) -> DataFrame:
+    """(url, record) — one ISO 28500 ``WARC-Type: conversion`` record
+    per extracted document, the record format WET files carry
+    (header lines CRLF-joined, blank line, the plain-text block,
+    closing double-CRLF).
+
+    Deterministic by construction: ``WARC-Record-ID`` is a
+    urn:uuid-shaped md5 of (url, timestamp) — re-running the job
+    reproduces records byte-identically (the repo's resumability
+    contract extends to the export). Two documented deviations from
+    Common Crawl's emitter, both spec-legal: the block digest is
+    ``md5:<hex>`` (WARC names the algorithm in the value; the house
+    md5 rule keeps the DuckDB oracle bit-identical — CC uses
+    sha1:base32, which neither engine can mirror without UDFs), and
+    ``Content-Length`` counts the text's UTF-8 octets exactly
+    (octet_length, not char length). Null/empty text rows are
+    dropped (WET carries successful conversions only; the envelope
+    table keeps the full ledger).
+
+    One codegen'd projection, zero shuffle, zero Python. Write with
+    ``write_wet`` (text sink, whole-file gzip) — per-record gzip
+    members (CC's random-access framing) would need a custom
+    committer; whole-file gzip is what ``spark.read.text`` and
+    gunzip-based WET readers consume.
+
+    Reference role analog: the plain-text page sink K6
+    (/root/reference/fusus/page.py) — the same text, re-framed for an
+    external consumer.
+    """
+    from pyspark.sql import functions as F
+
+    url = F.col(url_col)
+    txt = F.col(text_col)
+    h = F.md5(F.concat_ws("\x1f", url, F.col(ts_col).cast("string")))
+    record_id = F.concat(
+        F.lit("urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12),
+    )
+    header = F.concat_ws(
+        "\r\n",
+        F.lit("WARC/1.0"),
+        F.lit("WARC-Type: conversion"),
+        F.concat(F.lit("WARC-Target-URI: "), url),
+        F.concat(
+            F.lit("WARC-Date: "),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        ),
+        F.concat(F.lit("WARC-Record-ID: <"), record_id, F.lit(">")),
+        F.concat(F.lit("WARC-Block-Digest: md5:"), F.md5(F.encode(txt, "UTF-8"))),
+        F.lit("Content-Type: text/plain"),
+        F.concat(
+            F.lit("Content-Length: "),
+            F.octet_length(F.encode(txt, "UTF-8")).cast("string"),
+        ),
+    )
+    return df.where(txt.isNotNull() & (txt != "")).select(
+        url.alias("url"),
+        F.concat(header, F.lit("\r\n\r\n"), txt, F.lit("\r\n\r\n")).alias(
+            "record"
+        ),
+    )
+
+
+def write_wet(df: DataFrame, path: str, **wet_kwargs) -> None:
+    """Write ``wet_records(df)`` as gzipped text parts (one task per
+    partition — the same file-level parallelism read_warc consumes).
+    Records are self-delimiting (WARC/1.0 + Content-Length), so the
+    text sink's newline framing is benign."""
+    (
+        wet_records(df, **wet_kwargs)
+        .select("record")
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(path)
+    )

@@ -579,3 +579,131 @@ def test_iter_warc_records_fuzz_never_raises():
             assert len(uri) < 200
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# WET export
+
+
+def _wet_df(spark):
+    import datetime as dt
+
+    rows = [
+        ("https://ex.com/a", dt.datetime(2026, 1, 2, 3, 4, 5), "Hello world"),
+        # non-ascii: Content-Length must count UTF-8 octets, not chars
+        ("https://ex.com/u", dt.datetime(2026, 1, 2, 3, 4, 5), "héllo\nzwei"),
+        # dropped: null and empty text (WET carries conversions only)
+        ("https://ex.com/null", dt.datetime(2026, 1, 2, 3, 4, 5), None),
+        ("https://ex.com/empty", dt.datetime(2026, 1, 2, 3, 4, 5), ""),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, extracted_text string"
+    )
+
+
+def test_wet_records_byte_exact(spark):
+    import hashlib
+
+    from fusus_spark.sources.warc import wet_records
+
+    got = {r["url"]: r["record"] for r in wet_records(_wet_df(spark)).collect()}
+    assert set(got) == {"https://ex.com/a", "https://ex.com/u"}
+
+    def expect(url: str, ts: str, text: str) -> str:
+        h = hashlib.md5(f"{url}\x1f{ts}".encode()).hexdigest()
+        rid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+        body = text.encode("utf-8")
+        return (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            "WARC-Date: 2026-01-02T03:04:05Z\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            f"WARC-Block-Digest: md5:{hashlib.md5(body).hexdigest()}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n" + text + "\r\n\r\n"
+        )
+
+    assert got["https://ex.com/a"] == expect(
+        "https://ex.com/a", "2026-01-02 03:04:05", "Hello world"
+    )
+    assert got["https://ex.com/u"] == expect(
+        "https://ex.com/u", "2026-01-02 03:04:05", "héllo\nzwei"
+    )
+
+
+def test_wet_records_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from fusus_spark.sources.warc import wet_records
+    from tools.parity import value_hash
+
+    sdf = wet_records(_wet_df(spark))
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (url VARCHAR, warc_ts TIMESTAMP, extracted_text VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(r["url"], r["warc_ts"], r["extracted_text"])
+         for r in _wet_df(spark).collect()],
+    )
+    orc = con.sql(r"""
+WITH s AS (
+  SELECT url, extracted_text AS txt,
+    md5(url || chr(31) || strftime(warc_ts, '%Y-%m-%d %H:%M:%S')) AS h,
+    strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS d
+  FROM t WHERE extracted_text IS NOT NULL AND extracted_text <> ''
+)
+SELECT url,
+  'WARC/1.0' || chr(13) || chr(10) ||
+  'WARC-Type: conversion' || chr(13) || chr(10) ||
+  'WARC-Target-URI: ' || url || chr(13) || chr(10) ||
+  'WARC-Date: ' || d || chr(13) || chr(10) ||
+  'WARC-Record-ID: <urn:uuid:' ||
+    substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
+    substr(h,17,4) || '-' || substr(h,21,12) || '>' || chr(13) || chr(10) ||
+  'WARC-Block-Digest: md5:' || md5(txt) || chr(13) || chr(10) ||
+  'Content-Type: text/plain' || chr(13) || chr(10) ||
+  'Content-Length: ' || octet_length(encode(txt)) ||
+  chr(13) || chr(10) || chr(13) || chr(10) || txt ||
+  chr(13) || chr(10) || chr(13) || chr(10) AS record
+FROM s
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+def test_write_wet_roundtrip(spark, tmp_path):
+    """A standard WET-reader walk (gunzip, split on the WARC/1.0
+    version line, parse Content-Length, take that many octets) must
+    recover every record byte-identically from the written files."""
+    import glob
+    import gzip as gz
+
+    from fusus_spark.sources.warc import write_wet
+
+    out = str(tmp_path / "wet")
+    write_wet(_wet_df(spark), out)
+
+    blobs = b"".join(
+        gz.open(p, "rb").read()
+        for p in sorted(glob.glob(out + "/part-*.txt.gz"))
+    )
+    recs = [b"WARC/1.0" + c for c in blobs.split(b"WARC/1.0") if c]
+    texts = {}
+    for rec in recs:
+        head, _, rest = rec.partition(b"\r\n\r\n")
+        headers = dict(
+            ln.split(b": ", 1) for ln in head.split(b"\r\n")[1:] if b": " in ln
+        )
+        n = int(headers[b"Content-Length"])
+        uri = headers[b"WARC-Target-URI"].decode()
+        texts[uri] = rest[:n].decode("utf-8")
+        assert headers[b"WARC-Type"] == b"conversion"
+    assert texts == {
+        "https://ex.com/a": "Hello world",
+        "https://ex.com/u": "héllo\nzwei",
+    }
