@@ -905,3 +905,143 @@ def image_text_pairs(
         )
         .where(F.col("src").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# Video/audio reference mining: the media-element complement of
+# image_text_pairs. <video>/<audio> regions with their nested
+# <source> (alternate encodings) and <track> (subtitle/caption files
+# — the text half of a video-text training pair) children.
+
+def _media_patterns():
+    from fusus_spark.operators.pagemeta import _ci
+    from fusus_spark.operators.robots import _FILLER
+
+    def closed(name: str) -> str:
+        return (
+            "<" + _ci(name) + r"(?:\s" + _FILLER + r")?>"
+            + r"(?s:.*?)</" + _ci(name) + r"[ \t\r\n\f]*>"
+        )
+
+    def bare(name: str) -> str:
+        return "<" + _ci(name) + r"[\s/]" + _FILLER
+
+    # closed forms first (leftmost-first alternation consumes the
+    # whole element with its children); an UNCLOSED element degrades
+    # to its open tag — self src/poster survive, children are lost
+    region = "|".join(
+        [closed("video"), closed("audio"), bare("video"), bare("audio")]
+    )
+    return region, bare("source"), bare("track")
+
+
+_MEDIA_REGION_RE, _SOURCE_TAG_RE, _TRACK_TAG_RE = _media_patterns()
+
+
+def media_refs(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, region_idx, element, ref_idx, ref_kind, src, mime,
+    track_kind, srclang, label, width, height, is_data_uri) — one row
+    per media REFERENCE on the page: the ``<video>``/``<audio>``
+    element's own ``src``, a video's ``poster`` image, each nested
+    ``<source>`` (with its declared MIME type), and each nested
+    ``<track>`` (kind/srclang/label — subtitle and caption files, the
+    text supply for video-text pairs).
+
+    One whole-document scan (closed-element regions first in the
+    alternation, so children are harvested from inside their element;
+    unclosed elements degrade to the open tag), then per region ONE
+    concat of four ref arrays (self src, poster, sources, tracks)
+    filtered to non-null srcs and exploded — structs keep identical
+    shape so the concat stays a codegen'd array op. ``src`` keeps
+    original bytes (resolve like any href); ``width``/``height`` are
+    the element's declared attributes, carried onto every ref row of
+    that element.
+
+    Map-side only (projection + two Generates), zero Python, zero
+    shuffle. DuckDB mirrors every step (tests/test_multimodal_pairs.py
+    hash oracle); plan_audit pins Generate + Exchange==1 + no python
+    stage.
+
+    Reference role analog: the same per-page media inventory role as
+    image_text_pairs (S6's illustration enumeration), extended to
+    timed media.
+    """
+    from fusus_spark.operators.pagemeta import _IN_REGION, _clean_text
+    from fusus_spark.operators.robots import _first_group
+
+    orig = F.col(html_col).cast("string")
+    regions = docs.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(orig, F.lit(_MEDIA_REGION_RE), F.lit(0))
+        ).alias("region_idx", "region"),
+    )
+    reg = F.col("region")
+
+    def attr_of(col, name: str):
+        return _first_group(col, _IN_REGION + _attr_val_pat(name))
+
+    def dim(name: str):
+        return F.nullif(
+            F.regexp_extract(attr_of(reg, name), r"^(\d{1,9})", 1), F.lit("")
+        ).cast("int")
+
+    ns = F.lit(None).cast("string")
+
+    def ref(kind: str, src, mime=None, tkind=None, lang=None, label=None):
+        return F.struct(
+            F.lit(kind).alias("ref_kind"),
+            src.alias("src"),
+            (mime if mime is not None else ns).alias("mime"),
+            (tkind if tkind is not None else ns).alias("track_kind"),
+            (lang if lang is not None else ns).alias("srclang"),
+            (label if label is not None else ns).alias("label"),
+        )
+
+    sources = F.regexp_extract_all(reg, F.lit(_SOURCE_TAG_RE), F.lit(0))
+    tracks = F.regexp_extract_all(reg, F.lit(_TRACK_TAG_RE), F.lit(0))
+    refs = F.filter(
+        F.concat(
+            F.array(ref("src", attr_of(reg, "src"))),
+            F.array(ref("poster", attr_of(reg, "poster"))),
+            F.transform(
+                sources, lambda s: ref("source", attr_of(s, "src"),
+                                       mime=attr_of(s, "type"))
+            ),
+            F.transform(
+                tracks,
+                lambda t: ref(
+                    "track", attr_of(t, "src"), tkind=attr_of(t, "kind"),
+                    lang=attr_of(t, "srclang"),
+                    label=_clean_text(attr_of(t, "label")),
+                ),
+            ),
+        ),
+        lambda x: x["src"].isNotNull(),
+    )
+    element = F.lower(F.substring(reg, 2, 5))
+    src = F.col("ref")["src"]
+    return regions.select(
+        "url",
+        F.col("region_idx").cast("int").alias("region_idx"),
+        element.alias("element"),
+        dim("width").alias("width"),
+        dim("height").alias("height"),
+        F.posexplode(refs).alias("ref_idx", "ref"),
+    ).select(
+        "url",
+        "region_idx",
+        "element",
+        F.col("ref_idx").cast("int").alias("ref_idx"),
+        F.col("ref")["ref_kind"].alias("ref_kind"),
+        src.alias("src"),
+        F.col("ref")["mime"].alias("mime"),
+        F.col("ref")["track_kind"].alias("track_kind"),
+        F.col("ref")["srclang"].alias("srclang"),
+        F.col("ref")["label"].alias("label"),
+        "width",
+        "height",
+        (F.lower(F.substring(src, 1, 5)) == "data:").alias("is_data_uri"),
+    )

@@ -210,3 +210,147 @@ FROM flat WHERE src IS NOT NULL
     assert len(srows) == len(orows) > 0
     assert sorted(sdf.columns) == sorted(orc.columns)
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+# ---------------------------------------------------------------------------
+# media refs (video/audio/source/track)
+
+
+def _media_pages() -> list[tuple[str, str]]:
+    return [
+        # 1: full video — self src, poster, dims, two sources with
+        # MIME types, subtitle + caption tracks (label with entity)
+        ("http://ex.com/v", """<article>
+<video src="/v.mp4" poster="/v.jpg" width="1280" height="720" controls>
+  <source src="/v.webm" type="video/webm">
+  <source src='/v-hi.mp4' type='video/mp4; codecs="avc1"'>
+  <track src="/v.en.vtt" kind="subtitles" srclang="en" label="English">
+  <track src=/v.de.vtt kind=captions srclang=de label="Deutsch &amp; Co">
+</video></article>"""),
+        # 2: audio with nested source only (no self src)
+        ("http://ex.com/a", "<AUDIO controls><SOURCE SRC='/a.ogg' "
+                            "TYPE='audio/ogg'></AUDIO>"),
+        # 3: unclosed video degrades to the open tag: self src kept,
+        # children lost
+        ("http://ex.com/u", '<video src="/u.mp4" width=640>'
+                            '<source src="/lost.webm">'),
+        # 4: audio self src as data: URI, unquoted
+        ("http://ex.com/d", "<audio src=data:audio/wav;base64,AAAA></audio>"),
+        # 5: nothing / junk
+        ("http://ex.com/none", "<p>plain</p>"),
+        ("http://ex.com/junk", "\x00<video"),
+    ]
+
+
+def test_media_refs_hand_cases(spark):
+    from fusus_spark.operators.multimodal import media_refs
+
+    rows = media_refs(_df(spark, _media_pages())).collect()
+    v = sorted(
+        [r for r in rows if r["url"] == "http://ex.com/v"],
+        key=lambda r: r["ref_idx"],
+    )
+    assert [(r["ref_kind"], r["src"]) for r in v] == [
+        ("src", "/v.mp4"), ("poster", "/v.jpg"),
+        ("source", "/v.webm"), ("source", "/v-hi.mp4"),
+        ("track", "/v.en.vtt"), ("track", "/v.de.vtt"),
+    ]
+    assert all(r["element"] == "video" for r in v)
+    assert all((r["width"], r["height"]) == (1280, 720) for r in v)
+    assert v[2]["mime"] == "video/webm"
+    assert v[3]["mime"] == 'video/mp4; codecs="avc1"'
+    assert (v[4]["track_kind"], v[4]["srclang"], v[4]["label"]) == (
+        "subtitles", "en", "English")
+    assert (v[5]["track_kind"], v[5]["srclang"], v[5]["label"]) == (
+        "captions", "de", "Deutsch & Co")
+
+    a = [r for r in rows if r["url"] == "http://ex.com/a"]
+    assert [(r["element"], r["ref_kind"], r["src"], r["mime"]) for r in a] == [
+        ("audio", "source", "/a.ogg", "audio/ogg")]
+
+    u = [r for r in rows if r["url"] == "http://ex.com/u"]
+    assert [(r["ref_kind"], r["src"]) for r in u] == [("src", "/u.mp4")]
+    assert u[0]["width"] == 640 and u[0]["height"] is None
+
+    d = [r for r in rows if r["url"] == "http://ex.com/d"]
+    assert d[0]["src"] == "data:audio/wav;base64,AAAA" and d[0]["is_data_uri"]
+
+    assert not [r for r in rows
+                if r["url"] in ("http://ex.com/none", "http://ex.com/junk")]
+
+
+def test_media_refs_matches_duckdb_oracle(spark):
+    from fusus_spark.operators.multimodal import (
+        _MEDIA_REGION_RE,
+        _SOURCE_TAG_RE,
+        _TRACK_TAG_RE,
+        media_refs,
+    )
+
+    sdf = media_refs(_df(spark, _media_pages()))
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pages (url VARCHAR, html VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", _media_pages())
+    reg_p = _MEDIA_REGION_RE.replace("'", "''")
+    src_p = _SOURCE_TAG_RE.replace("'", "''")
+    trk_p = _TRACK_TAG_RE.replace("'", "''")
+
+    def attr(var: str, name: str) -> str:
+        return _fg_sql(var, _IN_REGION + _attr_val_pat(name))
+
+    def dim(name: str) -> str:
+        return (f"nullif(regexp_extract({attr('region', name)}, "
+                "'^(\\d{1,9})', 1), '')::INT")
+
+    def pack(kind: str, var: str, src_attr: str = "src", mime="NULL",
+             tkind="NULL", lang="NULL", label="NULL") -> str:
+        return (f"struct_pack(ref_kind := '{kind}',"
+                f" src := {attr(var, src_attr)},"
+                f" mime := ({mime})::VARCHAR, track_kind := ({tkind})::VARCHAR,"
+                f" srclang := ({lang})::VARCHAR, label := ({label})::VARCHAR)")
+
+    orc = con.sql(f"""
+WITH r0 AS (
+  SELECT url, regexp_extract_all(html, '{reg_p}', 0) AS regions FROM pages
+),
+r1 AS (
+  SELECT url, unnest(generate_series(1, len(regions))) AS ri, regions FROM r0
+),
+r AS (
+  SELECT url, (ri - 1)::INT AS region_idx, regions[ri] AS region FROM r1
+),
+w AS (
+  SELECT url, region_idx, region,
+    lower(substr(region, 2, 5)) AS element,
+    {dim('width')} AS width, {dim('height')} AS height,
+    list_filter(
+      [{pack('src', 'region')}] ||
+      [{pack('poster', 'region', src_attr='poster')}] ||
+      list_transform(regexp_extract_all(region, '{src_p}', 0),
+        s -> {pack('source', 's', mime=attr('s', 'type'))}) ||
+      list_transform(regexp_extract_all(region, '{trk_p}', 0),
+        t -> {pack('track', 't', tkind=attr('t', 'kind'),
+                   lang=attr('t', 'srclang'),
+                   label=_clean_sql(attr('t', 'label')))}),
+      x -> x.src IS NOT NULL) AS refs
+  FROM r
+),
+e AS (
+  SELECT url, region_idx, element, width, height, refs,
+    unnest(generate_series(1, len(refs))) AS fi
+  FROM w
+)
+SELECT url, region_idx, element, (fi - 1)::INT AS ref_idx,
+  refs[fi].ref_kind AS ref_kind, refs[fi].src AS src,
+  refs[fi].mime AS mime, refs[fi].track_kind AS track_kind,
+  refs[fi].srclang AS srclang, refs[fi].label AS label,
+  width, height,
+  lower(substr(refs[fi].src, 1, 5)) = 'data:' AS is_data_uri
+FROM e
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)

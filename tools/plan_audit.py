@@ -188,6 +188,9 @@ CHECKS = {
     # explode, per-region img explode) — map-side only, no python stage
     "image_text_pairs": [("Generate", True), ("Exchange", 1),
                          ("BatchEvalPython", False), ("MapInPandas", False)],
+    # media refs: same shape — region explode + ref-array explode
+    "media_refs": [("Generate", True), ("Exchange", 1),
+                   ("BatchEvalPython", False), ("MapInPandas", False)],
     # temperature mixture: one stratum agg + a broadcast of the 1-ROW
     # total (BroadcastNestedLoop over one row is the intended shape;
     # a CartesianProduct would mean the broadcast was lost)
@@ -867,6 +870,23 @@ def _extra_frames():
         )
         return image_text_pairs(docs)
 
+    def f_media_refs(spark, sf_dir):
+        from fusus_spark.operators.multimodal import media_refs
+
+        docs = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), "doc_id").alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit('<video src="/v/'), "doc_id",
+                    F.lit('.mp4"><track src="/t.vtt" kind="subtitles">'
+                          "</video>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+        return media_refs(docs)
+
     def f_feeds(spark, sf_dir):
         from fusus_spark.operators.frontier import parse_feed_entries
 
@@ -953,7 +973,8 @@ def _extra_frames():
             "sniff_mime": f_sniff,
             "hreflang_clusters": f_hreflang_clusters,
             "jsonld_records": f_jsonld,
-            "image_text_pairs": f_img_pairs}
+            "image_text_pairs": f_img_pairs,
+            "media_refs": f_media_refs}
 
 
 def main() -> None:
