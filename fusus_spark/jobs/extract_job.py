@@ -201,8 +201,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--table-dir",
                    help="bucketed table dir for warc ingest (default <output>.table)")
     p.add_argument("--emit", default="words",
-                   help="comma list of output tables from the one fused parse: "
-                        "words,extracted,removals (multi-kind layout: <output>/<kind>/bucket=k)")
+                   help="comma list of output tables: parse-derived "
+                        "words,extracted,removals + doc-level side tables "
+                        "pagemeta,image_pairs,media_refs,jsonld "
+                        "(multi-kind layout: <output>/<kind>/bucket=k)")
     p.add_argument("--max-html-bytes", type=int, default=4 * 1024 * 1024)
     p.add_argument("--respect-robots", action="store_true",
                    help="drop meta/header-noindex pages BEFORE parsing "

@@ -258,7 +258,28 @@ class BucketLock:
             pass
 
 
-_EMIT_KINDS = ("words", "extracted", "removals")
+_EMIT_KINDS = ("words", "extracted", "removals",
+               "pagemeta", "image_pairs", "media_refs", "jsonld")
+
+
+def _doc_splitters() -> dict:
+    """Doc-level side-table kinds: harvested from the bucket's RAW
+    (url, html) rows, not from the fused parse stage — pure map-side
+    regexp/json projections (see each operator's plan contract), so a
+    bucket pays one extra partition-pruned parquet scan per kind and
+    zero Python. They ride the same staged-rename commit + ledger
+    grid, and sit behind the same consent filter as the parse when
+    ``respect_robots`` is on (a noindex page contributes no metadata
+    or media refs either)."""
+    from fusus_spark.operators.multimodal import image_text_pairs, media_refs
+    from fusus_spark.operators.pagemeta import jsonld_records, page_metadata
+
+    return {
+        "pagemeta": page_metadata,
+        "image_pairs": image_text_pairs,
+        "media_refs": media_refs,
+        "jsonld": jsonld_records,
+    }
 
 
 def _sweep_staging(staging_root: str, bucket: int) -> None:
@@ -335,11 +356,15 @@ def run_extraction_job(
 ) -> dict:
     """Resumable bucket-at-a-time extraction job.
 
-    ``emit`` selects the output tables, all produced by ONE fused parse
-    per bucket (the stage is persisted across the writes when more than
-    one kind is requested — bounded by bucket sizing): ``words`` (the
-    default, legacy layout ``out/bucket=k``), plus ``extracted``
-    (per-url envelopes) and ``removals`` (boilerplate diagnostics).
+    ``emit`` selects the output tables: the parse-derived kinds come
+    from ONE fused parse per bucket (the stage is persisted across
+    their writes when more than one is requested — bounded by bucket
+    sizing): ``words`` (the default, legacy layout ``out/bucket=k``),
+    plus ``extracted`` (per-url envelopes) and ``removals``
+    (boilerplate diagnostics). The doc-level side-table kinds —
+    ``pagemeta``, ``image_pairs``, ``media_refs``, ``jsonld`` — are
+    map-side harvests over the bucket's raw html (see _doc_splitters)
+    riding the same staged commit and ledger grid.
     With multiple kinds the layout becomes ``out/<kind>/bucket=k`` and
     each kind's bucket dir is committed with the same staged atomic
     rename; the ledger row is the source of truth for bucket
@@ -366,6 +391,8 @@ def run_extraction_job(
         "extracted": extracted_from_stage,
         "removals": removals_from_stage,
     }
+    doc_splitters = _doc_splitters()
+    stage_kinds = [k for k in emit if k in splitters]
     multi = len(emit) > 1
     roots = {
         kind: (os.path.join(output_path, kind) if multi else output_path)
@@ -415,17 +442,24 @@ def run_extraction_job(
                 F.count("*").alias("rows_in"),
                 F.coalesce(F.sum(F.octet_length("html")), F.lit(0)).alias("bytes_in"),
             ).first()
-            stage = extract_stage(
-                docs,
-                max_html_bytes=max_html_bytes,
-                emit_words=("words" in emit),
-            )
-            if multi:
-                # one parse feeds every output table; a bucket is sized to
-                # fit executor memory, so the persisted stage is bounded
-                from pyspark import StorageLevel
+            stage = None
+            persisted = False
+            if stage_kinds:
+                stage = extract_stage(
+                    docs,
+                    max_html_bytes=max_html_bytes,
+                    emit_words=("words" in emit),
+                )
+                if len(stage_kinds) > 1:
+                    # one parse feeds every stage-derived table; a bucket
+                    # is sized to fit executor memory, so the persisted
+                    # stage is bounded (doc-level kinds re-scan the
+                    # pruned bucket parquet instead — cheaper than
+                    # forcing them through the parse channel)
+                    from pyspark import StorageLevel
 
-                stage = stage.persist(StorageLevel.MEMORY_AND_DISK)
+                    stage = stage.persist(StorageLevel.MEMORY_AND_DISK)
+                    persisted = True
             staged: list[tuple[str, str, str]] = []  # (tmp, final, staging_root)
             per_kind: dict[str, dict[str, int]] = {}
             try:
@@ -435,14 +469,19 @@ def run_extraction_job(
                     tmp_dir = os.path.join(
                         staging_root, f"bucket={bucket}-{uuid.uuid4().hex}"
                     )
-                    splitters[kind](stage).write.mode("overwrite").parquet(tmp_dir)
+                    frame = (
+                        splitters[kind](stage)
+                        if kind in splitters
+                        else doc_splitters[kind](docs)
+                    )
+                    frame.write.mode("overwrite").parquet(tmp_dir)
                     rows, size = _footer_metrics(tmp_dir)
                     per_kind[kind] = {"rows": rows, "bytes": size}
                     staged.append(
                         (tmp_dir, os.path.join(roots[kind], f"bucket={bucket}"), staging_root)
                     )
             finally:
-                if multi:
+                if persisted:
                     stage.unpersist()  # a failed write must not leak the cache
             if fail_before_commit is not None and done_now >= fail_before_commit:
                 raise RuntimeError(

@@ -396,3 +396,90 @@ def test_respect_robots_is_part_of_the_resume_key(spark, bucketed_input, tmp_pat
     s3 = run_extraction_job(spark, bucketed_input, out, ledger_path, N_BUCKETS,
                             respect_robots=True)
     assert s3["skipped"] == N_BUCKETS
+
+
+def test_doc_level_emit_kinds_side_tables(spark, tmp_path):
+    """emit mixing parse-derived and doc-level kinds: image_pairs /
+    pagemeta / jsonld / media_refs ride the same bucket grid, staged
+    commit, and resume semantics; contents match the direct operators
+    over the same (consent-filtered) rows."""
+    from fusus_spark.operators.multimodal import image_text_pairs
+    from fusus_spark.operators.pagemeta import page_metadata
+
+    inp = str(tmp_path / "input")
+    rows = []
+    for i in range(40):
+        html = (
+            f'<html><head><title>T{i}</title>'
+            f'<script type="application/ld+json">'
+            f'{{"@type":"Article","headline":"H{i}"}}</script></head>'
+            f"<body><figure><img src='/i/{i}.jpg' alt='a{i}'>"
+            f"<figcaption>cap {i}</figcaption></figure>"
+            f'<video src="/v/{i}.mp4"></video>'
+            f"<p>body {i}</p></body></html>"
+        ).encode()
+        rows.append((f"http://h{i % 5}.com/p/{i}", None, html, None, "en"))
+    docs = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    write_bucketed_input(docs, inp, N_BUCKETS)
+
+    out = str(tmp_path / "out")
+    ledger_path = str(tmp_path / "ledger")
+    emit = ("words", "image_pairs", "pagemeta", "jsonld", "media_refs")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction_job(
+            spark, inp, out, ledger_path, N_BUCKETS, emit=emit, fail_after=2
+        )
+    summary = run_extraction_job(
+        spark, inp, out, ledger_path, N_BUCKETS, emit=emit
+    )
+    assert summary["processed"] == N_BUCKETS - 2 and summary["skipped"] == 2
+
+    raw = spark.read.parquet(inp).drop("bucket")
+    got_pairs = spark.read.parquet(out + "/image_pairs/bucket=*")
+    want_pairs = image_text_pairs(raw)
+    assert got_pairs.count() == want_pairs.count() == 40
+    assert got_pairs.exceptAll(want_pairs).count() == 0
+
+    got_meta = spark.read.parquet(out + "/pagemeta/bucket=*")
+    want_meta = page_metadata(raw)
+    assert got_meta.count() == 40
+    assert got_meta.exceptAll(want_meta).count() == 0
+
+    assert spark.read.parquet(out + "/jsonld/bucket=*").count() == 40
+    assert spark.read.parquet(out + "/media_refs/bucket=*").count() == 40
+    assert spark.read.parquet(out + "/words/bucket=*").count() > 0
+
+    rows_l = Ledger(ledger_path).rows()
+    assert all(set(r["outputs"]) == set(emit) for r in rows_l)
+
+
+def test_doc_level_emit_only_skips_parse(spark, tmp_path):
+    """emit with ONLY doc-level kinds never builds the parse stage —
+    the job completes and emits the side table alone (layout stays
+    multi-kind? no: single kind keeps the legacy flat layout)."""
+    from fusus_spark.operators.pagemeta import jsonld_records
+
+    inp = str(tmp_path / "input")
+    rows = [
+        (f"http://ex.com/{i}", None,
+         (f'<script type="application/ld+json">'
+          f'{{"@type":"Recipe","name":"r{i}"}}</script>').encode(),
+         None, "en")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    write_bucketed_input(docs, inp, 2)
+
+    out = str(tmp_path / "out")
+    summary = run_extraction_job(
+        spark, inp, out, str(tmp_path / "ledger"), 2, emit=("jsonld",)
+    )
+    assert summary["processed"] == 2
+    got = spark.read.parquet(out + "/bucket=*")
+    want = jsonld_records(spark.read.parquet(inp).drop("bucket"))
+    assert got.count() == want.count() == 12
+    assert got.exceptAll(want).count() == 0
