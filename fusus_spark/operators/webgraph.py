@@ -48,9 +48,13 @@ _ANCHOR_RE = (
 
 
 def extract_links(
-    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    *,
+    include_base: bool = False,
 ) -> DataFrame:
-    """(src_url, href, anchor) — one row per anchor tag.
+    """(src_url, href, anchor[, base_href]) — one row per anchor tag.
 
     Map-side only: a binary->string CAST (not ``decode``, which raises
     on malformed UTF-8 in Spark 4 — the cast wraps the bytes
@@ -58,19 +62,32 @@ def extract_links(
     cannot poison the scan), one regexp_extract_all per document for
     each capture group (Catalyst keeps both in a single codegen'd
     projection), arrays_zip + explode. No shuffle.
+
+    ``include_base=True`` adds the page's ``<base href>`` value — the
+    FIRST base tag carrying an href, per the HTML spec — repeated on
+    every link row (null when absent); pass the column to
+    ``resolve_links(base_col="base_href")`` so relative hrefs resolve
+    against the declared base instead of the document url.
     """
     html_str = F.col(html_col).cast("string")
     pairs = F.arrays_zip(
         F.regexp_extract_all(html_str, F.lit(_ANCHOR_RE), F.lit(1)).alias("href"),
         F.regexp_extract_all(html_str, F.lit(_ANCHOR_RE), F.lit(2)).alias("anchor"),
     )
-    return docs.select(
-        F.col(url_col).alias("src_url"), F.explode(pairs).alias("p")
-    ).select(
+    cols = [F.col(url_col).alias("src_url"), F.explode(pairs).alias("p")]
+    if include_base:
+        from fusus_spark.operators.robots import (
+            _HREF_VAL, _SEP, _first_group)
+
+        base_pat = "<" + "[bB][aA][sS][eE]" + r"\s" + _SEP + _HREF_VAL
+        cols.append(_first_group(html_str, base_pat).alias("base_href"))
+    out = docs.select(*cols).select(
         "src_url",
         F.col("p.href").alias("href"),
         F.trim(F.col("p.anchor")).alias("anchor"),
+        *(["base_href"] if include_base else []),
     )
+    return out
 
 
 def _remove_dot_segments(path: Column) -> Column:
@@ -106,9 +123,23 @@ def _remove_dot_segments(path: Column) -> Column:
 
 
 def resolve_links(
-    links: DataFrame, *, page_level: bool = False, keep_scheme: bool = False
+    links: DataFrame,
+    *,
+    page_level: bool = False,
+    keep_scheme: bool = False,
+    base_col: str | None = None,
 ) -> DataFrame:
     """Add ``resolved`` (absolute url or null) to (src_url, href, ...).
+
+    ``base_col`` names a column carrying the page's ``<base href>``
+    value (extract_links ``include_base=True`` harvests it): per the
+    HTML spec the base is itself resolved against the DOCUMENT url,
+    and every href then resolves against the result — two passes of
+    the same expression (a null/unresolvable base falls back to the
+    document url, the spec's behavior for a missing base). Base
+    handling implies the page-level RFC 3986 merge for the base
+    itself; pass ``page_level=True`` (the usual pairing) to merge the
+    hrefs too.
 
     ``keep_scheme=True`` resolves relative references against the
     SOURCE url's scheme instead of folding everything to ``http://``.
@@ -136,17 +167,35 @@ def resolve_links(
     regexp-expressible, so the oracle is code, not SQL, per the repo's
     non-SQL-oracle rule.
     """
+    src = F.col("src_url")
     href = F.col("href")
-    src_host = url_host(F.col("src_url"))
+    if base_col is not None:
+        base = _resolve_expr(
+            src, F.col(base_col), page_level=True, keep_scheme=keep_scheme
+        )
+        src = F.coalesce(base, src)
+    return links.withColumn(
+        "resolved",
+        _resolve_expr(src, href, page_level=page_level, keep_scheme=keep_scheme),
+    )
+
+
+def _resolve_expr(
+    src_url: Column, href: Column, *, page_level: bool, keep_scheme: bool
+) -> Column:
+    """The resolution expression over (source url, reference) columns —
+    resolve_links's whole contract, factored so base-href resolution
+    can run it twice (base against document, href against base)."""
+    src_host = url_host(src_url)
     if keep_scheme:
         _s = F.lower(
-            F.regexp_extract(F.col("src_url"), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+            F.regexp_extract(src_url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
         )
         scheme = F.when(_s == "", F.lit("http")).otherwise(_s)
     else:
         scheme = F.lit("http")
     if not page_level:
-        resolved = (
+        return (
             F.when(href.rlike(r"^[hH][tT][tT][pP][sS]?://"), href)
             .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
             .when(
@@ -155,10 +204,9 @@ def resolve_links(
             )
             .otherwise(F.lit(None).cast("string"))
         )
-        return links.withColumn("resolved", resolved)
 
     origin = F.concat(scheme, F.lit("://"), src_host)
-    src_path = url_path(F.col("src_url"))
+    src_path = url_path(src_url)
     # href split into path-part and query (fragment dropped EVERYWHERE
     # in page-level mode, absolute hrefs included — a target reached
     # absolutely and relatively must be ONE graph node)
@@ -211,7 +259,7 @@ def resolve_links(
         )
         .otherwise(F.lit(None).cast("string"))
     )
-    return links.withColumn("resolved", resolved)
+    return resolved
 
 
 def _host_edges(

@@ -723,3 +723,61 @@ ON l.resolved = m.url
     assert value_hash(sdf.columns, srows) == value_hash(
         ["src_url", "resolved"], [tuple(r) for r in orows]
     )
+
+
+def test_base_href_harvest_and_resolution(spark):
+    """<base href> (first with-href tag wins, per spec) is harvested by
+    include_base=True and applied by resolve_links(base_col=...) as a
+    two-level resolution — base against document, href against base —
+    matching nested urljoin as the independent reference."""
+    from urllib.parse import urljoin
+
+    from fusus_spark.operators.webgraph import extract_links, resolve_links
+
+    pages = [
+        # absolute base: relative hrefs leave the document's host
+        ("http://h.com/dir/page", '<base href="http://cdn.com/assets/">'
+         '<a href="x.png">x</a><a href="/root">r</a>'
+         '<a href="http://abs.com/q">abs</a>'),
+        # relative base: resolves against the document url first
+        ("http://h.com/a/b/page", "<base href='../up/'>"
+         '<a href="y.css">y</a>'),
+        # first base wins; later base ignored
+        ("http://h.com/p", '<base href="http://one.com/d/">'
+         '<base href="http://two.com/e/"><a href="f">f</a>'),
+        # base without href does NOT shadow a later base with one
+        ("http://h.com/t", '<base target="_blank">'
+         '<base href="http://real.com/g/"><a href="h">h</a>'),
+        # no base at all: document url is the base
+        ("http://h.com/n/m", '<a href="z">z</a>'),
+        # query-only href against an absolute base (spec: base's path)
+        ("http://h.com/q", '<base href="http://b.com/bp?bq=1">'
+         '<a href="?n=2">n</a>'),
+    ]
+    docs = spark.createDataFrame(
+        [(u, h.encode()) for u, h in pages], "url string, html binary"
+    )
+    links = extract_links(docs, include_base=True)
+    got = {
+        (r["src_url"], r["href"]): (r["base_href"], r["resolved"])
+        for r in resolve_links(
+            links, page_level=True, base_col="base_href"
+        ).collect()
+    }
+
+    for (src, href), (base, resolved) in got.items():
+        eff = urljoin(src, base) if base else src
+        want = urljoin(eff, href).split("#", 1)[0]
+        assert resolved == want, (src, base, href, resolved, want)
+
+    # the interesting pins, explicitly
+    assert got[("http://h.com/dir/page", "x.png")] == (
+        "http://cdn.com/assets/", "http://cdn.com/assets/x.png")
+    assert got[("http://h.com/dir/page", "/root")][1] == "http://cdn.com/root"
+    assert got[("http://h.com/dir/page", "http://abs.com/q")][1] == "http://abs.com/q"
+    assert got[("http://h.com/a/b/page", "y.css")] == (
+        "../up/", "http://h.com/a/up/y.css")
+    assert got[("http://h.com/p", "f")][1] == "http://one.com/d/f"
+    assert got[("http://h.com/t", "h")][1] == "http://real.com/g/h"
+    assert got[("http://h.com/n/m", "z")] == (None, "http://h.com/n/z")
+    assert got[("http://h.com/q", "?n=2")][1] == "http://b.com/bp?n=2"
