@@ -535,3 +535,105 @@ def hreflang_clusters(
             (F.col("hreflang") == "x-default") & F.col("alt_key").isNotNull()
         ).alias("has_x_default"),
     ).withColumnRenamed("src_url", "url")
+
+
+
+# ---------------------------------------------------------------------------
+# Microdata (the second structured-data syntax after JSON-LD): a FLAT
+# itemprop/value harvest — signal-grade by design. Nesting (itemscope
+# tree reconstruction) is out of regex-harvest scope: rows carry the
+# page, property, per-tag value, and tag name so a consumer can
+# regroup; itemtype on the rows that declare it gives the vocabulary.
+
+_ITEMPROP_W = "[iI][tT][eE][mM][pP][rR][oO][pP]"
+_ITEMSCOPE_W = "[iI][tT][eE][mM][sS][cC][oO][pP][eE]"
+
+
+def _attr3(attr_name: str) -> str:
+    """attr="..." value in the 3-way quoting form, captures in groups
+    1-3 (the _first_group contract); anchored by the caller."""
+    return (
+        _ci(attr_name)
+        + r"""\s*=\s*(?:"([^"<>]*)"|'([^'<>]*)'|([^\s"'<>]+))"""
+    )
+
+
+def _microdata_tag_pattern() -> str:
+    """A tag region that DECLARES itemprop or itemscope, plus its
+    immediate text run. The keyword requirement lives in the SCAN
+    pattern (same anchoring discipline as _IN_REGION: the optional
+    filler before the keyword ends in a delimiter and walks quoted
+    values atomically, so 'data-itemprop=' and quoted-value payloads
+    never match) — pages without microdata cost one failed scan, and
+    the Generate only ever sees declaring tags."""
+    kw = r"(?:" + _ITEMPROP_W + "|" + _ITEMSCOPE_W + r")"
+    return (
+        r"<[a-zA-Z][a-zA-Z0-9]*\s(?:" + _FILLER + r"[\s/])?" + kw
+        + r"(?:[\s/=]" + _FILLER + r")?>[^<]*"
+    )
+
+
+_MICRO_TAG_RE = _microdata_tag_pattern()
+
+
+def microdata_records(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, tag_idx, tag, prop, value, itemtype, has_itemscope) — one
+    row per tag declaring ``itemprop`` or ``itemscope`` (schema.org
+    microdata, the attribute syntax; the page-level complement of
+    jsonld_records).
+
+    Value semantics follow the microdata spec's per-element rules,
+    the subset expressible per-tag: ``meta`` -> ``content``, ``time``
+    -> ``datetime`` (text-run fallback), ``a``/``link`` -> ``href``,
+    ``img``/``audio``/``video``/``source``/``iframe``/``embed`` ->
+    ``src``, anything else -> the element's immediate text run
+    (entity-lite folded, whitespace collapsed, cut at the first child
+    tag — the flat-harvest approximation of the spec's descendant
+    text). ``itemtype`` rides the rows that declare it (itemscope
+    roots); nesting is NOT reconstructed — documented signal grade;
+    the tree-accurate syntax is jsonld_records. Url-valued properties
+    keep their bytes — resolve like any harvested href.
+
+    One whole-document scan whose pattern requires the declaring
+    keyword (microdata-free pages pay one failed regex, and the
+    Generate sees only declaring tags), one posexplode, zero shuffle,
+    zero Python. DuckDB mirrors every step (tests/test_pagemeta.py
+    hash oracle); plan_audit pins Generate + Exchange==1 + no python
+    stage.
+    """
+    orig = F.col(html_col).cast("string")
+    exploded = docs.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(orig, F.lit(_MICRO_TAG_RE), F.lit(0))
+        ).alias("tag_idx", "tag"),
+    )
+    tag = F.col("tag")
+
+    def attr(name: str) -> Column:
+        return _first_group(tag, _IN_REGION + _attr3(name))
+
+    has_scope = tag.rlike(_IN_REGION + _ITEMSCOPE_W + r"(?:[\s/=>]|$)")
+    name = F.lower(F.regexp_extract(tag, r"^<([a-zA-Z][a-zA-Z0-9]*)", 1))
+    text_run = _clean_text(F.regexp_extract(tag, r">((?s:[^<]*))$", 1))
+    value = (
+        F.when(name == "meta", attr("content"))
+        .when(name == "time", F.coalesce(attr("datetime"), text_run))
+        .when(name.isin("a", "link"), attr("href"))
+        .when(
+            name.isin("img", "audio", "video", "source", "iframe", "embed"),
+            attr("src"),
+        )
+        .otherwise(text_run)
+    )
+    return exploded.select(
+        "url",
+        F.col("tag_idx").cast("int").alias("tag_idx"),
+        name.alias("tag"),
+        attr("itemprop").alias("prop"),
+        value.alias("value"),
+        attr("itemtype").alias("itemtype"),
+        has_scope.alias("has_itemscope"),
+    )

@@ -674,3 +674,125 @@ FROM sel
     assert len(srows) == len(orows) > 0
     assert sorted(sdf.columns) == sorted(orc.columns)
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+# ---------------------------------------------------------------------------
+# microdata records
+
+
+def _micro_pages() -> list[tuple[str, str]]:
+    return [
+        # 1: a full Recipe — scope root with itemtype, every value rule
+        # (text run with entity, meta/content, time/datetime, a/href,
+        # img/src), plus a nested scope WITHOUT itemtype
+        ("http://ex.com/r", """<div itemscope itemtype="https://schema.org/Recipe">
+  <span itemprop="name">Pie &amp; Mash</span>
+  <meta itemprop="cookTime" content="PT30M">
+  <time itemprop="datePublished" datetime="2026-01-01">Jan 1</time>
+  <a itemprop="url" href="/r/1">the page</a>
+  <img itemprop="image" src="/i.jpg">
+  <div itemprop="author" itemscope><b itemprop="name">A. Cook</b></div>
+</div>"""),
+        # 2: unquoted + single-quoted forms; time with no datetime
+        # falls back to its text run
+        ("http://ex.com/q", "<span itemprop=headline>Plain</span>"
+                            "<time itemprop='dateModified'>yesterday</time>"),
+        # 3: containment — data-itemprop is not itemprop, and the
+        # keyword inside a quoted value never matches
+        ("http://ex.com/adv", '<span data-itemprop="x">no</span>'
+                              '<span title="use itemprop=name here">no</span>'
+                              '<i itemscoped>no</i>'),
+        ("http://ex.com/none", "<p>nothing</p>"),
+        ("http://ex.com/junk", "\x00\xff<<>>"),
+    ]
+
+
+def test_microdata_records_hand_cases(spark):
+    from fusus_spark.operators.pagemeta import microdata_records
+
+    rows = microdata_records(_df(spark, _micro_pages())).collect()
+    r = sorted([x for x in rows if x["url"] == "http://ex.com/r"],
+               key=lambda x: x["tag_idx"])
+    assert [(x["tag"], x["prop"], x["value"]) for x in r] == [
+        ("div", None, None),                       # scope root, no text
+        ("span", "name", "Pie & Mash"),
+        ("meta", "cookTime", "PT30M"),
+        ("time", "datePublished", "2026-01-01"),   # datetime beats text
+        ("a", "url", "/r/1"),
+        ("img", "image", "/i.jpg"),
+        ("div", "author", None),                   # nested scope root
+        ("b", "name", "A. Cook"),
+    ]
+    assert r[0]["itemtype"] == "https://schema.org/Recipe"
+    assert r[0]["has_itemscope"] and not r[1]["has_itemscope"]
+    assert r[6]["has_itemscope"] and r[6]["itemtype"] is None
+
+    q = sorted([x for x in rows if x["url"] == "http://ex.com/q"],
+               key=lambda x: x["tag_idx"])
+    assert [(x["tag"], x["prop"], x["value"]) for x in q] == [
+        ("span", "headline", "Plain"),
+        ("time", "dateModified", "yesterday"),     # text-run fallback
+    ]
+
+    for u in ("http://ex.com/adv", "http://ex.com/none", "http://ex.com/junk"):
+        assert not [x for x in rows if x["url"] == u]
+
+
+def test_microdata_records_matches_duckdb_oracle(spark):
+    from fusus_spark.operators.pagemeta import (
+        _ITEMSCOPE_W,
+        _MICRO_TAG_RE,
+        _attr3,
+        microdata_records,
+    )
+
+    sdf = microdata_records(_df(spark, _micro_pages()))
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pages (url VARCHAR, html VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", _micro_pages())
+    tag_p = _MICRO_TAG_RE.replace("'", "''")
+    scope_p = (_IN_REGION + _ITEMSCOPE_W + r"(?:[\s/=>]|$)").replace("'", "''")
+
+    def attr(name: str) -> str:
+        return _fg_sql("tag", _IN_REGION + _attr3(name))
+
+    text_run = _clean_sql(
+        "nullif(regexp_extract(tag, '>((?s:[^<]*))$', 1), '')"
+    )
+    orc = con.sql(f"""
+WITH t0 AS (
+  SELECT url, regexp_extract_all(html, '{tag_p}', 0) AS tags FROM pages
+),
+t1 AS (
+  SELECT url, unnest(generate_series(1, len(tags))) AS i, tags FROM t0
+),
+t AS (
+  SELECT url, (i - 1)::INT AS tag_idx, tags[i] AS tag FROM t1
+),
+x AS (
+  SELECT url, tag_idx,
+    lower(regexp_extract(tag, '^<([a-zA-Z][a-zA-Z0-9]*)', 1)) AS tag,
+    {attr('itemprop')} AS prop,
+    {attr('itemtype')} AS itemtype,
+    regexp_matches(tag, '{scope_p}') AS has_itemscope,
+    {attr('content')} AS a_content, {attr('datetime')} AS a_datetime,
+    {attr('href')} AS a_href, {attr('src')} AS a_src,
+    {text_run} AS trun
+  FROM t
+)
+SELECT url, tag_idx, tag, prop,
+  CASE WHEN tag = 'meta' THEN a_content
+       WHEN tag = 'time' THEN coalesce(a_datetime, trun)
+       WHEN tag IN ('a', 'link') THEN a_href
+       WHEN tag IN ('img', 'audio', 'video', 'source', 'iframe', 'embed')
+            THEN a_src
+       ELSE trun END AS value,
+  itemtype, has_itemscope
+FROM x
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)

@@ -191,6 +191,9 @@ CHECKS = {
     # media refs: same shape — region explode + ref-array explode
     "media_refs": [("Generate", True), ("Exchange", 1),
                    ("BatchEvalPython", False), ("MapInPandas", False)],
+    # microdata: keyword-gated tag scan + one explode, map-side only
+    "microdata_records": [("Generate", True), ("Exchange", 1),
+                          ("BatchEvalPython", False), ("MapInPandas", False)],
     # temperature mixture: one stratum agg + a broadcast of the 1-ROW
     # total (BroadcastNestedLoop over one row is the intended shape;
     # a CartesianProduct would mean the broadcast was lost)
@@ -852,6 +855,20 @@ def _extra_frames():
         )
         return jsonld_records(docs)
 
+    def f_microdata(spark, sf_dir):
+        from fusus_spark.operators.pagemeta import microdata_records
+
+        docs = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), "doc_id").alias("url"),
+            F.encode(
+                F.concat(F.lit('<div itemscope><span itemprop="name">'),
+                         F.substring("text", 1, 20), F.lit("</span></div>")),
+                "UTF-8",
+            ).alias("html"),
+        )
+        return microdata_records(docs)
+
     def f_img_pairs(spark, sf_dir):
         from fusus_spark.operators.multimodal import image_text_pairs
 
@@ -974,7 +991,8 @@ def _extra_frames():
             "hreflang_clusters": f_hreflang_clusters,
             "jsonld_records": f_jsonld,
             "image_text_pairs": f_img_pairs,
-            "media_refs": f_media_refs}
+            "media_refs": f_media_refs,
+            "microdata_records": f_microdata}
 
 
 def main() -> None:
