@@ -839,3 +839,85 @@ def stratified_sample_by_table(
         key.alias("sample_key"),
         F.col("__thr__"),
     ).where(F.col("sample_key") < F.col("__thr__")).drop("__thr__")
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    url_col: str | None = None,
+) -> DataFrame:
+    """The dataset-card rollup: per-language corpus accounting plus an
+    ALL total, in one pass — (scope, n_docs, n_empty, n_hosts,
+    tokens_total, chars_total, bytes_total, avg_tokens_e4).
+
+    ``scope`` is the language tag ('unknown' for null), with one
+    'ALL' row from the same aggregation via ``rollup`` (GROUPING
+    SETS — partial+final agg, no second scan). ``n_hosts`` counts
+    distinct registrable hosts when ``url_col`` is given (the
+    provenance-diversity number a dataset card reports; EXACT
+    count_distinct — the HLL sketch answer is engine-specific and
+    would break the oracle), else null. ``avg_tokens_e4`` is the
+    house scaled-bigint spelling (round(tokens/docs * 10^4)).
+    'ALL' sorts first, then languages by n_docs desc with a scope
+    tie-break — deterministic.
+
+    One rollup aggregation = one shuffle (count_distinct adds the
+    Expand, the standard two-phase distinct agg — still bounded by
+    |langs| x |hosts| partial states, no row explosion at 10^12).
+
+    DuckDB mirror: GROUP BY ROLLUP with identical expressions
+    (tests/test_curate_extras.py hash oracle).
+    """
+    from fusus_spark.functions.text import norm_ws, token_count
+    from fusus_spark.functions.url import url_host
+
+    txt = F.col(text_col)
+    toks = token_count(text_col)
+    grouped = docs.select(
+        F.coalesce(F.col(lang_col), F.lit("unknown")).alias("_lang"),
+        # norm_ws-empty, not trim-empty: Spark/DuckDB trim strip only
+        # 0x20, so a tabs-and-newlines doc would slip past a bare trim
+        F.when(txt.isNull() | (F.length(norm_ws(text_col)) == 0), 1)
+        .otherwise(0)
+        .alias("_empty"),
+        F.coalesce(toks, F.lit(0)).alias("_toks"),
+        F.coalesce(F.length(norm_ws(text_col)), F.lit(0)).alias("_chars"),
+        F.coalesce(F.octet_length(txt), F.lit(0)).alias("_bytes"),
+        *(
+            [url_host(F.col(url_col)).alias("_host")]
+            if url_col is not None
+            else []
+        ),
+    ).rollup("_lang")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_empty").cast("bigint").alias("n_empty"),
+        (
+            F.count_distinct(F.col("_host")).cast("bigint")
+            if url_col is not None
+            else F.lit(None).cast("bigint")
+        ).alias("n_hosts"),
+        F.sum("_toks").cast("bigint").alias("tokens_total"),
+        F.sum("_chars").cast("bigint").alias("chars_total"),
+        F.sum("_bytes").cast("bigint").alias("bytes_total"),
+    ]
+    out = grouped.agg(*aggs).select(
+        F.when(F.col("_lang").isNull(), "ALL").otherwise(F.col("_lang")).alias(
+            "scope"
+        ),
+        "n_docs",
+        "n_empty",
+        "n_hosts",
+        "tokens_total",
+        "chars_total",
+        "bytes_total",
+        F.round(F.col("tokens_total") * F.lit(10_000) / F.col("n_docs"))
+        .cast("bigint")
+        .alias("avg_tokens_e4"),
+    )
+    return out.orderBy(
+        F.when(F.col("scope") == "ALL", 0).otherwise(1),
+        F.col("n_docs").desc(),
+        "scope",
+    )

@@ -388,3 +388,96 @@ def test_dedup_passages_matches_python_reference(spark):
             for r in dedup_passages(docs, n=3).collect()
         }
         assert got == reference(corpus, 3), f"trial {trial}"
+
+
+# ---------------------------------------------------------------- corpus report
+
+
+def _report_corpus() -> list[tuple[str, str, str]]:
+    rows = [
+        ("http://a.com/1", "en", "hello   world one"),
+        ("http://a.com/2", "en", "hello again"),
+        ("http://b.com/1", "en", "three tokens here"),
+        ("http://b.com/2", "de", "hallo welt"),
+        ("http://c.com/1", None, "lang unknown text"),
+        ("http://c.com/2", "de", ""),          # empty -> 0 tokens, n_empty
+        ("http://c.com/3", "fr", "  \n\t "),   # whitespace-only = empty
+        ("http://c.com/4", "en", "héllo bytes"),  # bytes > chars
+    ]
+    return rows
+
+
+def test_corpus_report_hand_cases(spark):
+    from fusus_spark.operators.curate import corpus_report
+
+    df = spark.createDataFrame(
+        _report_corpus(), "url string, lang string, text string"
+    )
+    got = corpus_report(df, url_col="url").collect()
+    assert got[0]["scope"] == "ALL"              # total row sorts first
+    al = got[0]
+    assert al["n_docs"] == 8 and al["n_empty"] == 2
+    assert al["n_hosts"] == 3
+    assert al["tokens_total"] == 3 + 2 + 3 + 2 + 3 + 0 + 0 + 2
+    by = {r["scope"]: r for r in got[1:]}
+    assert set(by) == {"en", "de", "fr", "unknown"}
+    assert by["en"]["n_docs"] == 4 and by["en"]["n_hosts"] == 3
+    assert by["en"]["tokens_total"] == 10
+    assert by["en"]["avg_tokens_e4"] == 25_000   # 10/4 * 1e4
+    assert by["de"]["n_docs"] == 2 and by["de"]["n_empty"] == 1
+    assert by["fr"]["n_empty"] == 1 and by["fr"]["tokens_total"] == 0
+    assert by["unknown"]["n_docs"] == 1
+    # ordering after ALL: n_docs desc, scope asc tie-break
+    assert [r["scope"] for r in got] == ["ALL", "en", "de", "fr", "unknown"]
+
+    # without url_col: n_hosts null, everything else identical
+    no_host = corpus_report(df).collect()
+    assert all(r["n_hosts"] is None for r in no_host)
+    assert [r["scope"] for r in no_host] == [r["scope"] for r in got]
+
+
+def test_corpus_report_matches_duckdb_oracle(spark):
+    from fusus_spark.operators.curate import corpus_report
+    from tests.test_frontier import _HOST_RE_SQL
+
+    sdf = corpus_report(
+        spark.createDataFrame(
+            _report_corpus(), "url string, lang string, text string"
+        ),
+        url_col="url",
+    )
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE docs (url VARCHAR, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", _report_corpus())
+    norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+    orc = con.sql(f"""
+WITH base AS (
+  SELECT coalesce(lang, 'unknown') AS _lang,
+    CASE WHEN text IS NULL OR length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 1 ELSE 0 END AS _empty,
+    CASE WHEN length({norm}) = 0 THEN 0
+         ELSE len(string_split({norm}, ' ')) END AS _toks,
+    length({norm}) AS _chars,
+    octet_length(encode(text)) AS _bytes,
+    lower(regexp_extract(url, '{_HOST_RE_SQL}', 1)) AS _host
+  FROM docs
+),
+g AS (
+  SELECT CASE WHEN GROUPING(_lang) = 1 THEN 'ALL' ELSE _lang END AS scope,
+    count(*) AS n_docs,
+    sum(_empty)::BIGINT AS n_empty,
+    count(DISTINCT _host)::BIGINT AS n_hosts,
+    sum(_toks)::BIGINT AS tokens_total,
+    sum(_chars)::BIGINT AS chars_total,
+    sum(_bytes)::BIGINT AS bytes_total
+  FROM base GROUP BY ROLLUP(_lang)
+)
+SELECT *, round(tokens_total * 10000 / n_docs)::BIGINT AS avg_tokens_e4
+FROM g
+ORDER BY CASE WHEN scope = 'ALL' THEN 0 ELSE 1 END, n_docs DESC, scope
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)

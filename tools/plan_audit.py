@@ -194,6 +194,10 @@ CHECKS = {
     # microdata: keyword-gated tag scan + one explode, map-side only
     "microdata_records": [("Generate", True), ("Exchange", 1),
                           ("BatchEvalPython", False), ("MapInPandas", False)],
+    # corpus report: ONE rollup aggregation (Expand = grouping sets +
+    # the two-phase distinct host agg), never a second scan or a join
+    "corpus_report": [("Expand", True), ("HashAggregate", True),
+                      ("CartesianProduct", False), ("BatchEvalPython", False)],
     # temperature mixture: one stratum agg + a broadcast of the 1-ROW
     # total (BroadcastNestedLoop over one row is the intended shape;
     # a CartesianProduct would mean the broadcast was lost)
@@ -869,6 +873,15 @@ def _extra_frames():
         )
         return microdata_records(docs)
 
+    def f_corpus_report(spark, sf_dir):
+        from fusus_spark.operators.curate import corpus_report
+
+        docs = load(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                            F.lit(".com/p/"), "doc_id")
+        )
+        return corpus_report(docs, url_col="url")
+
     def f_img_pairs(spark, sf_dir):
         from fusus_spark.operators.multimodal import image_text_pairs
 
@@ -992,7 +1005,8 @@ def _extra_frames():
             "jsonld_records": f_jsonld,
             "image_text_pairs": f_img_pairs,
             "media_refs": f_media_refs,
-            "microdata_records": f_microdata}
+            "microdata_records": f_microdata,
+            "corpus_report": f_corpus_report}
 
 
 def main() -> None:
