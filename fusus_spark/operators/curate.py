@@ -885,7 +885,10 @@ def corpus_report(
         F.coalesce(F.length(norm_ws(text_col)), F.lit(0)).alias("_chars"),
         F.coalesce(F.octet_length(txt), F.lit(0)).alias("_bytes"),
         *(
-            [url_host(F.col(url_col)).alias("_host")]
+            # url_host returns '' (not null) for unparseable urls — a
+            # malformed url must not mint a phantom distinct host
+            # (review finding)
+            [F.nullif(url_host(F.col(url_col)), F.lit("")).alias("_host")]
             if url_col is not None
             else []
         ),

@@ -762,6 +762,27 @@ def frame_sample(df: DataFrame, n_frames: int = 4, fps: float = 25.0,
 # best-resolution candidate. Pure JVM regexp harvest in the house
 # style (RE2-safe, DuckDB-mirrored), zero shuffle, zero Python.
 
+def _tempered_body(word: str) -> str:
+    """Region-body chars that can never START another ``<word`` open
+    tag: any non-'<', or '<' followed by a spelled-out negated prefix
+    of the word (RE2-safe — no lookaheads). Without this, an UNCLOSED
+    element followed by a closed one would match as ONE region from
+    the first open tag to the other element's close tag, attributing
+    the second element's caption/children to the first (a wrong
+    training caption — review finding). With it, the broken open tag
+    simply fails the closed-form branch and degrades to a bare tag,
+    while the intact element matches on its own. Cost: sibling tags
+    sharing a strict prefix (none among figure/video/audio) would be
+    over-blocked; ``figcaption`` diverges from ``figure`` at 'c' vs
+    'u' and stays allowed."""
+    from fusus_spark.operators.pagemeta import _ci
+
+    alts = []
+    for i, ch in enumerate(word):
+        alts.append(_ci(word[:i]) + "[^" + ch + ch.upper() + "]")
+    return r"(?:[^<]|<(?:" + "|".join(alts) + r"))*?"
+
+
 def _img_patterns():
     """Compiled-once pattern set (module import time); a function so
     the pagemeta/robots imports stay local (no cycle at module load)."""
@@ -771,7 +792,7 @@ def _img_patterns():
     img_tag = "<" + _ci("img") + r"[\s/]" + _FILLER
     fig = (
         "<" + _ci("figure") + r"(?:\s" + _FILLER + r")?>"
-        + r"(?s:.*?)</" + _ci("figure") + r"[ \t\r\n\f]*>"
+        + _tempered_body("figure") + r"</" + _ci("figure") + r"[ \t\r\n\f]*>"
     )
     figcap = (
         "<" + _ci("figcaption") + r"(?:\s" + _FILLER + r")?>"
@@ -793,10 +814,12 @@ _SRCSET_CAND = r"([^, \t\r\n\f]+)[ \t\r\n\f]+(\d{1,9})[wW]"
 
 def _attr_val_pat(attr: str) -> str:
     """attr="..." value in the 3-way quoting form, captures in groups
-    1-3 (the _first_group contract); anchored by the caller."""
-    from fusus_spark.operators.pagemeta import _ci
+    1-3 (the _first_group contract); anchored by the caller. ONE
+    quoting grammar repo-wide: delegates to pagemeta._attr3 so the
+    Spark and DuckDB pattern pairs can never drift apart."""
+    from fusus_spark.operators.pagemeta import _attr3
 
-    return _ci(attr) + r"""\s*=\s*(?:"([^"<>]*)"|'([^'<>]*)'|([^\s"'<>]+))"""
+    return _attr3(attr)
 
 
 def image_text_pairs(
@@ -920,7 +943,7 @@ def _media_patterns():
     def closed(name: str) -> str:
         return (
             "<" + _ci(name) + r"(?:\s" + _FILLER + r")?>"
-            + r"(?s:.*?)</" + _ci(name) + r"[ \t\r\n\f]*>"
+            + _tempered_body(name) + r"</" + _ci(name) + r"[ \t\r\n\f]*>"
         )
 
     def bare(name: str) -> str:

@@ -545,8 +545,13 @@ def hreflang_clusters(
 # page, property, per-tag value, and tag name so a consumer can
 # regroup; itemtype on the rows that declare it gives the vocabulary.
 
-_ITEMPROP_W = "[iI][tT][eE][mM][pP][rR][oO][pP]"
-_ITEMSCOPE_W = "[iI][tT][eE][mM][sS][cC][oO][pP][eE]"
+_ITEMPROP_W = _ci("itemprop")
+_ITEMSCOPE_W = _ci("itemscope")
+# _IN_REGION's '<[a-zA-Z]+\s' anchor rejects digit-bearing tag names —
+# and headline-on-h1 is the single most common microdata idiom, so the
+# microdata pulls use this digit-tolerant variant (same containment
+# discipline otherwise)
+_IN_REGION_D = r"^<[a-zA-Z][a-zA-Z0-9]*\s(?:" + _FILLER + r"[\s/])?"
 
 
 def _attr3(attr_name: str) -> str:
@@ -613,9 +618,9 @@ def microdata_records(
     tag = F.col("tag")
 
     def attr(name: str) -> Column:
-        return _first_group(tag, _IN_REGION + _attr3(name))
+        return _first_group(tag, _IN_REGION_D + _attr3(name))
 
-    has_scope = tag.rlike(_IN_REGION + _ITEMSCOPE_W + r"(?:[\s/=>]|$)")
+    has_scope = tag.rlike(_IN_REGION_D + _ITEMSCOPE_W + r"(?:[\s/=>]|$)")
     name = F.lower(F.regexp_extract(tag, r"^<([a-zA-Z][a-zA-Z0-9]*)", 1))
     text_run = _clean_text(F.regexp_extract(tag, r">((?s:[^<]*))$", 1))
     value = (

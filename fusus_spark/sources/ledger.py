@@ -406,6 +406,12 @@ def run_extraction_job(
     locked = 0
     for bucket in range(n_buckets):
         lineage = input_lineage(input_path, bucket)
+        # the emit SET is part of the bucket's identity, same principle
+        # as the robots toggle below: a resume that adds (or drops) a
+        # kind must redo the bucket — otherwise adding --emit jsonld to
+        # a finished run would skip every bucket and silently emit no
+        # side table at all (review finding)
+        lineage += "+emit=" + ",".join(sorted(set(emit)))
         if respect_robots:
             # the consent filter is part of the bucket's identity:
             # toggling it must invalidate done buckets (a resume with a
@@ -469,11 +475,22 @@ def run_extraction_job(
                     tmp_dir = os.path.join(
                         staging_root, f"bucket={bucket}-{uuid.uuid4().hex}"
                     )
-                    frame = (
-                        splitters[kind](stage)
-                        if kind in splitters
-                        else doc_splitters[kind](docs)
-                    )
+                    if kind in splitters:
+                        frame = splitters[kind](stage)
+                    else:
+                        # same max_html_bytes truncation the parse
+                        # channel applies (extraction/extract.py):
+                        # side tables and parse tables must agree on
+                        # which content exists, and an unbounded page
+                        # must not pay 4 full-document regex scans
+                        frame = doc_splitters[kind](
+                            docs.withColumn(
+                                "html",
+                                F.substring(
+                                    F.col("html"), 1, int(max_html_bytes)
+                                ),
+                            )
+                        )
                     frame.write.mode("overwrite").parquet(tmp_dir)
                     rows, size = _footer_metrics(tmp_dir)
                     per_kind[kind] = {"rows": rows, "bytes": size}

@@ -383,7 +383,16 @@ def wet_records(
 
     url = F.col(url_col)
     txt = F.col(text_col)
-    h = F.md5(F.concat_ws("\x1f", url, F.col(ts_col).cast("string")))
+    # timezone-independence: cast('string') and date_format both render
+    # through spark.sql.session.timeZone, so a differently-configured
+    # driver would emit different bytes AND a wrong instant labeled
+    # 'Z'. to_utc_timestamp(ts, current_timezone()) re-labels the
+    # instant so the session-tz rendering IS the UTC wall time —
+    # byte-identical under any session timezone (review finding;
+    # the same discipline as write_bucketed_input's crawl_date).
+    ts_utc = F.to_utc_timestamp(F.col(ts_col), F.current_timezone())
+    ts_key = F.date_format(ts_utc, "yyyy-MM-dd HH:mm:ss")
+    h = F.md5(F.concat_ws("\x1f", url, ts_key))
     record_id = F.concat(
         F.lit("urn:uuid:"),
         F.substring(h, 1, 8), F.lit("-"),
@@ -399,7 +408,7 @@ def wet_records(
         F.concat(F.lit("WARC-Target-URI: "), url),
         F.concat(
             F.lit("WARC-Date: "),
-            F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.date_format(ts_utc, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
         ),
         F.concat(F.lit("WARC-Record-ID: <"), record_id, F.lit(">")),
         F.concat(F.lit("WARC-Block-Digest: md5:"), F.md5(F.encode(txt, "UTF-8"))),

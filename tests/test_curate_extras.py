@@ -403,6 +403,7 @@ def _report_corpus() -> list[tuple[str, str, str]]:
         ("http://c.com/2", "de", ""),          # empty -> 0 tokens, n_empty
         ("http://c.com/3", "fr", "  \n\t "),   # whitespace-only = empty
         ("http://c.com/4", "en", "héllo bytes"),  # bytes > chars
+        ("not a url", "en", "malformed url"),     # no phantom host
     ]
     return rows
 
@@ -416,14 +417,14 @@ def test_corpus_report_hand_cases(spark):
     got = corpus_report(df, url_col="url").collect()
     assert got[0]["scope"] == "ALL"              # total row sorts first
     al = got[0]
-    assert al["n_docs"] == 8 and al["n_empty"] == 2
-    assert al["n_hosts"] == 3
-    assert al["tokens_total"] == 3 + 2 + 3 + 2 + 3 + 0 + 0 + 2
+    assert al["n_docs"] == 9 and al["n_empty"] == 2
+    assert al["n_hosts"] == 3                    # '' host never counted
+    assert al["tokens_total"] == 3 + 2 + 3 + 2 + 3 + 0 + 0 + 2 + 2
     by = {r["scope"]: r for r in got[1:]}
     assert set(by) == {"en", "de", "fr", "unknown"}
-    assert by["en"]["n_docs"] == 4 and by["en"]["n_hosts"] == 3
-    assert by["en"]["tokens_total"] == 10
-    assert by["en"]["avg_tokens_e4"] == 25_000   # 10/4 * 1e4
+    assert by["en"]["n_docs"] == 5 and by["en"]["n_hosts"] == 3
+    assert by["en"]["tokens_total"] == 12
+    assert by["en"]["avg_tokens_e4"] == 24_000   # 12/5 * 1e4
     assert by["de"]["n_docs"] == 2 and by["de"]["n_empty"] == 1
     assert by["fr"]["n_empty"] == 1 and by["fr"]["tokens_total"] == 0
     assert by["unknown"]["n_docs"] == 1
@@ -460,7 +461,7 @@ WITH base AS (
          ELSE len(string_split({norm}, ' ')) END AS _toks,
     length({norm}) AS _chars,
     octet_length(encode(text)) AS _bytes,
-    lower(regexp_extract(url, '{_HOST_RE_SQL}', 1)) AS _host
+    nullif(lower(regexp_extract(url, '{_HOST_RE_SQL}', 1)), '') AS _host
   FROM docs
 ),
 g AS (

@@ -50,6 +50,13 @@ def _pages() -> list[tuple[str, str]]:
         ("http://ex.com/data",
          '<img src="data:image/png;base64,AAAA" alt="inline">'
          '<figure><img src="/u.jpg" alt="unclosed">'),
+        # 4b: an UNCLOSED figure must NOT swallow the next closed one —
+        # its img degrades to bare while the intact figure keeps its
+        # own caption (review finding: tempered region body)
+        ("http://ex.com/broken",
+         '<figure class=a><img src="/first.jpg" alt="first"> stray '
+         '<figure><img src="/second.jpg"><figcaption>second cap'
+         "</figcaption></figure>"),
         # 5: figure with caption BEFORE the img; figcaption with
         # attributes; uppercase tags
         ("http://ex.com/pre", "<FIGURE><FIGCAPTION class=c>Cap first"
@@ -97,6 +104,12 @@ def test_image_text_pairs_hand_cases(spark):
     u = by_src[("http://ex.com/data", "/u.jpg")]
     assert d["is_data_uri"] and not u["is_data_uri"]
     assert not u["in_figure"] and u["text"] == "unclosed"  # degraded
+
+    b1 = by_src[("http://ex.com/broken", "/first.jpg")]
+    b2 = by_src[("http://ex.com/broken", "/second.jpg")]
+    assert not b1["in_figure"] and b1["caption"] is None
+    assert b1["text"] == "first"
+    assert b2["in_figure"] and b2["text"] == "second cap"
 
     p = by_src[("http://ex.com/pre", "/p.jpg")]
     assert p["in_figure"] and p["text"] == "Cap first"
@@ -234,6 +247,11 @@ def _media_pages() -> list[tuple[str, str]]:
         # children lost
         ("http://ex.com/u", '<video src="/u.mp4" width=640>'
                             '<source src="/lost.webm">'),
+        # 3b: the unclosed video must not swallow a later closed one
+        ("http://ex.com/vb", '<video src="/b1.mp4"> stray '
+                             '<video src="/b2.mp4">'
+                             '<track src="/b2.vtt" kind=subtitles>'
+                             "</video>"),
         # 4: audio self src as data: URI, unquoted
         ("http://ex.com/d", "<audio src=data:audio/wav;base64,AAAA></audio>"),
         # 5: nothing / junk
@@ -271,6 +289,14 @@ def test_media_refs_hand_cases(spark):
     u = [r for r in rows if r["url"] == "http://ex.com/u"]
     assert [(r["ref_kind"], r["src"]) for r in u] == [("src", "/u.mp4")]
     assert u[0]["width"] == 640 and u[0]["height"] is None
+
+    vb = sorted([r for r in rows if r["url"] == "http://ex.com/vb"],
+                key=lambda r: (r["region_idx"], r["ref_idx"]))
+    assert [(r["region_idx"], r["ref_kind"], r["src"]) for r in vb] == [
+        (0, "src", "/b1.mp4"),          # degraded bare open tag
+        (1, "src", "/b2.mp4"),          # the intact element, own region
+        (1, "track", "/b2.vtt"),
+    ]
 
     d = [r for r in rows if r["url"] == "http://ex.com/d"]
     assert d[0]["src"] == "data:audio/wav;base64,AAAA" and d[0]["is_data_uri"]

@@ -694,9 +694,11 @@ def _micro_pages() -> list[tuple[str, str]]:
   <div itemprop="author" itemscope><b itemprop="name">A. Cook</b></div>
 </div>"""),
         # 2: unquoted + single-quoted forms; time with no datetime
-        # falls back to its text run
+        # falls back to its text run; digit-bearing tag names (h1 —
+        # the most common microdata idiom) keep their declarations
         ("http://ex.com/q", "<span itemprop=headline>Plain</span>"
-                            "<time itemprop='dateModified'>yesterday</time>"),
+                            "<time itemprop='dateModified'>yesterday</time>"
+                            '<h1 itemprop="name" itemscope>Big Title</h1>'),
         # 3: containment — data-itemprop is not itemprop, and the
         # keyword inside a quoted value never matches
         ("http://ex.com/adv", '<span data-itemprop="x">no</span>'
@@ -732,7 +734,9 @@ def test_microdata_records_hand_cases(spark):
     assert [(x["tag"], x["prop"], x["value"]) for x in q] == [
         ("span", "headline", "Plain"),
         ("time", "dateModified", "yesterday"),     # text-run fallback
+        ("h1", "name", "Big Title"),               # digit tag name
     ]
+    assert q[2]["has_itemscope"]
 
     for u in ("http://ex.com/adv", "http://ex.com/none", "http://ex.com/junk"):
         assert not [x for x in rows if x["url"] == u]
@@ -740,6 +744,7 @@ def test_microdata_records_hand_cases(spark):
 
 def test_microdata_records_matches_duckdb_oracle(spark):
     from fusus_spark.operators.pagemeta import (
+        _IN_REGION_D,
         _ITEMSCOPE_W,
         _MICRO_TAG_RE,
         _attr3,
@@ -753,10 +758,10 @@ def test_microdata_records_matches_duckdb_oracle(spark):
     con.sql("CREATE TABLE pages (url VARCHAR, html VARCHAR)")
     con.executemany("INSERT INTO pages VALUES (?, ?)", _micro_pages())
     tag_p = _MICRO_TAG_RE.replace("'", "''")
-    scope_p = (_IN_REGION + _ITEMSCOPE_W + r"(?:[\s/=>]|$)").replace("'", "''")
+    scope_p = (_IN_REGION_D + _ITEMSCOPE_W + r"(?:[\s/=>]|$)").replace("'", "''")
 
     def attr(name: str) -> str:
-        return _fg_sql("tag", _IN_REGION + _attr3(name))
+        return _fg_sql("tag", _IN_REGION_D + _attr3(name))
 
     text_run = _clean_sql(
         "nullif(regexp_extract(tag, '>((?s:[^<]*))$', 1), '')"

@@ -187,14 +187,15 @@ def test_lineage_invalidation(spark, bucketed_input, tmp_path):
     ledger_path = str(tmp_path / "ledger2")
     run_extraction_job(spark, bucketed_input, out, ledger_path, N_BUCKETS)
     ledger = Ledger(ledger_path)
-    lineage0 = input_lineage(bucketed_input, 0)
+    # the stored key is input lineage + the emit-set suffix
+    lineage0 = input_lineage(bucketed_input, 0) + "+emit=words"
     assert ledger.is_done(0, lineage0)
     # If the input bucket changes, the bucket is no longer considered done.
     assert not ledger.is_done(0, "different-lineage")
     # Corrupt ledger file -> treated as not-done (safe redo, not crash).
     with open(os.path.join(ledger_path, "bucket=1.json"), "w") as f:
         f.write("{broken json")
-    assert not ledger.is_done(1, input_lineage(bucketed_input, 1))
+    assert not ledger.is_done(1, input_lineage(bucketed_input, 1) + "+emit=words")
 
 
 def test_by_date_grid_resume_and_reprocess(spark, tmp_path):
@@ -483,3 +484,32 @@ def test_doc_level_emit_only_skips_parse(spark, tmp_path):
     want = jsonld_records(spark.read.parquet(inp).drop("bucket"))
     assert got.count() == want.count() == 12
     assert got.exceptAll(want).count() == 0
+
+
+def test_emit_set_is_part_of_the_resume_key(spark, tmp_path):
+    """Adding a kind to a finished run must REDO buckets (and produce
+    the new side table) rather than skip-all and silently emit
+    nothing (review finding)."""
+    inp = str(tmp_path / "input")
+    rows = [
+        (f"http://ex.com/{i}", None,
+         (f'<p>body {i}</p><script type="application/ld+json">'
+          f'{{"@type":"Article","headline":"H{i}"}}</script>').encode(),
+         None, "en")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    write_bucketed_input(docs, inp, 2)
+    out = str(tmp_path / "out")
+    led = str(tmp_path / "ledger")
+
+    s1 = run_extraction_job(spark, inp, out, led, 2, emit=("words",))
+    assert s1["processed"] == 2
+    s2 = run_extraction_job(spark, inp, out, led, 2, emit=("words", "jsonld"))
+    assert s2["processed"] == 2 and s2["skipped"] == 0   # invalidated
+    assert spark.read.parquet(out + "/jsonld/bucket=*").count() == 12
+    # identical emit resumes as before
+    s3 = run_extraction_job(spark, inp, out, led, 2, emit=("words", "jsonld"))
+    assert s3["skipped"] == 2 and s3["processed"] == 0

@@ -707,3 +707,24 @@ def test_write_wet_roundtrip(spark, tmp_path):
         "https://ex.com/a": "Hello world",
         "https://ex.com/u": "héllo\nzwei",
     }
+
+
+def test_wet_records_session_timezone_independent(spark):
+    """The same instants must yield byte-identical records under ANY
+    spark.sql.session.timeZone (review finding): WARC-Date renders the
+    UTC wall time and the record-id hash keys on it."""
+    from fusus_spark.sources.warc import wet_records
+
+    def run():
+        return {r["url"]: r["record"]
+                for r in wet_records(_wet_df(spark)).collect()}
+
+    base = run()
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        shifted = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert shifted == base
+    assert "WARC-Date: 2026-01-02T03:04:05Z" in base["https://ex.com/a"]

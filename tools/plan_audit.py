@@ -198,6 +198,9 @@ CHECKS = {
     # the two-phase distinct host agg), never a second scan or a join
     "corpus_report": [("Expand", True), ("HashAggregate", True),
                       ("CartesianProduct", False), ("BatchEvalPython", False)],
+    # WET export: one codegen'd projection, zero shuffle, zero python
+    "wet_records": [("Exchange", 1), ("codegen id", True),
+                    ("BatchEvalPython", False), ("MapInPandas", False)],
     # temperature mixture: one stratum agg + a broadcast of the 1-ROW
     # total (BroadcastNestedLoop over one row is the intended shape;
     # a CartesianProduct would mean the broadcast was lost)
@@ -882,6 +885,17 @@ def _extra_frames():
         )
         return corpus_report(docs, url_col="url")
 
+    def f_wet(spark, sf_dir):
+        from fusus_spark.sources.warc import wet_records
+
+        docs = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), "doc_id").alias("url"),
+            F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("warc_ts"),
+            F.col("text").alias("extracted_text"),
+        )
+        return wet_records(docs)
+
     def f_img_pairs(spark, sf_dir):
         from fusus_spark.operators.multimodal import image_text_pairs
 
@@ -1006,7 +1020,8 @@ def _extra_frames():
             "image_text_pairs": f_img_pairs,
             "media_refs": f_media_refs,
             "microdata_records": f_microdata,
-            "corpus_report": f_corpus_report}
+            "corpus_report": f_corpus_report,
+            "wet_records": f_wet}
 
 
 def main() -> None:
