@@ -1251,3 +1251,130 @@ def test_parse_sitemap_entries_never_raises_on_junk(spark):
     assert "http://c.com/x" in by_sm["u6"][0]["loc"]
     assert by_sm["u7"][0]["loc"] == "http://p.com/i"
     assert len(by_sm["u9"]) == 500
+
+
+# ---------------------------------------------------------------------------
+# sitemap media extensions
+
+
+def _media_sitemaps() -> list[tuple[str, str]]:
+    return [
+        # 1: two images (one with title+caption, entities unescape) and
+        # a full video on one page entry; a second entry image-less
+        ("https://h.com/media.xml", """<urlset>
+<url><loc>https://h.com/gallery</loc>
+  <image:image><image:loc>https://cdn.h.com/1.jpg</image:loc>
+    <image:title>Sunset &amp; sea</image:title>
+    <image:caption>A &quot;golden&quot; hour</image:caption>
+  </image:image>
+  <image:image><image:loc>https://cdn.h.com/2.jpg</image:loc></image:image>
+  <video:video>
+    <video:content_loc>https://cdn.h.com/v.mp4</video:content_loc>
+    <video:thumbnail_loc>https://cdn.h.com/v.jpg</video:thumbnail_loc>
+    <video:title>Clip</video:title>
+    <video:description>Short clip</video:description>
+    <video:duration>93</video:duration>
+  </video:video>
+</url>
+<url><loc>https://h.com/plain</loc><lastmod>2026-01-01</lastmod></url>
+</urlset>"""),
+        # 2: player_loc fallback when content_loc absent; malformed
+        # duration -> null; loc-less image dropped
+        ("https://h.com/v2.xml",
+         "<urlset><url><loc>https://h.com/p</loc>"
+         "<video:video><video:player_loc>https://h.com/player?id=9"
+         "</video:player_loc><video:duration>soon</video:duration>"
+         "</video:video>"
+         "<image:image><image:title>no loc</image:title></image:image>"
+         "</url></urlset>"),
+        # 3: index files / junk have no <url> entries -> no rows
+        ("https://h.com/idx.xml",
+         "<sitemapindex><sitemap><loc>https://h.com/a.xml</loc></sitemap>"
+         "</sitemapindex>"),
+        ("https://h.com/junk.xml", "\x00not xml"),
+    ]
+
+
+def test_parse_sitemap_media_hand_cases(spark):
+    from fusus_spark.operators.frontier import parse_sitemap_media
+
+    df = spark.createDataFrame(_media_sitemaps(), "sitemap_url string, xml string")
+    rows = sorted(
+        [tuple(r) for r in parse_sitemap_media(df).collect()],
+        key=lambda t: (t[0], t[3] or ""),
+    )
+    assert rows == [
+        ("https://h.com/media.xml", "https://h.com/gallery", "image",
+         "https://cdn.h.com/1.jpg", None, "Sunset & sea",
+         'A "golden" hour', None),
+        ("https://h.com/media.xml", "https://h.com/gallery", "image",
+         "https://cdn.h.com/2.jpg", None, None, None, None),
+        ("https://h.com/media.xml", "https://h.com/gallery", "video",
+         "https://cdn.h.com/v.mp4", "https://cdn.h.com/v.jpg", "Clip",
+         "Short clip", 93),
+        ("https://h.com/v2.xml", "https://h.com/p", "video",
+         "https://h.com/player?id=9", None, None, None, None),
+    ]
+
+
+def test_parse_sitemap_media_matches_duckdb_oracle(spark):
+    from fusus_spark.operators.frontier import parse_sitemap_media
+
+    df = spark.createDataFrame(_media_sitemaps(), "sitemap_url string, xml string")
+    sdf = parse_sitemap_media(df)
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE sm (sitemap_url VARCHAR, xml VARCHAR)")
+    con.executemany("INSERT INTO sm VALUES (?, ?)", _media_sitemaps())
+
+    def unesc(x: str) -> str:
+        return (f"replace(replace(replace(replace(replace({x}, "
+                "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+                "'&apos;', ''''), '&amp;', '&')")
+
+    def fld(src: str, tag: str) -> str:
+        return (f"nullif(regexp_extract({src}, "
+                f"'<{tag}>\\s*([\\s\\S]*?)\\s*</{tag}>', 1), '')")
+
+    orc = con.sql(f"""
+WITH b AS (
+  SELECT sitemap_url,
+         unnest(regexp_extract_all(coalesce(xml, ''),
+                '<url>([\\s\\S]*?)</url>', 1)) AS e
+  FROM sm
+), p AS (
+  SELECT sitemap_url, {unesc(fld('e', 'loc'))} AS page_loc,
+    list_transform(regexp_extract_all(e,
+        '<image:image>([\\s\\S]*?)</image:image>', 1),
+      m -> struct_pack(media_kind := 'image',
+        media_loc := {unesc(fld('m', 'image:loc'))},
+        thumbnail_loc := NULL::VARCHAR,
+        title := {unesc(fld('m', 'image:title'))},
+        caption := {unesc(fld('m', 'image:caption'))},
+        duration_s := NULL::INT)) ||
+    list_transform(regexp_extract_all(e,
+        '<video:video>([\\s\\S]*?)</video:video>', 1),
+      m -> struct_pack(media_kind := 'video',
+        media_loc := coalesce({unesc(fld('m', 'video:content_loc'))},
+                              {unesc(fld('m', 'video:player_loc'))}),
+        thumbnail_loc := {unesc(fld('m', 'video:thumbnail_loc'))},
+        title := {unesc(fld('m', 'video:title'))},
+        caption := {unesc(fld('m', 'video:description'))},
+        duration_s := try_cast({fld('m', 'video:duration')} AS INT)))
+      AS media
+  FROM b
+), q AS (
+  SELECT sitemap_url, page_loc,
+         unnest(list_filter(media, x -> x.media_loc IS NOT NULL)) AS m
+  FROM p WHERE page_loc IS NOT NULL
+)
+SELECT sitemap_url, page_loc, m.media_kind AS media_kind,
+       m.media_loc AS media_loc, m.thumbnail_loc AS thumbnail_loc,
+       m.title AS title, m.caption AS caption, m.duration_s AS duration_s
+FROM q
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)

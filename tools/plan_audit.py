@@ -201,6 +201,11 @@ CHECKS = {
     # WET export: one codegen'd projection, zero shuffle, zero python
     "wet_records": [("Exchange", 1), ("codegen id", True),
                     ("BatchEvalPython", False), ("MapInPandas", False)],
+    # sitemap media extensions: entry explode + media-struct explode,
+    # map-side only
+    "parse_sitemap_media": [("Generate", True), ("Exchange", 1),
+                            ("BatchEvalPython", False),
+                            ("MapInPandas", False)],
     # temperature mixture: one stratum agg + a broadcast of the 1-ROW
     # total (BroadcastNestedLoop over one row is the intended shape;
     # a CartesianProduct would mean the broadcast was lost)
@@ -896,6 +901,20 @@ def _extra_frames():
         )
         return wet_records(docs)
 
+    def f_sitemap_media(spark, sf_dir):
+        from fusus_spark.operators.frontier import parse_sitemap_media
+
+        sm = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/media.xml")).alias("sitemap_url"),
+            F.concat(F.lit("<urlset><url><loc>http://h.com/p/"), "doc_id",
+                     F.lit("</loc><image:image><image:loc>http://cdn.com/"),
+                     "doc_id",
+                     F.lit(".jpg</image:loc></image:image></url></urlset>")
+                     ).alias("xml"),
+        )
+        return parse_sitemap_media(sm)
+
     def f_img_pairs(spark, sf_dir):
         from fusus_spark.operators.multimodal import image_text_pairs
 
@@ -1021,7 +1040,8 @@ def _extra_frames():
             "media_refs": f_media_refs,
             "microdata_records": f_microdata,
             "corpus_report": f_corpus_report,
-            "wet_records": f_wet}
+            "wet_records": f_wet,
+            "parse_sitemap_media": f_sitemap_media}
 
 
 def main() -> None:
