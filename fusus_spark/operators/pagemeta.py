@@ -361,7 +361,14 @@ def jsonld_records(
     e = F.col("entity")
 
     def js(path: str) -> Column:
-        return F.get_json_object(e, path)
+        # Jackson re-serializes a JSON null VALUE as the string 'null'
+        # (DuckDB's json_extract_string gives SQL NULL) — fold the
+        # token to absent on both sides. Cost: a literal string value
+        # "null" is also treated as absent (indistinguishable at this
+        # layer; declaring your author is named "null" loses — the
+        # Parahoy problem, accepted and pinned by the generated-corpus
+        # cross-engine test).
+        return F.nullif(F.get_json_object(e, path), F.lit("null"))
 
     return ent.select(
         "url",

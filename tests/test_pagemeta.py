@@ -585,27 +585,27 @@ def _jsonld_scalar_sql(c: str) -> str:
             f"THEN {c} END, '')")
 
 
-def test_jsonld_records_matches_duckdb_oracle(spark):
+def _jsonld_oracle(pages: list[tuple[str, str]]):
+    """The full DuckDB mirror of jsonld_records over (url, html) rows."""
     from fusus_spark.operators.pagemeta import (
         _JSONLD_WRAP_LEAD,
         _JSONLD_WRAP_TAIL,
         _WS_EDGES,
-        jsonld_records,
     )
-
-    sdf = jsonld_records(_df(spark, _jsonld_pages()))
-    srows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb.connect()
     con.sql("CREATE TABLE pages (url VARCHAR, html VARCHAR)")
-    con.executemany("INSERT INTO pages VALUES (?, ?)", _jsonld_pages())
+    con.executemany("INSERT INTO pages VALUES (?, ?)", pages)
     ldj_p = _LDJSON_BLOCK.replace("'", "''")
     lead_p = _JSONLD_WRAP_LEAD.replace("'", "''")
     tail_p = _JSONLD_WRAP_TAIL.replace("'", "''")
     ws_p = _WS_EDGES.replace("'", "''")
 
     def js(path: str) -> str:
-        return f"json_extract_string(entity, '{path}')"
+        # the 'null'-token fold mirrors the Spark side (see
+        # jsonld_records.js): JSON null is absent in both engines, and
+        # so is a literal "null" string value
+        return f"nullif(json_extract_string(entity, '{path}'), 'null')"
 
     def clean(expr: str) -> str:
         return _clean_sql(expr)
@@ -670,10 +670,85 @@ SELECT url, block_idx, entity_idx, n_entities,
   coalesce({sc(js('$.inLanguage'))}, {js('$.inLanguage.name')}) AS in_language
 FROM sel
 """)
-    orows = [tuple(r) for r in orc.fetchall()]
+    cols, rows = list(orc.columns), orc.fetchall()
+    con.close()
+    return cols, rows
+
+
+def test_jsonld_records_matches_duckdb_oracle(spark):
+    from fusus_spark.operators.pagemeta import jsonld_records
+
+    sdf = jsonld_records(_df(spark, _jsonld_pages()))
+    srows = [tuple(r) for r in sdf.collect()]
+    ocols, orows = _jsonld_oracle(_jsonld_pages())
+    orows = [tuple(r) for r in orows]
     assert len(srows) == len(orows) > 0
-    assert sorted(sdf.columns) == sorted(orc.columns)
-    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert value_hash(sdf.columns, srows) == value_hash(ocols, orows)
+
+
+def test_jsonld_records_generated_corpus_cross_engine(spark):
+    """Seeded-random strictly-valid JSON (json.dumps output: every
+    root shape, nested author/image objects, arrays, ints, booleans,
+    nulls, non-ascii, embedded quotes/newlines) must hash-identically
+    through Spark and the DuckDB mirror — the generative complement
+    of the hand corpus. Floats, single quotes, and trailing garbage
+    stay excluded (the documented Jackson-leniency divergences)."""
+    import json
+    import random
+
+    rng = random.Random(20260819)
+    alphabet = "abc DEF 123 &amp; \"q\" \n\t é 漢字 <b> :,}{]["
+
+    def text():
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+
+    def value(depth=0):
+        k = rng.randint(0, 6)
+        if k == 0:
+            return text()
+        if k == 1:
+            return rng.randint(-10**6, 10**6)
+        if k == 2:
+            return rng.choice([True, False, None])
+        if k == 3 and depth < 2:
+            return {"name": text(), "@type": text()}
+        if k == 4 and depth < 2:
+            return [value(depth + 1) for _ in range(rng.randint(0, 3))]
+        return text()
+
+    def entity():
+        keys = ["@type", "name", "headline", "description", "datePublished",
+                "dateModified", "author", "publisher", "url", "image",
+                "inLanguage"]
+        return {k: value() for k in keys if rng.random() < 0.6}
+
+    def block():
+        shape = rng.randint(0, 2)
+        if shape == 0:
+            root = entity()
+        elif shape == 1:
+            root = [entity() for _ in range(rng.randint(0, 11))]
+        else:
+            root = {"@context": "https://schema.org",
+                    "@graph": [entity() for _ in range(rng.randint(0, 4))]}
+        return ('<script type="application/ld+json">'
+                + json.dumps(root, ensure_ascii=bool(rng.getrandbits(1)))
+                + "</script>")
+
+    pages = [
+        (f"http://gen.com/{i}", "".join(block() for _ in range(rng.randint(1, 3))))
+        for i in range(60)
+    ]
+
+    from fusus_spark.operators.pagemeta import jsonld_records
+
+    sdf = jsonld_records(_df(spark, pages))
+    srows = [tuple(r) for r in sdf.collect()]
+    ocols, orows = _jsonld_oracle(pages)
+    orows = [tuple(r) for r in orows]
+    assert len(srows) == len(orows) > 0
+    assert value_hash(sdf.columns, srows) == value_hash(ocols, orows)
 
 
 # ---------------------------------------------------------------------------
