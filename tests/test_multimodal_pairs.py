@@ -135,13 +135,11 @@ def _clean_sql(expr: str) -> str:
             " '')")
 
 
-def test_image_text_pairs_matches_duckdb_oracle(spark):
-    sdf = image_text_pairs(_df(spark, _pages()))
-    srows = [tuple(r) for r in sdf.collect()]
-
+def _pairs_oracle(pages: list[tuple[str, str]]):
+    """The full DuckDB mirror of image_text_pairs over (url, html)."""
     con = duckdb.connect()
     con.sql("CREATE TABLE pages (url VARCHAR, html VARCHAR)")
-    con.executemany("INSERT INTO pages VALUES (?, ?)", _pages())
+    con.executemany("INSERT INTO pages VALUES (?, ?)", pages)
     forimg = _FIG_OR_IMG_RE.replace("'", "''")
     imgtag = _IMG_TAG_RE.replace("'", "''")
     figcap = _FIGCAP_RE.replace("'", "''")
@@ -219,10 +217,51 @@ flat AS (
 SELECT *, lower(substr(src, 1, 5)) = 'data:' AS is_data_uri
 FROM flat WHERE src IS NOT NULL
 """)
-    orows = [tuple(r) for r in orc.fetchall()]
+    cols, rows = list(orc.columns), orc.fetchall()
+    con.close()
+    return cols, rows
+
+
+def test_image_text_pairs_matches_duckdb_oracle(spark):
+    sdf = image_text_pairs(_df(spark, _pages()))
+    srows = [tuple(r) for r in sdf.collect()]
+    ocols, orows = _pairs_oracle(_pages())
+    orows = [tuple(r) for r in orows]
     assert len(srows) == len(orows) > 0
-    assert sorted(sdf.columns) == sorted(orc.columns)
-    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert value_hash(sdf.columns, srows) == value_hash(ocols, orows)
+
+
+def test_image_text_pairs_tag_soup_cross_engine(spark):
+    """Seeded adversarial tag soup (broken quotes, stray '<'/'>',
+    half-open figures, keyword fragments, unicode) must hash
+    IDENTICALLY through the Java-regex Spark plan and the RE2 DuckDB
+    mirror — the cross-engine guarantee the per-operator oracles rest
+    on, exercised far beyond the hand corpus."""
+    import random
+
+    rng = random.Random(7)
+    # half assembled fragments (so img/src rows actually occur), half
+    # raw junk that stresses the quoting/containment rules
+    pieces = ['<img src="/a.jpg"', "<img src='/b é.png' alt='x'",
+              "<img src=/c.gif", ' alt="cap &amp; text"', " width=320",
+              ' srcset="/a.jpg 320w, /b.jpg 640w"', " title='t'", ">",
+              "<figure>", "<figure class=x>", "</figure>",
+              "<figcaption>Cap <b>bold</b></figcaption>",
+              "<img", " ", "'", '"', "=", "src", "/a.jpg", "640w", ",",
+              "\n", "<", "/", ">", "x y", "é", "alt", "<FIGURE >",
+              "figure", "data:x,"]
+    pages = [
+        (f"http://fz.com/{i}",
+         "".join(rng.choice(pieces) for _ in range(rng.randint(5, 60))))
+        for i in range(150)
+    ]
+    sdf = image_text_pairs(_df(spark, pages))
+    srows = [tuple(r) for r in sdf.collect()]
+    ocols, orows = _pairs_oracle(pages)
+    orows = [tuple(r) for r in orows]
+    assert len(srows) == len(orows) > 0
+    assert value_hash(sdf.columns, srows) == value_hash(ocols, orows)
 
 
 # ---------------------------------------------------------------------------
