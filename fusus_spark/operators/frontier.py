@@ -182,6 +182,19 @@ def _xml_unescape(c):
     return c
 
 
+# one <url> entry-block pattern and one tag-field pull, shared by the
+# entry parser and the media-extension parser — a tolerance fix (CDATA,
+# attributes) must land in both or their oracles drift (review finding)
+_SITEMAP_URL_BLOCK = r"<url>([\s\S]*?)</url>"
+
+
+def _sitemap_field(src, tag):
+    return F.nullif(
+        F.regexp_extract(src, rf"<{tag}>\s*([\s\S]*?)\s*</{tag}>", 1),
+        F.lit(""),
+    )
+
+
 def parse_sitemap_entries(
     sitemaps: DataFrame, url_col: str = "sitemap_url", xml_col: str = "xml"
 ) -> DataFrame:
@@ -211,13 +224,10 @@ def parse_sitemap_entries(
     block = F.when(
         is_index, F.regexp_extract_all(xml, F.lit(r"<sitemap>([\s\S]*?)</sitemap>"), F.lit(1))
     ).otherwise(
-        F.regexp_extract_all(xml, F.lit(r"<url>([\s\S]*?)</url>"), F.lit(1))
+        F.regexp_extract_all(xml, F.lit(_SITEMAP_URL_BLOCK), F.lit(1))
     )
 
-    def field(e, tag):
-        return F.nullif(
-            F.regexp_extract(e, rf"<{tag}>\s*([\s\S]*?)\s*</{tag}>", 1), F.lit("")
-        )
+    field = _sitemap_field
 
     entries = F.transform(
         block,
@@ -1050,20 +1060,13 @@ def parse_sitemap_media(
     Generate + Exchange==1 + no python stage.
     """
     xml = F.coalesce(F.col(xml_col).cast("string"), F.lit(""))
-    blocks = F.regexp_extract_all(
-        xml, F.lit(r"<url>([\s\S]*?)</url>"), F.lit(1)
-    )
+    blocks = F.regexp_extract_all(xml, F.lit(_SITEMAP_URL_BLOCK), F.lit(1))
     entries = sitemaps.select(
         F.col(url_col).alias("sitemap_url"),
         F.explode(blocks).alias("entry"),
     )
     e = F.col("entry")
-
-    def field(src, tag):
-        return F.nullif(
-            F.regexp_extract(src, rf"<{tag}>\s*([\s\S]*?)\s*</{tag}>", 1),
-            F.lit(""),
-        )
+    field = _sitemap_field
 
     page_loc = _xml_unescape(field(e, "loc"))
     imgs = F.regexp_extract_all(

@@ -792,7 +792,8 @@ def _img_patterns():
     img_tag = "<" + _ci("img") + r"[\s/]" + _FILLER
     fig = (
         "<" + _ci("figure") + r"(?:\s" + _FILLER + r")?>"
-        + _tempered_body("figure") + r"</" + _ci("figure") + r"[ \t\r\n\f]*>"
+        + _tempered_body("figure") + r"<*</" + _ci("figure")
+        + r"[ \t\r\n\f]*>"
     )
     figcap = (
         "<" + _ci("figcaption") + r"(?:\s" + _FILLER + r")?>"
@@ -943,7 +944,8 @@ def _media_patterns():
     def closed(name: str) -> str:
         return (
             "<" + _ci(name) + r"(?:\s" + _FILLER + r")?>"
-            + _tempered_body(name) + r"</" + _ci(name) + r"[ \t\r\n\f]*>"
+            + _tempered_body(name) + r"<*</" + _ci(name)
+            + r"[ \t\r\n\f]*>"
         )
 
     def bare(name: str) -> str:

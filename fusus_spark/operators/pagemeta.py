@@ -52,13 +52,22 @@ def _ci(word: str) -> str:
     return "".join(out)
 
 
+def _attr3(attr_name: str) -> str:
+    """attr="..." value in the 3-way quoting form (quoted / single /
+    unquoted), captures in groups 1-3 (the _first_group contract);
+    anchored by the caller. THE quoting grammar — every value pull in
+    this module and multimodal delegates here so the Spark and DuckDB
+    pattern pairs can never drift apart."""
+    return (
+        _ci(attr_name)
+        + r"""\s*=\s*(?:"([^"<>]*)"|'([^'<>]*)'|([^\s"'<>]+))"""
+    )
+
+
 # content= value on ORIGINAL bytes (robots' _CONTENT_VAL runs on a
-# lowered copy; metadata values keep their case): quoted / single /
-# unquoted 3-way, captures in groups 1-3. Matched inside a tag REGION,
-# not the whole document (see _tag_regions below).
-_CONTENT_VAL_CI = (
-    _ci("content") + r"""\s*=\s*(?:"([^"<>]*)"|'([^'<>]*)'|([^\s"'<>]+))"""
-)
+# lowered copy; metadata values keep their case). Matched inside a tag
+# REGION, not the whole document (see _tag_regions below).
+_CONTENT_VAL_CI = _attr3("content")
 # a tag region: from '<meta '/'<link ' up to (not including) the
 # unquoted '>' that closes the tag — _FILLER walks quoted values but
 # cannot cross into the next tag or a text node.
@@ -559,15 +568,6 @@ _ITEMSCOPE_W = _ci("itemscope")
 # microdata pulls use this digit-tolerant variant (same containment
 # discipline otherwise)
 _IN_REGION_D = r"^<[a-zA-Z][a-zA-Z0-9]*\s(?:" + _FILLER + r"[\s/])?"
-
-
-def _attr3(attr_name: str) -> str:
-    """attr="..." value in the 3-way quoting form, captures in groups
-    1-3 (the _first_group contract); anchored by the caller."""
-    return (
-        _ci(attr_name)
-        + r"""\s*=\s*(?:"([^"<>]*)"|'([^'<>]*)'|([^\s"'<>]+))"""
-    )
 
 
 def _microdata_tag_pattern() -> str:

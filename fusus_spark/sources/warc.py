@@ -383,15 +383,36 @@ def wet_records(
 
     url = F.col(url_col)
     txt = F.col(text_col)
-    # timezone-independence: cast('string') and date_format both render
-    # through spark.sql.session.timeZone, so a differently-configured
-    # driver would emit different bytes AND a wrong instant labeled
-    # 'Z'. to_utc_timestamp(ts, current_timezone()) re-labels the
-    # instant so the session-tz rendering IS the UTC wall time —
-    # byte-identical under any session timezone (review finding;
-    # the same discipline as write_bucketed_input's crawl_date).
-    ts_utc = F.to_utc_timestamp(F.col(ts_col), F.current_timezone())
-    ts_key = F.date_format(ts_utc, "yyyy-MM-dd HH:mm:ss")
+    # timezone-independence by pure epoch arithmetic: date_format /
+    # cast('string') render through spark.sql.session.timeZone, and
+    # even to_utc_timestamp(ts, current_timezone()) round-trips
+    # through a LocalDateTime that DST-gap instants shift by an hour
+    # (review finding, second pass). unix_micros is instant-based and
+    # timezone-free; days/seconds-of-day division + date_add from the
+    # epoch date is the same discipline write_bucketed_input uses for
+    # crawl_date. The hash key keeps FULL microsecond precision —
+    # sub-second-distinct records must not collide on record-id.
+    us = F.unix_micros(F.col(ts_col))
+    secs = F.floor(us / F.lit(1_000_000)).cast("bigint")
+    frac = (us - secs * F.lit(1_000_000)).cast("bigint")
+    days = F.floor(secs / F.lit(86400)).cast("bigint")
+    sod = (secs - days * F.lit(86400)).cast("bigint")
+
+    def _pad2(c):
+        return F.lpad(c.cast("string"), 2, "0")
+
+    d_str = F.date_add(
+        F.to_date(F.lit("1970-01-01")), days.cast("int")
+    ).cast("string")
+    hh = _pad2(F.floor(sod / F.lit(3600)))
+    mi = _pad2(F.floor(F.pmod(sod, F.lit(3600)) / F.lit(60)))
+    ss = _pad2(F.pmod(sod, F.lit(60)))
+    hms = F.concat(hh, F.lit(":"), mi, F.lit(":"), ss)
+    ts_key = F.concat(
+        d_str, F.lit(" "), hms, F.lit("."),
+        F.lpad(frac.cast("string"), 6, "0"),
+    )
+    warc_date = F.concat(d_str, F.lit("T"), hms, F.lit("Z"))
     h = F.md5(F.concat_ws("\x1f", url, ts_key))
     record_id = F.concat(
         F.lit("urn:uuid:"),
@@ -406,10 +427,7 @@ def wet_records(
         F.lit("WARC/1.0"),
         F.lit("WARC-Type: conversion"),
         F.concat(F.lit("WARC-Target-URI: "), url),
-        F.concat(
-            F.lit("WARC-Date: "),
-            F.date_format(ts_utc, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-        ),
+        F.concat(F.lit("WARC-Date: "), warc_date),
         F.concat(F.lit("WARC-Record-ID: <"), record_id, F.lit(">")),
         F.concat(F.lit("WARC-Block-Digest: md5:"), F.md5(F.encode(txt, "UTF-8"))),
         F.lit("Content-Type: text/plain"),

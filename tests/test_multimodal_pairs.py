@@ -57,6 +57,11 @@ def _pages() -> list[tuple[str, str]]:
          '<figure class=a><img src="/first.jpg" alt="first"> stray '
          '<figure><img src="/second.jpg"><figcaption>second cap'
          "</figcaption></figure>"),
+        # 4c: a CLOSED figure whose body ends in stray '<' chars must
+        # still match closed (second-pass review: the <* pre-close run)
+        ("http://ex.com/stray",
+         '<figure><img src="/st.jpg"><figcaption>St cap</figcaption>'
+         "x<</figure>"),
         # 5: figure with caption BEFORE the img; figcaption with
         # attributes; uppercase tags
         ("http://ex.com/pre", "<FIGURE><FIGCAPTION class=c>Cap first"
@@ -110,6 +115,9 @@ def test_image_text_pairs_hand_cases(spark):
     assert not b1["in_figure"] and b1["caption"] is None
     assert b1["text"] == "first"
     assert b2["in_figure"] and b2["text"] == "second cap"
+
+    st = by_src[("http://ex.com/stray", "/st.jpg")]
+    assert st["in_figure"] and st["text"] == "St cap"
 
     p = by_src[("http://ex.com/pre", "/p.jpg")]
     assert p["in_figure"] and p["text"] == "Cap first"
@@ -291,6 +299,9 @@ def _media_pages() -> list[tuple[str, str]]:
                              '<video src="/b2.mp4">'
                              '<track src="/b2.vtt" kind=subtitles>'
                              "</video>"),
+        # 3c: closed audio with a stray '<' before its close tag keeps
+        # its children (the <* pre-close run)
+        ("http://ex.com/astray", "<audio><source src='/as.ogg'>x<</audio>"),
         # 4: audio self src as data: URI, unquoted
         ("http://ex.com/d", "<audio src=data:audio/wav;base64,AAAA></audio>"),
         # 5: nothing / junk
@@ -336,6 +347,10 @@ def test_media_refs_hand_cases(spark):
         (1, "src", "/b2.mp4"),          # the intact element, own region
         (1, "track", "/b2.vtt"),
     ]
+
+    ast = [r for r in rows if r["url"] == "http://ex.com/astray"]
+    assert [(r["element"], r["ref_kind"], r["src"]) for r in ast] == [
+        ("audio", "source", "/as.ogg")]
 
     d = [r for r in rows if r["url"] == "http://ex.com/d"]
     assert d[0]["src"] == "data:audio/wav;base64,AAAA" and d[0]["is_data_uri"]

@@ -625,10 +625,10 @@ def test_wet_records_byte_exact(spark):
         )
 
     assert got["https://ex.com/a"] == expect(
-        "https://ex.com/a", "2026-01-02 03:04:05", "Hello world"
+        "https://ex.com/a", "2026-01-02 03:04:05.000000", "Hello world"
     )
     assert got["https://ex.com/u"] == expect(
-        "https://ex.com/u", "2026-01-02 03:04:05", "héllo\nzwei"
+        "https://ex.com/u", "2026-01-02 03:04:05.000000", "héllo\nzwei"
     )
 
 
@@ -651,7 +651,7 @@ def test_wet_records_matches_duckdb_oracle(spark):
     orc = con.sql(r"""
 WITH s AS (
   SELECT url, extracted_text AS txt,
-    md5(url || chr(31) || strftime(warc_ts, '%Y-%m-%d %H:%M:%S')) AS h,
+    md5(url || chr(31) || strftime(warc_ts, '%Y-%m-%d %H:%M:%S.%f')) AS h,
     strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS d
   FROM t WHERE extracted_text IS NOT NULL AND extracted_text <> ''
 )
@@ -728,3 +728,45 @@ def test_wet_records_session_timezone_independent(spark):
         spark.conf.set("spark.sql.session.timeZone", tz)
     assert shifted == base
     assert "WARC-Date: 2026-01-02T03:04:05Z" in base["https://ex.com/a"]
+
+
+def test_wet_records_dst_gap_and_subsecond_identity(spark):
+    """Second-pass review pins: (1) an instant whose UTC wall time
+    falls in the session timezone's DST spring-forward gap must still
+    render its true UTC time under that session tz (epoch arithmetic,
+    not LocalDateTime round-trips); (2) records distinct only at
+    sub-second precision must get DISTINCT record ids."""
+    import datetime as dt
+
+    from fusus_spark.sources.warc import wet_records
+
+    utc = dt.timezone.utc
+    rows = [
+        ("https://ex.com/gap", dt.datetime(2026, 3, 8, 2, 30, 0, tzinfo=utc),
+         "gap text"),
+        ("https://ex.com/sub", dt.datetime(2026, 1, 2, 3, 4, 5, 111111,
+                                           tzinfo=utc), "s1"),
+        ("https://ex.com/sub2", dt.datetime(2026, 1, 2, 3, 4, 5, 999999,
+                                            tzinfo=utc), "s1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, extracted_text string"
+    )
+
+    def run():
+        return {r["url"]: r["record"] for r in wet_records(df).collect()}
+
+    base = run()
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        shifted = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert shifted == base
+    assert "WARC-Date: 2026-03-08T02:30:00Z" in base["https://ex.com/gap"]
+
+    import re
+    ids = {u: re.search(r"urn:uuid:([0-9a-f-]+)", rec).group(1)
+           for u, rec in base.items()}
+    assert ids["https://ex.com/sub"] != ids["https://ex.com/sub2"]
