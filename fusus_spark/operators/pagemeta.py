@@ -649,3 +649,52 @@ def microdata_records(
         attr("itemtype").alias("itemtype"),
         has_scope.alias("has_itemscope"),
     )
+
+
+def article_tags(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, tag_idx, tag) — one row per declared ``article:tag`` /
+    ``keywords`` topic label: every ``<meta property="article:tag"
+    content=...>`` (the Open Graph article taxonomy, one tag per
+    element) plus the legacy ``<meta name="keywords">`` list (ONE
+    element, comma-split). The page's self-declared topics are the
+    cheapest stratification key a curation mixture has (compose with
+    mixture_ppm / stratified_sample); tags are entity-folded,
+    whitespace-collapsed and lowercased (taxonomy keys, not display
+    text), blank entries dropped, order preserved (article:tag
+    elements first, then the keywords list split in source order).
+
+    One meta-region harvest (the page_metadata scan family), one
+    posexplode over the per-region values, zero shuffle, zero
+    Python. DuckDB mirror in tests/test_pagemeta.py (beyond-cap
+    contract); plan_audit pins Generate + Exchange==1.
+    """
+    orig = F.col(html_col).cast("string")
+    metas = F.regexp_extract_all(orig, F.lit(_META_TAG_RE), F.lit(0))
+    tag_pat_prop = _attr_in_region("property", "article:tag")
+    tag_pat_name = _attr_in_region("name", "article:tag")
+    kw_pat = _attr_in_region("name", "keywords")
+    content = _IN_REGION + _CONTENT_VAL_CI
+
+    def content_of(region: Column) -> Column:
+        return _first_group(region, content)
+
+    art = F.transform(
+        F.filter(
+            metas,
+            lambda t: t.rlike(tag_pat_prop) | t.rlike(tag_pat_name),
+        ),
+        lambda t: content_of(t),
+    )
+    kw_region = F.get(F.filter(metas, lambda t: t.rlike(kw_pat)), 0)
+    kws = F.split(F.coalesce(content_of(kw_region), F.lit("")), ",")
+    vals = F.concat(art, kws)
+    cleaned = F.filter(
+        F.transform(vals, lambda v: F.lower(_clean_text(v))),
+        lambda v: v.isNotNull(),
+    )
+    return docs.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(cleaned).alias("tag_idx", "tag"),
+    ).select("url", F.col("tag_idx").cast("int").alias("tag_idx"), "tag")

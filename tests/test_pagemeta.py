@@ -876,3 +876,89 @@ FROM x
     assert len(srows) == len(orows) > 0
     assert sorted(sdf.columns) == sorted(orc.columns)
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+# ---------------------------------------------------------------------------
+# article tags
+
+
+def _tag_pages() -> list[tuple[str, str]]:
+    return [
+        # og article:tag elements (one tag each, property= and the
+        # in-the-wild name= variant) + a keywords list with ragged
+        # spacing and entities; dense idx across both sources
+        ("http://ex.com/t", '<meta property="article:tag" content="AI">'
+         "<meta name='article:tag' content='Machine  Learning'>"
+         '<meta name="keywords" content="nlp, Data &amp; Stats, ,AI">'),
+        # keywords only; empty entries drop but order stays
+        ("http://ex.com/k", "<meta name=keywords content='a,,b'>"),
+        # containment: data-name= / quoted-value payloads never match
+        ("http://ex.com/adv", '<meta data-name="keywords" content="no">'
+         "<meta name='author' content='use name=keywords here'>"),
+        ("http://ex.com/none", "<p>no tags</p>"),
+    ]
+
+
+def test_article_tags_hand_cases(spark):
+    from fusus_spark.operators.pagemeta import article_tags
+
+    rows = sorted(
+        [tuple(r) for r in article_tags(_df(spark, _tag_pages())).collect()]
+    )
+    assert rows == [
+        ("http://ex.com/k", 0, "a"),
+        ("http://ex.com/k", 1, "b"),
+        ("http://ex.com/t", 0, "ai"),
+        ("http://ex.com/t", 1, "machine learning"),
+        ("http://ex.com/t", 2, "nlp"),
+        ("http://ex.com/t", 3, "data & stats"),
+        ("http://ex.com/t", 4, "ai"),
+    ]
+
+
+def test_article_tags_matches_duckdb_oracle(spark):
+    from fusus_spark.operators.pagemeta import _attr_in_region, article_tags
+
+    sdf = article_tags(_df(spark, _tag_pages()))
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pages (url VARCHAR, html VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", _tag_pages())
+    mt = _META_TAG_RE.replace("'", "''")
+    pp = _attr_in_region("property", "article:tag").replace("'", "''")
+    pn = _attr_in_region("name", "article:tag").replace("'", "''")
+    kw = _attr_in_region("name", "keywords").replace("'", "''")
+    content = _fg_sql("t", _IN_REGION + _CONTENT_VAL_CI)
+    kw_content = _fg_sql(
+        "(list_filter(metas, t -> regexp_matches(t, '" + kw + "')))[1]",
+        _IN_REGION + _CONTENT_VAL_CI,
+    )
+    orc = con.sql(f"""
+WITH m AS (
+  SELECT url, regexp_extract_all(html, '{mt}', 0) AS metas FROM pages
+),
+v AS (
+  SELECT url,
+    list_transform(
+      list_filter(metas, t -> regexp_matches(t, '{pp}')
+                            OR regexp_matches(t, '{pn}')),
+      t -> {content})
+    || string_split(coalesce({kw_content}, ''), ',') AS vals
+  FROM m
+),
+c AS (
+  SELECT url,
+    list_filter(list_transform(vals, v -> lower({_clean_sql('v')})),
+                x -> x IS NOT NULL) AS tags
+  FROM v
+),
+e AS (
+  SELECT url, unnest(generate_series(1, len(tags))) AS i, tags FROM c
+)
+SELECT url, (i - 1)::INT AS tag_idx, tags[i] AS tag FROM e
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert sorted(sdf.columns) == sorted(orc.columns)
+    assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)

@@ -206,6 +206,9 @@ CHECKS = {
     "parse_sitemap_media": [("Generate", True), ("Exchange", 1),
                             ("BatchEvalPython", False),
                             ("MapInPandas", False)],
+    # article tags: meta-region harvest + one explode, map-side only
+    "article_tags": [("Generate", True), ("Exchange", 1),
+                     ("BatchEvalPython", False), ("MapInPandas", False)],
     # temperature mixture: one stratum agg + a broadcast of the 1-ROW
     # total (BroadcastNestedLoop over one row is the intended shape;
     # a CartesianProduct would mean the broadcast was lost)
@@ -915,6 +918,20 @@ def _extra_frames():
         )
         return parse_sitemap_media(sm)
 
+    def f_article_tags(spark, sf_dir):
+        from fusus_spark.operators.pagemeta import article_tags
+
+        docs = load(spark, sf_dir, "documents").select(
+            F.concat(F.lit("http://h"), F.pmod("doc_id", F.lit(7)),
+                     F.lit(".com/p/"), "doc_id").alias("url"),
+            F.encode(
+                F.concat(F.lit('<meta property="article:tag" content="t'),
+                         F.pmod("doc_id", F.lit(13)), F.lit('">')),
+                "UTF-8",
+            ).alias("html"),
+        )
+        return article_tags(docs)
+
     def f_img_pairs(spark, sf_dir):
         from fusus_spark.operators.multimodal import image_text_pairs
 
@@ -1041,7 +1058,8 @@ def _extra_frames():
             "microdata_records": f_microdata,
             "corpus_report": f_corpus_report,
             "wet_records": f_wet,
-            "parse_sitemap_media": f_sitemap_media}
+            "parse_sitemap_media": f_sitemap_media,
+            "article_tags": f_article_tags}
 
 
 def main() -> None:
