@@ -89,6 +89,7 @@ def run_job(
     mixture_budget: int | None = None,
     mixture_alpha_e6: int = 700_000,
     mixture_strata: str = "lang",
+    report: bool = False,
 ) -> dict:
     """The job body, session-agnostic (tests drive it directly).
 
@@ -367,6 +368,18 @@ def run_job(
             f"{out}/corpus_sampled"
         )
         summary["n_sampled"] = spark.read.parquet(f"{out}/corpus_sampled").count()
+
+    # 9. optional dataset-card report over the final corpus: the
+    # per-language rollup a release ships next to the data (one extra
+    # aggregation over the written corpus; scope rows are few, so the
+    # parquet is trivially small)
+    if report:
+        from fusus_spark.operators.curate import corpus_report
+
+        corpus_report(
+            corpus, url_col="url" if "url" in corpus.columns else None
+        ).write.mode("overwrite").parquet(f"{out}/report")
+        summary["n_report_scopes"] = spark.read.parquet(f"{out}/report").count()
     return summary
 
 
@@ -375,6 +388,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--input", required=True, help="documents parquet dir")
     p.add_argument("--output", required=True, help="curated corpus output dir")
     p.add_argument("--eval", help="benchmark/eval parquet dir for decontamination")
+    p.add_argument("--report", action="store_true",
+                   help="write the per-language dataset-card rollup "
+                        "(corpus_report) beside the corpus")
     p.add_argument("--respect-robots", action="store_true",
                    help="drop pages declaring meta robots noindex "
                         "(tier 0, needs an html column)")
@@ -441,6 +457,7 @@ def main(argv: list[str] | None = None) -> None:
         mixture_budget=args.mixture_budget,
         mixture_alpha_e6=args.mixture_alpha_e6,
         mixture_strata=args.mixture_strata,
+        report=args.report,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -364,3 +364,27 @@ def test_curate_job_canonical_tier(spark, tmp_path):
     with _pytest.raises(ValueError, match="url and html"):
         run_job(spark, input_path=bare, output_path=str(tmp_path / "o12b"),
                 canonical_scope="domain")
+
+
+def test_curate_job_report_tier(spark, tmp_path):
+    """Opt-in tier 9: the dataset-card rollup lands beside the corpus
+    with the ALL row agreeing with n_final and the per-language docs
+    summing to it."""
+    inp = str(tmp_path / "docs9")
+    out = str(tmp_path / "out9")
+    rows = [
+        (i, "the solid document number %d is here and it reads fine" % i,
+         "en" if i % 3 else "de")
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(inp)
+
+    summary = run_job(spark, input_path=inp, output_path=out, report=True)
+    assert summary["n_report_scopes"] == 3          # ALL + en + de
+    rep = {r["scope"]: r for r in spark.read.parquet(f"{out}/report").collect()}
+    assert rep["ALL"]["n_docs"] == summary["n_final"]
+    assert rep["en"]["n_docs"] + rep["de"]["n_docs"] == rep["ALL"]["n_docs"]
+    assert rep["ALL"]["n_hosts"] is None            # no url column
+    assert rep["ALL"]["tokens_total"] == rep["en"]["tokens_total"] + rep["de"]["tokens_total"]
