@@ -962,3 +962,82 @@ SELECT url, (i - 1)::INT AS tag_idx, tags[i] AS tag FROM e
     assert len(srows) == len(orows) > 0
     assert sorted(sdf.columns) == sorted(orc.columns)
     assert value_hash(sdf.columns, srows) == value_hash(orc.columns, orows)
+
+
+def test_microdata_records_tag_soup_cross_engine(spark):
+    """Seeded adversarial markup through the Java-regex Spark plan and
+    the RE2 DuckDB mirror — engine agreement for the microdata
+    harvest far beyond the hand corpus."""
+    import random
+
+    from fusus_spark.operators.pagemeta import (
+        _IN_REGION_D,
+        _ITEMSCOPE_W,
+        _MICRO_TAG_RE,
+        _attr3,
+        microdata_records,
+    )
+
+    rng = random.Random(11)
+    pieces = ['<span itemprop="name">', "<h1 itemprop=headline itemscope>",
+              "<meta itemprop='cookTime' content='PT1M'>",
+              '<div itemscope itemtype="https://schema.org/Thing">',
+              "<time itemprop=date datetime=2026-01-01>", "</span>",
+              "</div>", "<a itemprop=url href=/x>", "text &amp; more",
+              "itemprop", "itemscope", "=", "'", '"', ">", "<", " ",
+              "é 漢", "/", "<i itemscoped>", "data-itemprop=x",
+              "<img itemprop=image src=/i.jpg>"]
+    pages = [
+        (f"http://ms.com/{i}",
+         "".join(rng.choice(pieces) for _ in range(rng.randint(4, 50))))
+        for i in range(120)
+    ]
+    sdf = microdata_records(_df(spark, pages))
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pages (url VARCHAR, html VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", pages)
+    tag_p = _MICRO_TAG_RE.replace("'", "''")
+    scope_p = (_IN_REGION_D + _ITEMSCOPE_W + r"(?:[\s/=>]|$)").replace("'", "''")
+
+    def attr(name: str) -> str:
+        return _fg_sql("tag", _IN_REGION_D + _attr3(name))
+
+    text_run = _clean_sql(
+        "nullif(regexp_extract(tag, '>((?s:[^<]*))$', 1), '')"
+    )
+    orc = con.sql(f"""
+WITH t0 AS (
+  SELECT url, regexp_extract_all(html, '{tag_p}', 0) AS tags FROM pages
+),
+t1 AS (
+  SELECT url, unnest(generate_series(1, len(tags))) AS i, tags FROM t0
+),
+t AS (
+  SELECT url, (i - 1)::INT AS tag_idx, tags[i] AS tag FROM t1
+),
+x AS (
+  SELECT url, tag_idx,
+    lower(regexp_extract(tag, '^<([a-zA-Z][a-zA-Z0-9]*)', 1)) AS tag,
+    {attr('itemprop')} AS prop,
+    {attr('itemtype')} AS itemtype,
+    regexp_matches(tag, '{scope_p}') AS has_itemscope,
+    {attr('content')} AS a_content, {attr('datetime')} AS a_datetime,
+    {attr('href')} AS a_href, {attr('src')} AS a_src,
+    {text_run} AS trun
+  FROM t
+)
+SELECT url, tag_idx, tag, prop,
+  CASE WHEN tag = 'meta' THEN a_content
+       WHEN tag = 'time' THEN coalesce(a_datetime, trun)
+       WHEN tag IN ('a', 'link') THEN a_href
+       WHEN tag IN ('img', 'audio', 'video', 'source', 'iframe', 'embed')
+            THEN a_src
+       ELSE trun END AS value,
+  itemtype, has_itemscope
+FROM x
+""")
+    orows = [tuple(r) for r in orc.fetchall()]
+    assert len(srows) == len(orows) > 0
+    assert value_hash(sdf.columns, srows) == value_hash(list(orc.columns), orows)
