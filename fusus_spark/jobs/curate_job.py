@@ -89,7 +89,7 @@ def run_job(
     mixture_budget: int | None = None,
     mixture_alpha_e6: int = 700_000,
     mixture_strata: str = "lang",
-    report: bool = False,
+    write_report: bool = False,
 ) -> dict:
     """The job body, session-agnostic (tests drive it directly).
 
@@ -373,7 +373,9 @@ def run_job(
     # per-language rollup a release ships next to the data (one extra
     # aggregation over the written corpus; scope rows are few, so the
     # parquet is trivially small)
-    if report:
+    # (the decontam tier reuses the local name 'report' for its audit
+    # frame — the flag is write_report to stay out of its way)
+    if write_report:
         from fusus_spark.operators.curate import corpus_report
 
         corpus_report(
@@ -457,7 +459,7 @@ def main(argv: list[str] | None = None) -> None:
         mixture_budget=args.mixture_budget,
         mixture_alpha_e6=args.mixture_alpha_e6,
         mixture_strata=args.mixture_strata,
-        report=args.report,
+        write_report=args.report,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -381,7 +381,7 @@ def test_curate_job_report_tier(spark, tmp_path):
         rows, "doc_id long, text string, lang string"
     ).write.parquet(inp)
 
-    summary = run_job(spark, input_path=inp, output_path=out, report=True)
+    summary = run_job(spark, input_path=inp, output_path=out, write_report=True)
     assert summary["n_report_scopes"] == 3          # ALL + en + de
     rep = {r["scope"]: r for r in spark.read.parquet(f"{out}/report").collect()}
     assert rep["ALL"]["n_docs"] == summary["n_final"]
