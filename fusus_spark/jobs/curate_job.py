@@ -369,17 +369,23 @@ def run_job(
         )
         summary["n_sampled"] = spark.read.parquet(f"{out}/corpus_sampled").count()
 
-    # 9. optional dataset-card report over the final corpus: the
-    # per-language rollup a release ships next to the data (one extra
-    # aggregation over the written corpus; scope rows are few, so the
-    # parquet is trivially small)
-    # (the decontam tier reuses the local name 'report' for its audit
-    # frame — the flag is write_report to stay out of its way)
+    # 9. optional dataset-card report: the per-language rollup a
+    # release ships next to the data — computed over the corpus that
+    # SHIPS (the mixture sample when tier 8 ran, else the full curated
+    # corpus; the card must describe the data it sits next to). Scope
+    # rows are few, so the parquet is tiny. (The decontam tier reuses
+    # the local name 'report' for its audit frame — the flag is
+    # write_report to stay out of its way.)
     if write_report:
         from fusus_spark.operators.curate import corpus_report
 
+        shipped = (
+            spark.read.parquet(f"{out}/corpus_sampled")
+            if mixture_budget is not None
+            else corpus
+        )
         corpus_report(
-            corpus, url_col="url" if "url" in corpus.columns else None
+            shipped, url_col="url" if "url" in shipped.columns else None
         ).write.mode("overwrite").parquet(f"{out}/report")
         summary["n_report_scopes"] = spark.read.parquet(f"{out}/report").count()
     return summary
@@ -392,7 +398,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--eval", help="benchmark/eval parquet dir for decontamination")
     p.add_argument("--report", action="store_true",
                    help="write the per-language dataset-card rollup "
-                        "(corpus_report) beside the corpus")
+                        "(corpus_report) beside the corpus; describes the "
+                        "SHIPPED data (corpus_sampled when --mixture-budget "
+                        "ran, else the full curated corpus)")
     p.add_argument("--respect-robots", action="store_true",
                    help="drop pages declaring meta robots noindex "
                         "(tier 0, needs an html column)")

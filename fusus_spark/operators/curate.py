@@ -874,8 +874,15 @@ def corpus_report(
 
     txt = F.col(text_col)
     toks = token_count(text_col)
+    # a corpus without the language column still gets its card — every
+    # doc lands in the 'unknown' scope (review finding: the job-level
+    # report tier must not die after all the expensive tiers ran)
+    lang = (
+        F.col(lang_col) if lang_col in docs.columns
+        else F.lit(None).cast("string")
+    )
     grouped = docs.select(
-        F.coalesce(F.col(lang_col), F.lit("unknown")).alias("_lang"),
+        F.coalesce(lang, F.lit("unknown")).alias("_lang"),
         # norm_ws-empty, not trim-empty: Spark/DuckDB trim strip only
         # 0x20, so a tabs-and-newlines doc would slip past a bare trim
         F.when(txt.isNull() | (F.length(norm_ws(text_col)) == 0), 1)

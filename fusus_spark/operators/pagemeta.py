@@ -691,7 +691,12 @@ def article_tags(
     kws = F.split(F.coalesce(content_of(kw_region), F.lit("")), ",")
     vals = F.concat(art, kws)
     cleaned = F.filter(
-        F.transform(vals, lambda v: F.lower(_clean_text(v))),
+        F.transform(
+            vals,
+            lambda v: F.translate(
+                _clean_text(v), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+            ),
+        ),
         lambda v: v.isNotNull(),
     )
     return docs.select(

@@ -388,3 +388,33 @@ def test_curate_job_report_tier(spark, tmp_path):
     assert rep["en"]["n_docs"] + rep["de"]["n_docs"] == rep["ALL"]["n_docs"]
     assert rep["ALL"]["n_hosts"] is None            # no url column
     assert rep["ALL"]["tokens_total"] == rep["en"]["tokens_total"] + rep["de"]["tokens_total"]
+
+
+def test_curate_job_report_without_lang_and_with_mixture(spark, tmp_path):
+    """The report tier tolerates a (doc_id, text)-only corpus (every
+    doc in the 'unknown' scope) and, when the mixture tier ran,
+    describes the SHIPPED sample rather than the full corpus."""
+    inp = str(tmp_path / "docs9b")
+    out = str(tmp_path / "out9b")
+    rows = [(i, "the solid document number %d is here and it reads fine" % i)
+            for i in range(12)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    summary = run_job(spark, input_path=inp, output_path=out, write_report=True)
+    rep = {r["scope"]: r for r in spark.read.parquet(f"{out}/report").collect()}
+    assert set(rep) == {"ALL", "unknown"}
+    assert rep["ALL"]["n_docs"] == summary["n_final"] == 12
+
+    inp2 = str(tmp_path / "docs9c")
+    out2 = str(tmp_path / "out9c")
+    rows2 = [(i, "the solid document number %d is here and it reads fine" % i,
+              "en" if i % 3 else "de") for i in range(30)]
+    spark.createDataFrame(
+        rows2, "doc_id long, text string, lang string"
+    ).write.parquet(inp2)
+    summary2 = run_job(
+        spark, input_path=inp2, output_path=out2,
+        mixture_budget=10, write_report=True,
+    )
+    rep2 = {r["scope"]: r for r in spark.read.parquet(f"{out2}/report").collect()}
+    assert rep2["ALL"]["n_docs"] == summary2["n_sampled"]  # the shipped data
+    assert rep2["ALL"]["n_docs"] < summary2["n_final"]

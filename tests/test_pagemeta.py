@@ -892,6 +892,9 @@ def _tag_pages() -> list[tuple[str, str]]:
          '<meta name="keywords" content="nlp, Data &amp; Stats, ,AI">'),
         # keywords only; empty entries drop but order stays
         ("http://ex.com/k", "<meta name=keywords content='a,,b'>"),
+        # non-ascii values keep their bytes (ASCII-only fold — Unicode
+        # case-mapping is engine-divergent)
+        ("http://ex.com/gr", '<meta property="article:tag" content="ΟΣ Foo">'),
         # containment: data-name= / quoted-value payloads never match
         ("http://ex.com/adv", '<meta data-name="keywords" content="no">'
          "<meta name='author' content='use name=keywords here'>"),
@@ -906,6 +909,7 @@ def test_article_tags_hand_cases(spark):
         [tuple(r) for r in article_tags(_df(spark, _tag_pages())).collect()]
     )
     assert rows == [
+        ("http://ex.com/gr", 0, "ΟΣ foo"),
         ("http://ex.com/k", 0, "a"),
         ("http://ex.com/k", 1, "b"),
         ("http://ex.com/t", 0, "ai"),
@@ -949,7 +953,8 @@ v AS (
 ),
 c AS (
   SELECT url,
-    list_filter(list_transform(vals, v -> lower({_clean_sql('v')})),
+    list_filter(list_transform(vals,
+                v -> translate({_clean_sql('v')}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')),
                 x -> x IS NOT NULL) AS tags
   FROM v
 ),
